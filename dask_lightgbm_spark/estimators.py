@@ -1,0 +1,300 @@
+"""Sklearn-style estimator surface on Spark DataFrames.
+
+Mirrors the reference's two-estimator public API
+(``/root/reference/dask_lightgbm/__init__.py:1``; classes at
+``dask_lightgbm/core.py:187-246``) with Spark-first internals:
+
+- ``fit(df, feature_cols=..., label_col=..., weight_col=...)`` — the Dask
+  signature's separate X/y/sample_weight collections collapse into columns of
+  one DataFrame (co-locality for free; SURVEY.md §1).
+- ``transform(df)`` — lazy, adds ``prediction`` (and ``probability`` for the
+  classifier), Arrow-vectorized.
+- ``to_local()`` — strip the wrapper to a driver-local model (reference
+  core.py:215-218).
+
+Backends:
+- ``'lightgbm'`` — barrier-stage socket training (capability parity; needs
+  the native lib on executors, see core.py).
+- ``'mllib'`` — pure-Spark GBT (binary/regression) or RandomForest
+  (multiclass — MLlib's GBTClassifier is binary-only), zero native deps.
+- ``'auto'`` — lightgbm if importable else mllib.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.classification import GBTClassifier, RandomForestClassifier
+from pyspark.ml.feature import VectorAssembler
+from pyspark.ml.functions import vector_to_array
+from pyspark.ml.regression import GBTRegressor, RandomForestRegressor
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dask_lightgbm_spark import core
+
+
+class _SparkLGBMBase:
+    _is_classifier = False
+
+    def __init__(
+        self,
+        n_estimators: int = 100,
+        learning_rate: float = 0.1,
+        max_depth: int = -1,
+        num_leaves: int = 31,
+        min_child_samples: int = 20,
+        subsample: float = 1.0,
+        objective: str | None = None,
+        alpha: float = 0.9,
+        tree_learner: str = "data",
+        local_listen_port: int = core.DEFAULT_LISTEN_PORT,
+        time_out: int = core.DEFAULT_TIME_OUT,
+        backend: str = "auto",
+        num_workers: int | None = None,
+        seed: int = 42,
+        **extra_params,
+    ):
+        self.n_estimators = n_estimators
+        self.learning_rate = learning_rate
+        self.max_depth = max_depth
+        self.num_leaves = num_leaves
+        self.min_child_samples = min_child_samples
+        self.subsample = subsample
+        self.objective = objective
+        self.alpha = alpha
+        self.tree_learner = tree_learner
+        self.local_listen_port = local_listen_port
+        self.time_out = time_out
+        self.backend = backend
+        self.num_workers = num_workers
+        self.seed = seed
+        self.extra_params = extra_params
+        self._model = None  # fitted driver-local model (lightgbm or mllib)
+        self._backend_used = None
+        self._feature_cols = None
+        self.classes_ = None
+
+    # -- params ------------------------------------------------------------
+    def get_params(self) -> dict:
+        return {
+            "n_estimators": self.n_estimators,
+            "learning_rate": self.learning_rate,
+            "max_depth": self.max_depth,
+            "num_leaves": self.num_leaves,
+            "min_child_samples": self.min_child_samples,
+            "subsample": self.subsample,
+            "objective": self.objective,
+            "tree_learner": self.tree_learner,
+            "seed": self.seed,
+            **self.extra_params,
+        }
+
+    def _resolve_backend(self) -> str:
+        if self.backend == "auto":
+            return "lightgbm" if core.have_lightgbm() else "mllib"
+        return self.backend
+
+    # -- feature canonicalization (SURVEY.md §1 data model) ---------------
+    def _assemble(self, df: DataFrame, feature_cols, features_col):
+        """Accept either explicit numeric feature columns (assembled to an
+        MLlib vector — the Spark carrier for feature matrices) or an existing
+        vector/array column."""
+        if feature_cols is not None:
+            out = VectorAssembler(
+                inputCols=list(feature_cols), outputCol="__features"
+            ).transform(df)
+            return out, "__features", list(feature_cols)
+        dtype = dict(df.dtypes)[features_col]
+        if dtype.startswith("array"):
+            from pyspark.ml.functions import array_to_vector
+
+            return (
+                df.withColumn("__features", array_to_vector(F.col(features_col))),
+                "__features",
+                [features_col],
+            )
+        return df, features_col, [features_col]
+
+    # -- mllib param mapping ----------------------------------------------
+    def _mllib_common(self) -> dict:
+        depth = self.max_depth if self.max_depth and self.max_depth > 0 else 8
+        return {
+            "maxDepth": min(depth, 30),
+            "minInstancesPerNode": self.min_child_samples,
+            "subsamplingRate": self.subsample,
+            "seed": self.seed,
+        }
+
+    def fit(
+        self,
+        df: DataFrame,
+        feature_cols: list[str] | None = None,
+        features_col: str | None = None,
+        label_col: str = "label",
+        weight_col: str | None = None,
+    ):
+        backend = self._resolve_backend()
+        self._backend_used = backend
+        if backend == "lightgbm":
+            if feature_cols is None:
+                raise ValueError("lightgbm backend requires explicit feature_cols")
+            self._feature_cols = list(feature_cols)
+            self._model = core.train_lightgbm_barrier(
+                df,
+                self._feature_cols,
+                label_col,
+                self._lgbm_factory(),
+                self._lgbm_params(),
+                weight_col=weight_col,
+                num_workers=self.num_workers,
+                local_listen_port=self.local_listen_port,
+                time_out=self.time_out,
+            )
+            if self._is_classifier:
+                self.classes_ = list(getattr(self._model, "classes_", []))
+            return self
+
+        assembled, vec_col, self._feature_cols = self._assemble(
+            df, feature_cols, features_col
+        )
+        est = self._mllib_estimator(assembled, vec_col, label_col, weight_col)
+        self._model = est.fit(assembled)
+        return self
+
+    def _lgbm_params(self) -> dict:
+        p = {
+            "n_estimators": self.n_estimators,
+            "learning_rate": self.learning_rate,
+            "max_depth": self.max_depth,
+            "num_leaves": self.num_leaves,
+            "min_child_samples": self.min_child_samples,
+            "subsample": self.subsample,
+            "tree_learner": self.tree_learner,
+            "random_state": self.seed,
+            **self.extra_params,
+        }
+        if self.objective:
+            p["objective"] = self.objective
+            if self.objective == "quantile":
+                p["alpha"] = self.alpha
+        return p
+
+    def transform(
+        self,
+        df: DataFrame,
+        feature_cols: list[str] | None = None,
+        features_col: str | None = None,
+    ) -> DataFrame:
+        """Distributed inference: adds ``prediction`` (+``probability``).
+        Lazy — no job runs until an action (reference predict dispatch,
+        core.py:163-173, was equally lazy)."""
+        if self._model is None:
+            raise RuntimeError("fit() first")
+        feature_cols = feature_cols or (
+            self._feature_cols if self._feature_cols and len(self._feature_cols) > 1 else None
+        )
+        if self._backend_used == "lightgbm":
+            cols = feature_cols or self._feature_cols
+            pred = core.predict_udf_for(self._model, cols, proba=False)
+            out = df.withColumn("prediction", pred(*[F.col(c) for c in cols]))
+            if self._is_classifier:
+                proba = core.predict_udf_for(self._model, cols, proba=True)
+                out = out.withColumn("probability", proba(*[F.col(c) for c in cols]))
+            return out
+
+        assembled, vec_col, _ = self._assemble(
+            df, feature_cols, features_col or (self._feature_cols or ["features"])[0]
+        )
+        m = self._model
+        # MLlib models are bound to their training featuresCol name
+        if m.getFeaturesCol() != vec_col:
+            assembled = assembled.withColumnRenamed(vec_col, m.getFeaturesCol())
+        out = m.transform(assembled)
+        drop = [c for c in ("rawPrediction", "__features") if c in out.columns]
+        if self._is_classifier and "probability" in out.columns:
+            out = out.withColumn("probability", vector_to_array("probability"))
+        return out.drop(*drop)
+
+    # reference API aliases (core.py:203-213)
+    def predict(self, df: DataFrame, **kw) -> DataFrame:
+        return self.transform(df, **kw).drop(
+            *( ["probability"] if self._is_classifier else [] )
+        )
+
+    def to_local(self):
+        """Driver-local model, usable without the cluster (reference
+        ``to_local``, core.py:215-218)."""
+        return self._model
+
+
+class SparkLGBMClassifier(_SparkLGBMBase):
+    """Distributed gradient-boosted classifier (reference
+    ``LGBMClassifier``, core.py:187-218)."""
+
+    _is_classifier = True
+
+    def _lgbm_factory(self):
+        import lightgbm
+
+        return lightgbm.LGBMClassifier
+
+    def _mllib_estimator(self, df, vec_col, label_col, weight_col):
+        n_classes = df.select(label_col).distinct().count()
+        common = self._mllib_common()
+        if n_classes <= 2:
+            est = GBTClassifier(
+                featuresCol=vec_col,
+                labelCol=label_col,
+                maxIter=self.n_estimators,
+                stepSize=self.learning_rate,
+                **common,
+            )
+        else:  # MLlib GBT is binary-only → RandomForest for multiclass
+            est = RandomForestClassifier(
+                featuresCol=vec_col,
+                labelCol=label_col,
+                numTrees=self.n_estimators,
+                **common,
+            )
+        if weight_col:
+            est = est.setWeightCol(weight_col)
+        return est
+
+    def predict_proba(self, df: DataFrame, **kw) -> DataFrame:
+        return self.transform(df, **kw)
+
+
+class SparkLGBMRegressor(_SparkLGBMBase):
+    """Distributed gradient-boosted regressor (reference ``LGBMRegressor``,
+    core.py:221-246), incl. ``objective='quantile'`` passthrough (tested in
+    the reference at tests/test_core.py:148-165)."""
+
+    def _lgbm_factory(self):
+        import lightgbm
+
+        return lightgbm.LGBMRegressor
+
+    def _mllib_estimator(self, df, vec_col, label_col, weight_col):
+        common = self._mllib_common()
+        if self.objective == "quantile":
+            # MLlib GBT lacks quantile loss; RandomForest + quantile-ish via
+            # absolute loss is the closest zero-dep analog. GBT 'absolute'
+            # loss targets the median (alpha=0.5).
+            est = GBTRegressor(
+                featuresCol=vec_col,
+                labelCol=label_col,
+                maxIter=self.n_estimators,
+                stepSize=self.learning_rate,
+                lossType="absolute",
+                **common,
+            )
+        else:
+            est = GBTRegressor(
+                featuresCol=vec_col,
+                labelCol=label_col,
+                maxIter=self.n_estimators,
+                stepSize=self.learning_rate,
+                **common,
+            )
+        if weight_col:
+            est = est.setWeightCol(weight_col)
+        return est

@@ -1,0 +1,65 @@
+"""As-of join — an operator Spark lacks natively, composed from built-in
+DataFrame ops (no UDFs, fully codegen'd, one shuffle).
+
+Strategy (the scalable union + running-aggregate trick): tag right rows with
+their carried value, union with left rows, then a running ``max`` window per
+``by``-key ordered by the as-of key picks, for every left row, the latest
+right value at-or-before it. Cost: one shuffle on ``by`` + one sort within
+partitions — no range cross-product, no per-key collect, skew handled by AQE.
+This scales to arbitrarily many right rows per key, unlike the
+``pd.merge_asof``-per-group alternative which needs whole groups in memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    value_col: str,
+    out_col: str,
+    direction: str = "backward",
+) -> DataFrame:
+    """For each ``left`` row, attach the ``value_col`` of the ``right`` row
+    with the greatest ``on`` ≤ left's ``on`` (direction='backward'; ties on
+    ``on`` count as matches) within the same ``by`` group.
+
+    Only 'backward' is implemented (the common as-of semantics); 'forward'
+    falls out by negating the ordering, left as a follow-up.
+    """
+    if direction != "backward":
+        raise NotImplementedError("only direction='backward' is supported")
+
+    carried = "__asof_carry"
+    # kind: right=0 sorts before left=1 at equal `on` → ties match
+    r = right.select(
+        F.col(by), F.col(on), F.lit(0).alias("__kind"), F.col(value_col).alias(carried)
+    )
+    left_cols = left.columns
+    l = left.select(
+        *left_cols,
+        F.lit(1).alias("__kind"),
+        F.lit(None).cast(right.schema[value_col].dataType).alias(carried),
+    )
+    # align schemas for union: right side gets nulls for left-only columns
+    for c in left_cols:
+        if c not in (by, on):
+            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    u = l.select(*left_cols, "__kind", carried).unionByName(
+        r.select(*left_cols, "__kind", carried)
+    )
+    w = (
+        W.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("__kind").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        u.withColumn(out_col, F.max(carried).over(w))
+        .filter(F.col("__kind") == 1)
+        .drop("__kind", carried)
+    )

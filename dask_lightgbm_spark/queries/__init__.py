@@ -1,0 +1,71 @@
+"""Query catalog + registry.
+
+Every implemented operator from SURVEY.md §2 registers here as a named query:
+a Spark builder ``(spark, sf_dir) -> DataFrame`` and (where SQL-expressible)
+a DuckDB oracle SQL string over the same parquet tables. The driver runs both
+at sf0.01 and hash-compares.
+
+Determinism contract for oracle-matched queries (why they bit-match):
+
+- **No floating-point aggregation.** Money/quantity doubles are converted to
+  exact int64 fixed-point units (cents) *before* SUM/AVG, so aggregate values
+  are exact integers independent of summation order; ratios are produced by
+  a single division whose operand expressions are identical on both sides
+  (IEEE 754 ops are deterministic given identical operands and order).
+- **UTC session timezone** pinned at query build time (parquet timestamps are
+  instants; DuckDB reads them UTC-naive).
+- Every computed column is aliased identically in the Spark builder and the
+  oracle SQL (the driver sorts columns by name before hashing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query builder; ``oracle=None`` marks a genuinely
+    non-SQL-expressible op (driver falls back to rows-only check)."""
+
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # defensive: driver owns the session; pin dynamic confs we need
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        _QUERIES[name] = wrapped
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_all()
+    return dict(_QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    _load_all()
+    return dict(_ORACLES)
+
+
+_LOADED = False
+
+
+def _load_all():
+    global _LOADED
+    if _LOADED:
+        return
+    # import for registration side-effects
+    from dask_lightgbm_spark.queries import relational, text, similarity, ml, streaming_q  # noqa: F401
+
+    _LOADED = True

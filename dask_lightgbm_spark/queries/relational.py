@@ -1,0 +1,641 @@
+"""Relational query surface (SURVEY.md §2 Table B + the standard relational
+operator categories listed there: join / window / sort / set-op / rollup /
+pivot / string / date / sessionization / as-of).
+
+The reference consumes these through Dask (scan B1, projection B2,
+elementwise B3/B5, aggregation B4 — ``/root/reference/system_tests/
+test_fit_predict.py:26-56``); here they are first-class, Catalyst-optimized
+DataFrame plans, each with a DuckDB oracle.
+
+Determinism: see queries/__init__ docstring — money/qty aggregates use exact
+int64 fixed-point (cents) before SUM, so no floating-point summation order
+can diverge. At true 100 TB scale the production path would use plain double
+sums (or Spark decimal); the fixed-point forms here exist to make the
+correctness gate bit-exact, and overflow headroom is documented per query
+(int64 holds ~9.2e18; worst case here is ~1e11/row · 6e8 rows at sf100 —
+still within range for charge-style triple products only up to ~1e7 rows per
+group; the engine's own API surfaces double aggregates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from dask_lightgbm_spark.queries import query
+from dask_lightgbm_spark.sources.readers import load_table
+
+
+def _cents(c: Column) -> Column:
+    """Exact int64 fixed-point: value·100 (inputs are 2-decimal doubles)."""
+    return F.round(c * 100).cast("long")
+
+
+def _pct(c: Column) -> Column:
+    """Exact int64 percent units for discount/tax (2-decimal fractions)."""
+    return F.round(c * 100).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# q01 — TPC-H Q1-style pricing summary: scan → filter → groupBy → 8 aggs.
+# The flagship query (entry() runs it at sf0.001).
+# ---------------------------------------------------------------------------
+
+_Q01_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
+  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_base_price,
+  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS sum_disc_price,
+  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) * (100 + CAST(round(l_tax*100) AS BIGINT))) AS DOUBLE)/1000000.0 AS sum_charge,
+  CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0/COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0/COUNT(*) AS avg_price,
+  CAST(SUM(CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)/100.0/COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("q01_pricing_summary", _Q01_SQL)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    qty_c = _cents(F.col("l_quantity"))
+    ep_c = _cents(F.col("l_extendedprice"))
+    disc_c = _pct(F.col("l_discount"))
+    tax_c = _pct(F.col("l_tax"))
+    cnt = F.count(F.lit(1))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(qty_c).cast("double") / F.lit(100.0)).alias("sum_qty"),
+            (F.sum(ep_c).cast("double") / F.lit(100.0)).alias("sum_base_price"),
+            (F.sum(ep_c * (F.lit(100) - disc_c)).cast("double") / F.lit(10000.0)).alias("sum_disc_price"),
+            (F.sum(ep_c * (F.lit(100) - disc_c) * (F.lit(100) + tax_c)).cast("double") / F.lit(1000000.0)).alias("sum_charge"),
+            (F.sum(qty_c).cast("double") / F.lit(100.0) / cnt).alias("avg_qty"),
+            (F.sum(ep_c).cast("double") / F.lit(100.0) / cnt).alias("avg_price"),
+            (F.sum(disc_c).cast("double") / F.lit(100.0) / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q02 — projection + pushed-down filter + row-level elementwise arithmetic
+# (B2/B5). Row-level IEEE ops are bit-exact across engines.
+# ---------------------------------------------------------------------------
+
+_Q02_SQL = """
+SELECT
+  l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+  l_extendedprice * (1 - l_discount) AS disc_price
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+  AND l_quantity >= 45
+"""
+
+
+@query("q02_filter_project", _Q02_SQL)
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_quantity") >= 45)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("disc_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q03 — global aggregation (B4): sum/avg/min/max/count/count distinct.
+# ---------------------------------------------------------------------------
+
+_Q03_SQL = """
+SELECT
+  COUNT(*) AS n_rows,
+  CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
+  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0/COUNT(*) AS avg_price,
+  MIN(l_extendedprice) AS min_price,
+  MAX(l_extendedprice) AS max_price,
+  COUNT(DISTINCT l_partkey) AS n_parts
+FROM lineitem
+"""
+
+
+@query("q03_global_agg", _Q03_SQL)
+def q03_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    cnt = F.count(F.lit(1))
+    return l.agg(
+        cnt.alias("n_rows"),
+        (F.sum(_cents(F.col("l_quantity"))).cast("double") / F.lit(100.0)).alias("sum_qty"),
+        (F.sum(_cents(F.col("l_extendedprice"))).cast("double") / F.lit(100.0) / cnt).alias("avg_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q04 — multi-way join with broadcast dims: revenue per region/nation.
+# supplier/nation/region are tiny → broadcast (no shuffle of lineitem
+# beyond the final groupBy); at 100 TB the same plan holds.
+# ---------------------------------------------------------------------------
+
+_Q04_SQL = """
+SELECT
+  r_name, n_name,
+  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+@query("q04_join_nation_revenue", _Q04_SQL)
+def q04_join_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    ep_c = _cents(F.col("l_extendedprice"))
+    disc_c = _pct(F.col("l_discount"))
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            (F.sum(ep_c * (F.lit(100) - disc_c)).cast("double") / F.lit(10000.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q05 — global sort + limit (top-k). Tie-broken on the key → deterministic.
+# Spark executes as TakeOrderedAndProject (no full sort at scale).
+# ---------------------------------------------------------------------------
+
+_Q05_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@query("q05_top_orders", _Q05_SQL)
+def q05_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q06 — window function: top-3 orders per customer (row_number).
+# ---------------------------------------------------------------------------
+
+_Q06_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+@query("q06_window_topk_per_customer", _Q06_SQL)
+def q06_window_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q07/q08/q09 — set ops + semi/anti joins.
+# ---------------------------------------------------------------------------
+
+_Q07_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+@query("q07_setop_intersect", _Q07_SQL)
+def q07_setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersect(b)
+
+
+_Q08_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+@query("q08_anti_join", _Q08_SQL)
+def q08_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+_Q09_SQL = """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+"""
+
+
+@query("q09_semi_join", _Q09_SQL)
+def q09_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# q10/q20 — rollup & cube (grouping sets).
+# ---------------------------------------------------------------------------
+
+_Q10_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@query("q10_rollup", _Q10_SQL)
+def q10_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum(_cents(F.col("l_quantity"))).cast("double") / F.lit(100.0)).alias("sum_qty"),
+    )
+
+
+_Q20_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@query("q20_cube", _Q20_SQL)
+def q20_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+# ---------------------------------------------------------------------------
+# q11 — grouped distinct counts.
+# ---------------------------------------------------------------------------
+
+_Q11_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("q11_distinct_counts", _Q11_SQL)
+def q11_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12 — string functions.
+# ---------------------------------------------------------------------------
+
+_Q12_SQL = """
+SELECT p_partkey,
+       upper(p_brand) AS brand_u,
+       lower(p_type) AS type_l,
+       substr(p_name, 1, 8) AS name_pfx,
+       length(p_name) AS name_len,
+       p_brand || '/' || p_type AS brand_type
+FROM part
+WHERE p_type LIKE '%ECONOMY%'
+"""
+
+
+@query("q12_string_funcs", _Q12_SQL)
+def q12_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(F.col("p_type").like("%ECONOMY%")).select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.lower("p_type").alias("type_l"),
+        F.substring("p_name", 1, 8).alias("name_pfx"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q13 — date functions + grouped agg.
+# ---------------------------------------------------------------------------
+
+_Q13_SQL = """
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+       CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS o_month,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_price
+FROM orders
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("q13_date_agg", _Q13_SQL)
+def q13_date_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            F.month("o_orderdate").cast("int").alias("o_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(_cents(F.col("o_totalprice"))).cast("double") / F.lit(100.0)).alias("total_price"),
+        )
+        .orderBy("o_year", "o_month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q14 — time-bucketed event aggregation (batch twin of the streaming query).
+# ---------------------------------------------------------------------------
+
+_Q14_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("q14_events_hourly", _Q14_SQL)
+def q14_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(_cents(F.col("value"))).cast("double") / F.lit(100.0)).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15 — sessionization: 30-min-gap sessions per user via lag + running sum.
+# Exact integer microsecond arithmetic on both sides.
+# ---------------------------------------------------------------------------
+
+_Q15_SQL = """
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM flagged GROUP BY user_id
+"""
+
+
+@query("q15_sessionize", _Q15_SQL)
+def q15_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    new_s = F.when(prev.isNull() | ((us - prev) > 1800000000), 1).otherwise(0)
+    return (
+        e.withColumn("new_session", new_s)
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 — pivot (wide aggregation).
+# ---------------------------------------------------------------------------
+
+_Q16_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(round(l_quantity*100) AS BIGINT) END) AS DOUBLE)/100.0 AS qty_O,
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(round(l_quantity*100) AS BIGINT) END) AS DOUBLE)/100.0 AS qty_F
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("q16_pivot", _Q16_SQL)
+def q16_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    piv = (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(_cents(F.col("l_quantity"))))
+    )
+    return piv.select(
+        "l_returnflag",
+        (F.col("O").cast("double") / F.lit(100.0)).alias("qty_O"),
+        (F.col("F").cast("double") / F.lit(100.0)).alias("qty_F"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17 — argmax via self-join on an exact aggregate (max is order-insensitive).
+# ---------------------------------------------------------------------------
+
+_Q17_SQL = """
+SELECT o.o_custkey, o.o_orderkey, o.o_totalprice
+FROM orders o
+JOIN (SELECT o_custkey, MAX(o_totalprice) AS max_price FROM orders GROUP BY o_custkey) m
+  ON o.o_custkey = m.o_custkey AND o.o_totalprice = m.max_price
+"""
+
+
+@query("q17_customer_max_order", _Q17_SQL)
+def q17_customer_max_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.col("o_custkey").alias("m_custkey")).agg(F.max("o_totalprice").alias("max_price"))
+    return o.join(
+        m, (o.o_custkey == m.m_custkey) & (o.o_totalprice == m.max_price)
+    ).select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# q18 — TPC-H Q3-style shipping priority: 3-way join + agg + top-k.
+# Revenue is exact fixed-point → deterministic ordering.
+# ---------------------------------------------------------------------------
+
+_Q18_SQL = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@query("q18_shipping_priority", _Q18_SQL)
+def q18_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    ep_c = _cents(F.col("l_extendedprice"))
+    disc_c = _pct(F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(ep_c * (F.lit(100) - disc_c)).cast("double") / F.lit(10000.0)).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19 — CASE WHEN bucketing + grouped exact-division average.
+# ---------------------------------------------------------------------------
+
+_Q19_SQL = """
+SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high'
+            WHEN o_orderpriority = '3-MEDIUM' THEN 'mid'
+            ELSE 'low' END AS prio_bucket,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0/COUNT(*) AS avg_price
+FROM orders GROUP BY 1
+"""
+
+
+@query("q19_case_bucket", _Q19_SQL)
+def q19_case_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "mid")
+        .otherwise("low")
+    )
+    cnt = F.count(F.lit(1))
+    return o.groupBy(bucket.alias("prio_bucket")).agg(
+        cnt.alias("n_orders"),
+        (F.sum(_cents(F.col("o_totalprice"))).cast("double") / F.lit(100.0) / cnt).alias("avg_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21 — as-of join (Spark lacks a native one): for each purchase, the most
+# recent prior-or-same-instant 'view' by the same user. Implemented with the
+# scalable union + running-max trick (one shuffle on user_id, no range
+# explosion) — see operators/asof.py for the reusable operator.
+# ---------------------------------------------------------------------------
+
+_Q21_SQL = """
+WITH u AS (
+  SELECT user_id, ts, CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS DOUBLE) AS value,
+         0 AS kind, ts AS view_ts
+  FROM events WHERE event_type = 'view'
+  UNION ALL
+  SELECT user_id, ts, event_id, value, 1 AS kind, CAST(NULL AS TIMESTAMP) AS view_ts
+  FROM events WHERE event_type = 'purchase'
+), w AS (
+  SELECT *, max(view_ts) OVER (PARTITION BY user_id ORDER BY ts, kind
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_ts
+  FROM u
+)
+SELECT event_id, user_id, ts, value, last_view_ts FROM w WHERE kind = 1
+"""
+
+
+@query("q21_asof_join", _Q21_SQL)
+def q21_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_lightgbm_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return asof_join(
+        purchases, views, on="ts", by="user_id", value_col="ts", out_col="last_view_ts"
+    ).select("event_id", "user_id", "ts", "value", "last_view_ts")
+
+
+# ---------------------------------------------------------------------------
+# q23 — elementwise predicate-as-data ratio (B3): the reference's accuracy
+# metric pattern ((dy == dy_pred).sum() / len(dy),
+# system_tests/test_fit_predict.py:35) over fixture data.
+# ---------------------------------------------------------------------------
+
+_Q23_SQL = """
+SELECT CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS frac_n,
+       COUNT(*) AS n
+FROM lineitem
+"""
+
+
+@query("q23_predicate_ratio", _Q23_SQL)
+def q23_predicate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.agg(
+        (
+            F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("frac_n"),
+        F.count(F.lit(1)).alias("n"),
+    )

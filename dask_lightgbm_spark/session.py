@@ -1,0 +1,63 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is single-JVM; on a real cluster the same settings hold except
+memory, which comes from the cluster manager. AQE is on so skewed joins and
+small shuffle partitions re-plan at runtime — essential at the 100 TB design
+point, harmless locally.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "spark-lightgbm-engine",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    - Arrow on (vectorized pandas-UDF boundary; SURVEY.md §1 "row- vs
+      column-oriented").
+    - UTC session timezone (oracle comparability; parquet timestamps are
+      instants).
+    - shuffle partitions ~ cores locally; AQE coalesces at runtime so a
+    - cluster deployment can leave this high.
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    shuffle_partitions = shuffle_partitions or cpus
+    b = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def apply_session_defaults(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to an externally-created
+    session (the driver owns its own session; we can only set dynamic confs).
+
+    UTC matters: every timestamp-producing query is compared against a
+    DuckDB oracle whose timestamps are UTC-naive.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    return spark

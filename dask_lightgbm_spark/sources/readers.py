@@ -1,0 +1,73 @@
+"""Source connectors.
+
+The reference's only scan is a gzip CSV glob with unsplit blocks
+(``/root/reference/system_tests/test_fit_predict.py:26``:
+``dd.read_csv('./system_tests/data/*.gz', compression='gzip',
+blocksize=None)``).  Spark natively handles gzip + glob; parquet is the
+engine's primary columnar format (predicate pushdown + column pruning reach
+the scan via Catalyst — verify with ``df.explain`` → ``PushedFilters``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one fixture table. Column pruning + predicate
+    pushdown are Catalyst's job — callers just select/filter.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
+    to its microsecond TimestampType; read it as int64 nanos (legacy conf)
+    and convert losslessly (fixture timestamps are µs-aligned; verified at
+    generation time)."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            # integer division: ns epochs exceed 2^53, double division loses µs
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
+    """Register fixture tables as temp views for the SQL API."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def read_csv_glob(
+    spark: SparkSession,
+    path: str,
+    header: bool = False,
+    schema=None,
+    infer: bool = False,
+) -> DataFrame:
+    """Gzip-aware CSV glob scan (reference B1). Spark decompresses gzip
+    transparently; one gzip file = one (unsplittable) partition, which is
+    exactly the reference's ``blocksize=None`` semantics."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
