@@ -1,4 +1,381 @@
-"""Text-analysis + deduplication query surface (SURVEY.md §7 M6) — filled in
-incrementally; see registrations below."""
+"""Text-analysis + deduplication query surface (SURVEY.md §7 M6) over the
+``documents`` fixture table.
+
+Spark implementations live in operators/dedup.py and operators/text_ops.py;
+this module registers them with DuckDB oracles. Oracle SQL for minhash /
+simhash is generated from the same constants (functions/hashing.py) the
+Spark plans use, so both engines compute identical integers.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dask_lightgbm_spark.functions.hashing import (
+    MINHASH_COEF,
+    MINHASH_PRIME,
+    sql_hash32,
+    sql_hash60,
+)
+from dask_lightgbm_spark.operators import dedup, text_ops
+from dask_lightgbm_spark.operators.dedup import SIMHASH_BITS
+from dask_lightgbm_spark.operators.text_ops import LANG_MARKERS
+from dask_lightgbm_spark.queries import query
+from dask_lightgbm_spark.sources.readers import load_table
+
+NUM_PERM = 8
+BAND_SIZE = 2
+K_SHINGLE = 5
+
+# ---- shared SQL fragments (mirror the Spark operators exactly) ------------
+
+_SQL_SHINGLES = f"""
+sh AS (
+  SELECT DISTINCT doc_id, substr(text, g, {K_SHINGLE}) AS shingle
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text) - {K_SHINGLE - 1}, 1))) AS g
+        FROM documents)
+)"""
+
+_SQL_SHINGLE_HASH = f"""
+h AS (SELECT doc_id, {sql_hash32('shingle')} AS h FROM sh)"""
+
+_minhash_aggs = ",\n         ".join(
+    f"MIN((h * {a} + {b}) % {MINHASH_PRIME}) AS mh{i}"
+    for i, (a, b) in enumerate(MINHASH_COEF[:NUM_PERM])
+)
+_SQL_MINHASH_WIDE = f"""
+m AS (SELECT doc_id,
+         {_minhash_aggs}
+      FROM h GROUP BY doc_id)"""
+
+_SQL_TOKENS = r"""
+tok AS (
+  SELECT DISTINCT doc_id, t AS tok FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents
+  ) WHERE t <> ''
+)"""
+
+
+# ---------------------------------------------------------------------------
+# t01/t02 — exact dedup.
+# ---------------------------------------------------------------------------
+
+_T01_SQL = """
+SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique FROM documents
+"""
+
+
+@query("t01_dedup_exact_stats", _T01_SQL)
+def t01_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+    )
+
+
+_T02_SQL = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+@query("t02_dedup_exact_groups", _T02_SQL)
+def t02_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# t03 — exact n-gram Jaccard near-dup pairs (bounded doc subset; the
+# unbounded scale path is t05).
+# ---------------------------------------------------------------------------
+
+_T03_SQL = """
+WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+sh3 AS (
+  SELECT DISTINCT doc_id, substr(text, g, 3) AS shingle
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text) - 2, 1))) AS g FROM sub)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh3 GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh3 a JOIN sh3 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, inter / (sa.n + sb.n - inter) AS jaccard
+FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+WHERE inter / (sa.n + sb.n - inter) >= 0.5
+"""
+
+
+@query("t03_ngram_jaccard_pairs", _T03_SQL)
+def t03_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# t04 — minhash signatures (long format: doc_id, perm, minhash).
+# ---------------------------------------------------------------------------
+
+_T04_SQL = (
+    "WITH" + _SQL_SHINGLES + "," + _SQL_SHINGLE_HASH + "," + _SQL_MINHASH_WIDE
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT doc_id, {i} AS perm, mh{i} AS minhash FROM m" for i in range(NUM_PERM)
+    )
+)
+
+
+@query("t04_minhash_signatures", _T04_SQL)
+def t04_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(d, "doc_id", "text", K_SHINGLE, NUM_PERM)
+    stack = ", ".join(f"{i}, mh{i}" for i in range(NUM_PERM))
+    return sig.selectExpr(
+        "doc_id", f"stack({NUM_PERM}, {stack}) AS (perm, minhash)"
+    ).select("doc_id", F.col("perm").cast("int").alias("perm"), "minhash")
+
+
+# ---------------------------------------------------------------------------
+# t05 — MinHash-LSH near-dup pipeline (the 100 TB dedup path): bands →
+# candidates → exact-Jaccard verify.
+# ---------------------------------------------------------------------------
+
+_bands_sql = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band, mh{b * BAND_SIZE} AS bv0, mh{b * BAND_SIZE + 1} AS bv1 FROM m"
+    for b in range(NUM_PERM // BAND_SIZE)
+)
+
+_T05_SQL = (
+    "WITH" + _SQL_SHINGLES + "," + _SQL_SHINGLE_HASH + "," + _SQL_MINHASH_WIDE + f""",
+bands AS ({_bands_sql}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bv0 = b.bv0 AND a.bv1 = b.bv1 AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, inter / (sa.n + sb.n - inter) AS jaccard
+FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+WHERE inter / (sa.n + sb.n - inter) >= 0.7
+"""
+)
+
+
+@query("t05_minhash_lsh_neardup", _T05_SQL)
+def t05_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_neardup(
+        d, "doc_id", "text", K_SHINGLE, NUM_PERM, BAND_SIZE, threshold=0.7
+    )
+
+
+# ---------------------------------------------------------------------------
+# t06/t07 — SimHash signatures + hamming near-dup (pigeonhole block join).
+# Oracle for t07 uses all-pairs hamming (identical result by pigeonhole,
+# simpler SQL; the Spark side uses the scalable blocked join).
+# ---------------------------------------------------------------------------
+
+_bitsums = ",\n         ".join(
+    f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(SIMHASH_BITS)
+)
+_simexpr = " + ".join(
+    f"CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    for j in range(SIMHASH_BITS)
+)
+
+_T06_SQL = (
+    "WITH" + _SQL_TOKENS + f""",
+th AS (SELECT doc_id, {sql_hash60('tok')} AS h FROM tok),
+sums AS (SELECT doc_id,
+         {_bitsums}
+         FROM th GROUP BY doc_id)
+SELECT doc_id, CAST({_simexpr} AS BIGINT) AS simhash FROM sums
+"""
+)
+
+
+@query("t06_simhash", _T06_SQL)
+def t06_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(d, "doc_id", "text")
+
+
+_T07_SQL = (
+    "WITH" + _SQL_TOKENS + f""",
+th AS (SELECT doc_id, {sql_hash60('tok')} AS h FROM tok),
+sums AS (SELECT doc_id,
+         {_bitsums}
+         FROM th GROUP BY doc_id),
+sig AS (SELECT doc_id, CAST({_simexpr} AS BIGINT) AS simhash FROM sums)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+)
+
+
+@query("t07_simhash_neardup", _T07_SQL)
+def t07_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_neardup_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# t08 — language-ID heuristic (marker-token argmax; see operators/text_ops
+# for the honest caveat about the synthetic corpus).
+# ---------------------------------------------------------------------------
+
+
+def _sql_marker_count(markers: list[str]) -> str:
+    conds = " OR ".join(f"x = '{m}'" for m in markers)
+    return (
+        r"len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), "
+        f"x -> {conds}))"
+    )
+
+
+_langs = sorted(LANG_MARKERS)
+_score_cols = ",\n       ".join(
+    f"{_sql_marker_count(LANG_MARKERS[lang])} AS s_{lang}" for lang in _langs
+)
+_case_chain = "\n            ".join(
+    "WHEN "
+    + " AND ".join(f"s_{lang} >= s_{other}" for other in _langs if other != lang)
+    + f" THEN '{lang}'"
+    for lang in _langs
+)
+
+_T08_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+       {_score_cols}
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE {_case_chain}
+            ELSE '{_langs[0]}' END AS pred_lang
+FROM scored
+"""
+
+
+@query("t08_lang_id", _T08_SQL)
+def t08_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return text_ops.lang_id(d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# t09 — per-doc quality features (exact-int ratios).
+# ---------------------------------------------------------------------------
+
+_stop_cond = " OR ".join(f"x = '{m}'" for m in ["the", "a", "of", "and"])
+
+_T09_SQL = rf"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+         CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_nonspace,
+         CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> {_stop_cond})) AS BIGINT) AS stop_toks
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens,
+       n_nonspace / n_tokens AS avg_token_len,
+       (n_chars - n_nonspace) / n_chars AS space_ratio,
+       stop_toks / n_tokens AS stop_ratio
+FROM base
+"""
+
+
+@query("t09_text_quality", _T09_SQL)
+def t09_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return text_ops.text_quality(d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# t10 — token stats per source.
+# ---------------------------------------------------------------------------
+
+_T10_SQL = r"""
+WITH base AS (
+  SELECT source,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) / COUNT(*) AS avg_tokens,
+       MAX(n_tokens) AS max_tokens
+FROM base GROUP BY source
+"""
+
+
+@query("t10_token_stats", _T10_SQL)
+def t10_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    nt = text_ops.token_count(F.col("text"))
+    return (
+        d.select("source", nt.alias("n_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.sum("n_tokens") / F.count(F.lit(1))).alias("avg_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# t11 — normalized-content fingerprint.
+# ---------------------------------------------------------------------------
+
+_T11_SQL = r"""
+SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+@query("t11_fingerprint", _T11_SQL)
+def t11_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return text_ops.fingerprint(d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# t12 — multimodal column plumbing: binary payload + typed metadata
+# (decode/feature-extraction stubs live in operators/multimodal.py; this
+# query checks the schema/byte-level plumbing the stubs ride on).
+# ---------------------------------------------------------------------------
+
+_T12_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       CAST(length(text) AS BIGINT) AS char_len,
+       md5(text) AS content_hash
+FROM documents
+"""
+
+
+@query("t12_multimodal_meta", _T12_SQL)
+def t12_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_lightgbm_spark.operators.multimodal import binary_metadata
+
+    d = load_table(spark, sf_dir, "documents")
+    return binary_metadata(d, "doc_id", "text")
