@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Pure built-in higher-order functions — the dot/norm folds run inside
+whole-stage codegen (F.zip_with + F.aggregate), no Python boundary.
+
+Scale design:
+- ``brute_force_knn`` broadcasts the (small) query set against the full
+  corpus: a broadcast-nested-loop with per-row folds → embarrassingly
+  parallel map over corpus partitions, one narrow top-k reduction. Right
+  answer for "few queries × huge corpus".
+- ``ivf_knn`` is the scale path for "many queries": assign every vector to
+  its nearest centroid (broadcast centroids), then search only within the
+  query's cell — an equi-join on cell id instead of a cross product,
+  shuffling each corpus row once. Recall < 1.0 by construction (standard
+  IVF tradeoff; nprobe>1 would raise it).
+- Exact math note: folds are sequential left-folds in double precision, so
+  results are bit-identical across engines given identical element order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def to_double_array(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product: ((0+x1)+x2)+... in double."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+    Output: (qid, nid, rank, cos)."""
+    c = corpus.select(
+        F.col(id_col).alias("nid"), to_double_array(F.col(vec_col)).alias("nv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"), to_double_array(F.col(vec_col)).alias("qv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
+        .select("qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("cos"))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "cos")
+    )
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF cell assignment: nearest centroid by cosine (tie → lowest
+    centroid id). Output: corpus columns + ``cell``."""
+    c = corpus.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("__v")
+    )
+    cent = centroids.select(
+        F.col(id_col).alias("__cid"), to_double_array(F.col(vec_col)).alias("__cv")
+    )
+    scored = c.join(F.broadcast(cent)).select(
+        id_col, "__v", "__cid", cosine(F.col("__v"), F.col("__cv")).alias("__cs")
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("__cs"), F.asc("__cid"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col), F.col("__v").alias("v"), F.col("__cid").alias("cell"))
+    )
+
+
+def ivf_knn(
+    corpus: DataFrame,
+    queries_filter: Column,
+    centroid_filter: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """Approximate top-k: search only the query's IVF cell.
+    Output: (qid, nid, rank, cos)."""
+    centroids = corpus.filter(centroid_filter)
+    assigned = assign_cells(corpus, centroids, id_col, vec_col)
+    q = assigned.filter(queries_filter).select(
+        F.col(id_col).alias("qid"), F.col("v").alias("qv"), F.col("cell")
+    )
+    n = assigned.select(
+        F.col(id_col).alias("nid"), F.col("v").alias("nv"), F.col("cell")
+    )
+    scored = (
+        n.join(F.broadcast(q), "cell")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("cos"))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "cos")
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ threshold, id_a < id_b.
+    Brute all-pairs — bounded inputs only; at scale, run it per-IVF-cell
+    (assign_cells + self-join on cell) to avoid the cross product."""
+    a = df.select(F.col(id_col).alias("id_a"), to_double_array(F.col(vec_col)).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), to_double_array(F.col(vec_col)).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,4 +1,158 @@
-"""Similarity-search query surface (SURVEY.md §7 M6) — filled in
-incrementally; see registrations below."""
+"""Similarity-search query surface (SURVEY.md §7 M6) over the
+``embeddings`` fixture (64-dim float vectors + label).
+
+Oracle twins: DuckDB list lambdas reproduce the exact sequential left-folds
+of the Spark higher-order functions (see operators/similarity.py), so cosine
+values are bit-identical and rankings agree without tolerance.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dask_lightgbm_spark.operators import similarity as sim
+from dask_lightgbm_spark.queries import query
+from dask_lightgbm_spark.sources.readers import load_table
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, len({a})), "
+        f"i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+    )
+
+
+def _sql_norm(a: str) -> str:
+    return f"sqrt(list_reduce(list_transform({a}, x -> x * x), (x, y) -> x + y))"
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return f"({_sql_dot(a, b)}) / (({_sql_norm(a)}) * ({_sql_norm(b)}))"
+
+
+# ---------------------------------------------------------------------------
+# s01 — exact brute-force top-5 cosine neighbors for 10 query vectors.
+# ---------------------------------------------------------------------------
+
+_S01_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT q.qid, e.vec_id AS nid, {_sql_cos('q.qv', 'e.v')} AS cos
+  FROM q, e WHERE e.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, nid, cos,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT qid, nid, rank, cos FROM ranked WHERE rank <= 5
+"""
+
+
+@query("s01_knn_bruteforce", _S01_SQL)
+def s01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.brute_force_knn(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+# ---------------------------------------------------------------------------
+# s02 — IVF approximate top-3: centroids = vec_id % 25 == 0, search only the
+# query's nearest-centroid cell (the many-queries scale path).
+# ---------------------------------------------------------------------------
+
+_S02_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+cell_scored AS (
+  SELECT e.vec_id, e.v, cent.cid, {_sql_cos('e.v', 'cent.cv')} AS cs
+  FROM e, cent
+),
+assigned AS (
+  SELECT vec_id, v, cid AS cell FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+    FROM cell_scored
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, v AS qv, cell FROM assigned WHERE vec_id < 10),
+scored AS (
+  SELECT q.qid, n.vec_id AS nid, {_sql_cos('q.qv', 'n.v')} AS cos
+  FROM q JOIN assigned n ON q.cell = n.cell AND n.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, nid, cos,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT qid, nid, rank, cos FROM ranked WHERE rank <= 3
+"""
+
+
+@query("s02_knn_ivf", _S02_SQL)
+def s02_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.ivf_knn(
+        e,
+        queries_filter=F.col("vec_id") < 10,
+        centroid_filter=F.col("vec_id") % 25 == 0,
+        k=3,
+    )
+
+
+# ---------------------------------------------------------------------------
+# s03 — embedding-cosine near-dup pairs (dedup by semantic similarity).
+# ---------------------------------------------------------------------------
+
+_S03_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_sql_cos('a.v', 'b.v')} AS cos
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.99
+"""
+
+
+@query("s03_embedding_neardup", _S03_SQL)
+def s03_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_neardup_pairs(e, threshold=0.99)
+
+
+# ---------------------------------------------------------------------------
+# s04 — vector stats per label: exercises fold + fixed-point aggregation
+# (per-row norm is bit-exact; aggregate over rounded µ-units is exact int).
+# ---------------------------------------------------------------------------
+
+_S04_SQL = f"""
+WITH e AS (
+  SELECT label, {_sql_norm('embedding::DOUBLE[]')} AS nrm FROM embeddings
+)
+SELECT label, COUNT(*) AS n,
+       CAST(SUM(CAST(round(nrm * 1000000) AS BIGINT)) AS DOUBLE)/1000000.0/COUNT(*) AS avg_norm,
+       MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+FROM e GROUP BY label
+"""
+
+
+@query("s04_vector_stats", _S04_SQL)
+def s04_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    nrm = sim.norm(sim.to_double_array(F.col("embedding")))
+    cnt = F.count(F.lit(1))
+    return (
+        e.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            cnt.alias("n"),
+            (
+                F.sum(F.round(F.col("nrm") * 1000000).cast("long")).cast("double")
+                / F.lit(1000000.0)
+                / cnt
+            ).alias("avg_norm"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+        )
+    )

@@ -1,3 +1,27 @@
-"""Structured-Streaming query surface — filled in incrementally."""
+"""Structured-Streaming query surface.
+
+x01 runs a REAL streaming query (file source → complete-mode memory sink,
+drained synchronously) whose final state must equal the batch SQL oracle —
+the strongest correctness statement available for a bounded stream.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dask_lightgbm_spark.queries import query
+
+_X01_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("x01_stream_events_hourly", _X01_SQL)
+def x01_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_lightgbm_spark.streaming.events import stream_hourly_aggregate
+
+    return stream_hourly_aggregate(spark, sf_dir)

@@ -1,0 +1,58 @@
+"""Structured Streaming over the events table.
+
+The batch fixture doubles as a bounded stream (file source + pathGlobFilter);
+``processAllAvailable`` drains it synchronously so streaming results are
+deterministic and oracle-comparable against the batch SQL twin (q14).
+
+At scale the same code points at a Kafka source + real watermarks; the
+aggregation plan (stateful hash agg keyed on (hour, event_type)) is
+identical.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (TIMESTAMP(NANOS) handled the same
+    way as the batch reader: int64-nanos + integer-division conversion)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(src.dtypes).get("ts") == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return src
+
+
+def stream_hourly_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the hourly event aggregation as a real streaming query (complete
+    mode → memory sink), drain it, and return the final result table."""
+    src = read_events_stream(spark, sf_dir)
+    agg = src.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / F.lit(100.0)).alias(
+            "sum_value"
+        ),
+    )
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
