@@ -1,0 +1,69 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Query set spans the engine's surface: columnar scan+agg, broadcast joins,
+windows, sessionization, as-of join, MinHash-LSH dedup, SimHash, KNN.
+Timings are end-to-end per query (plan build + execution to toPandas),
+session warm.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dask_lightgbm_spark.queries import all_queries  # noqa: E402
+from dask_lightgbm_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q04_join_nation_revenue",
+    "q06_window_topk_per_customer",
+    "q14_events_hourly",
+    "q15_sessionize",
+    "q18_shipping_priority",
+    "q21_asof_join",
+    "t05_minhash_lsh_neardup",
+    "t06_simhash",
+    "s01_knn_bruteforce",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
+    qs = all_queries()
+
+    # warm the JVM + parquet footers with the cheapest query
+    qs["q05_top_orders"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        n = len(qs[name](spark, sf_dir).toPandas())
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -135,6 +135,10 @@ class _SparkLGBMBase:
         backend = self._resolve_backend()
         self._backend_used = backend
         if backend == "lightgbm":
+            if not core.have_lightgbm():
+                raise RuntimeError(
+                    "lightgbm is not importable; use backend='mllib' or 'auto'"
+                )
             if feature_cols is None:
                 raise ValueError("lightgbm backend requires explicit feature_cols")
             self._feature_cols = list(feature_cols)

@@ -23,14 +23,22 @@ MINHASH_PRIME = 4294967311
 # constants (not runtime-random) so Spark plan and SQL oracle share them.
 # Drawn once from numpy default_rng(42) in [1, 2^31).
 MINHASH_COEF: list[tuple[int, int]] = [
-    (196337567, 1985943324),
-    (1146801480, 192641798),
-    (861853183, 1465411558),
-    (1898626059, 983015342),
-    (725074866, 1866039359),
-    (1563270145, 1621763967),
-    (1333258851, 1860900078),
-    (804671344, 838858691),
+    (191664964, 1662057958),
+    (1405681632, 942484273),
+    (929893138, 1843824993),
+    (184566855, 1497586439),
+    (432652534, 202244315),
+    (1130604998, 2095133046),
+    (1580016184, 1634535063),
+    (1540770720, 1688060241),
+    (1102145673, 275121931),
+    (1803345591, 967196437),
+    (1074497556, 796282694),
+    (392022360, 1990212659),
+    (1678403331, 1382689816),
+    (864178267, 1766867110),
+    (1171300113, 952224741),
+    (967354525, 487991439),
 ]
 
 
@@ -52,6 +60,30 @@ def sql_hash32(expr: str) -> str:
 
 def sql_hash60(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+POLY_MULT = 65599  # SDBM-style rolling hash multiplier
+POLY_MOD = 4294967296  # 2^32 — keeps every intermediate < 2^48, int64-safe
+
+
+def poly_shingle_hash(codes: Column, g: Column, k: int) -> Column:
+    """32-bit rolling hash of the k-char shingle starting at 1-based
+    position ``g`` of a per-char code array: h = fold((h·65599 + c) mod 2³²).
+    ~10× cheaper than md5 per shingle and equally portable (oracle twin:
+    :func:`sql_poly_shingle_hash`). Defined on ASCII/codepoint arrays;
+    engines agree for any codepoint. Positions past the end (only possible
+    for docs shorter than k) yield NULL."""
+    h = F.lit(0).cast("long")
+    for i in range(k):
+        h = (h * F.lit(POLY_MULT) + F.element_at(codes, g + F.lit(i))) % F.lit(POLY_MOD)
+    return h
+
+
+def sql_poly_shingle_hash(text_expr: str, g_expr: str, k: int) -> str:
+    h = "CAST(0 AS BIGINT)"
+    for i in range(k):
+        h = f"(({h}) * {POLY_MULT} + ascii({text_expr}[{g_expr} + {i}])) % {POLY_MOD}"
+    return h
 
 
 def minhash_value(h: Column, perm: int) -> Column:

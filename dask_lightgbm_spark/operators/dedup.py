@@ -33,9 +33,9 @@ from pyspark.sql import functions as F
 
 from dask_lightgbm_spark.functions.hashing import (
     MINHASH_COEF,
-    md5_hash32,
     md5_hash60,
     minhash_value,
+    poly_shingle_hash,
 )
 
 
@@ -51,31 +51,76 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def char_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """Distinct character k-gram shingles per document: (id, shingle).
-    explode(sequence) is JVM-side; no Python boundary."""
+
+    The whole set is built inside ONE projection —
+    ``explode(array_distinct(transform(sequence(...))))`` — so the text is
+    scanned once per row, exploded rows carry only the k-char shingle (not
+    the full document), and per-doc dedup happens locally with NO shuffle
+    (per-doc distinct ≡ global (id, shingle) distinct)."""
     n_pos = F.greatest(F.length(text_col) - (k - 1), F.lit(1))
-    return (
-        df.select(
-            F.col(id_col),
-            F.explode(F.sequence(F.lit(1), n_pos)).alias("__g"),
-            F.col(text_col),
+    shingle_set = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_pos),
+            lambda g: F.col(text_col).substr(g, F.lit(k)),
         )
-        .select(F.col(id_col), F.col(text_col).substr(F.col("__g"), F.lit(k)).alias("shingle"))
-        .distinct()
+    )
+    return df.select(F.col(id_col), F.explode(shingle_set).alias("shingle"))
+
+
+def hashed_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Exploded (row-per-element) view of :func:`shingle_hash_array` —
+    for the generic candidate-verify join path when per-doc arrays would be
+    too large to carry through a join."""
+    return shingle_hash_array(df, id_col, text_col, k).select(
+        F.col(id_col), F.explode(F.col("hs")).alias("h")
     )
 
 
-def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, k_shingle: int = 5, num_perm: int = 8
+def shingle_hash_array(
+    df: DataFrame, id_col: str, text_col: str, k: int
 ) -> DataFrame:
-    """Wide minhash signature: (id, mh0..mh{n-1}). One shuffle: the
-    k permutation minima are computed as k MIN aggregates over the shingle
-    set (map-side combine shrinks each partition to one row per doc)."""
-    sh = char_shingles(df, id_col, text_col, k_shingle)
-    h = sh.select(F.col(id_col), md5_hash32(F.col("shingle")).alias("h"))
-    aggs = [
-        F.min(minhash_value(F.col("h"), i)).alias(f"mh{i}") for i in range(num_perm)
+    """Per-doc distinct shingle-hash ARRAY: (id, hs array<long>). The whole
+    set stays row-local — no explode, no shuffle. Document length is bounded,
+    so the array is too (~1 int64 per char); this is the carrier for the
+    zero-shuffle signature + verify stages. Shingles are hashed with a
+    32-bit rolling hash over a per-char code array (one pass per doc,
+    5 mult-adds per position — no per-shingle md5)."""
+    n_pos = F.greatest(F.length(text_col) - (k - 1), F.lit(1))
+    codes = F.transform(F.split(F.col(text_col), ""), lambda c: F.ascii(c))
+    return df.withColumn("__codes", codes).select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_pos),
+                lambda g: poly_shingle_hash(F.col("__codes"), g, k),
+            )
+        ).alias("hs"),
+    )
+
+
+def signatures_from_array(arr: DataFrame, id_col: str, num_perm: int) -> DataFrame:
+    """Wide minhash signature from per-doc hash arrays: (id, mh0..mh{n-1}).
+    array_min over a row-local transform — NO shuffle at all."""
+    def perm_fn(i):
+        # nb: a plain `lambda h, i=i:` would be treated as a binary
+        # (element, index) HOF lambda by Spark — keep it unary via closure
+        return lambda h: minhash_value(h, i)
+
+    cols = [
+        F.array_min(F.transform(F.col("hs"), perm_fn(i))).alias(f"mh{i}")
+        for i in range(num_perm)
     ]
-    return h.groupBy(id_col).agg(*aggs)
+    return arr.select(F.col(id_col), *cols)
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k_shingle: int = 5, num_perm: int = 16
+) -> DataFrame:
+    return signatures_from_array(
+        shingle_hash_array(df, id_col, text_col, k_shingle), id_col, num_perm
+    )
 
 
 def lsh_candidate_pairs(
@@ -113,18 +158,18 @@ def lsh_candidate_pairs(
 
 
 def jaccard_for_pairs(
-    pairs: DataFrame, shingles: DataFrame, id_col: str
+    pairs: DataFrame, shingles: DataFrame, id_col: str, set_col: str = "h"
 ) -> DataFrame:
-    """Exact Jaccard for an explicit candidate pair set: |∩| via shingle
+    """Exact Jaccard for an explicit candidate pair set: |∩| via set-element
     join restricted to candidates, |∪| from per-doc set sizes.
     jaccard = inter / (na + nb - inter): integer ops + one division →
     bit-exact across engines."""
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
-    sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    sa = shingles.select(F.col(id_col).alias("id_a"), set_col)
+    sb = shingles.select(F.col(id_col).alias("id_b"), set_col)
     inter = (
         pairs.join(sa, "id_a")
-        .join(sb, ["id_b", "shingle"])
+        .join(sb, ["id_b", set_col])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -139,21 +184,64 @@ def jaccard_for_pairs(
     )
 
 
+def estimate_filter_pairs(
+    pairs: DataFrame, sig: DataFrame, id_col: str, num_perm: int, min_matches: int
+) -> DataFrame:
+    """Drop candidate pairs whose signature-estimated similarity is low:
+    keep pairs with ≥ min_matches of num_perm equal minhashes. Cheap (two
+    broadcast-able joins on the small signature table) and kills the bulk
+    of false LSH candidates before the expensive exact verify."""
+    sa = sig.select(F.col(id_col).alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_perm)])
+    sb = sig.select(F.col(id_col).alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_perm)])
+    matches = functools.reduce(
+        operator.add,
+        [(F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(num_perm)],
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("__m", matches)
+        .filter(F.col("__m") >= min_matches)
+        .select("id_a", "id_b")
+    )
+
+
 def minhash_lsh_neardup(
     df: DataFrame,
     id_col: str,
     text_col: str,
     k_shingle: int = 5,
-    num_perm: int = 8,
-    band_size: int = 2,
+    num_perm: int = 16,
+    band_size: int = 4,
     threshold: float = 0.7,
+    est_min_matches: int | None = None,
 ) -> DataFrame:
     """The scale-path near-dup pipeline: shingle → minhash → LSH bands →
-    candidate pairs → exact-Jaccard verify ≥ threshold."""
-    sig = minhash_signatures(df, id_col, text_col, k_shingle, num_perm)
+    candidate pairs → signature-estimate prefilter → exact-Jaccard verify
+    ≥ threshold. Recall loss from the prefilter is tiny near/above the
+    threshold (binomial: P[≥ n/2 of n matches | j=0.7] ≈ 0.98 for n=16)."""
+    if est_min_matches is None:
+        est_min_matches = num_perm // 2
+    # per-doc hash arrays feed both the signature and the verify stage —
+    # persist so the shingling projection runs once
+    arr = shingle_hash_array(df, id_col, text_col, k_shingle).persist()
+    # signatures feed the band join (2×) and the estimate filter (2×)
+    sig = signatures_from_array(arr, id_col, num_perm).persist()
     cand = lsh_candidate_pairs(sig, id_col, num_perm, band_size)
-    sh = char_shingles(df, id_col, text_col, k_shingle)
-    jac = jaccard_for_pairs(cand, sh, id_col)
+    cand = estimate_filter_pairs(cand, sig, id_col, num_perm, est_min_matches)
+    # verify: row-local array_intersect per candidate pair — no exploded join
+    a = arr.select(F.col(id_col).alias("id_a"), F.col("hs").alias("ha"))
+    b = arr.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hb"))
+    inter = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
+    jac = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (inter / (F.size(F.col("ha")) + F.size(F.col("hb")) - inter)).alias("jaccard"),
+        )
+    )
     return jac.filter(F.col("jaccard") >= threshold)
 
 

@@ -15,8 +15,8 @@ from pyspark.sql import functions as F
 from dask_lightgbm_spark.functions.hashing import (
     MINHASH_COEF,
     MINHASH_PRIME,
-    sql_hash32,
     sql_hash60,
+    sql_poly_shingle_hash,
 )
 from dask_lightgbm_spark.operators import dedup, text_ops
 from dask_lightgbm_spark.operators.dedup import SIMHASH_BITS
@@ -24,31 +24,40 @@ from dask_lightgbm_spark.operators.text_ops import LANG_MARKERS
 from dask_lightgbm_spark.queries import query
 from dask_lightgbm_spark.sources.readers import load_table
 
-NUM_PERM = 8
-BAND_SIZE = 2
+NUM_PERM = 16
+BAND_SIZE = 4
 K_SHINGLE = 5
 
 # ---- shared SQL fragments (mirror the Spark operators exactly) ------------
 
 _SQL_SHINGLES = f"""
 sh AS (
-  SELECT DISTINCT doc_id, substr(text, g, {K_SHINGLE}) AS shingle
-  FROM (SELECT doc_id, text,
-               unnest(generate_series(1, greatest(length(text) - {K_SHINGLE - 1}, 1))) AS g
-        FROM documents)
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(length(text) - {K_SHINGLE - 1}, 1)),
+           g -> substr(text, g, {K_SHINGLE})))) AS shingle
+  FROM documents
 )"""
 
-_SQL_SHINGLE_HASH = f"""
-h AS (SELECT doc_id, {sql_hash32('shingle')} AS h FROM sh)"""
+# per-doc distinct shingle-hash ARRAY, mirroring dedup.shingle_hash_array
+# (32-bit rolling hash over char codes — same fold as poly_shingle_hash)
+_SQL_SHINGLE_ARR = f"""
+arr AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(length(text) - {K_SHINGLE - 1}, 1)),
+           g -> {sql_poly_shingle_hash('text', 'g', K_SHINGLE)})) AS hs
+  FROM documents
+)"""
 
-_minhash_aggs = ",\n         ".join(
-    f"MIN((h * {a} + {b}) % {MINHASH_PRIME}) AS mh{i}"
+_minhash_mins = ",\n         ".join(
+    f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MINHASH_PRIME})) AS mh{i}"
     for i, (a, b) in enumerate(MINHASH_COEF[:NUM_PERM])
 )
 _SQL_MINHASH_WIDE = f"""
 m AS (SELECT doc_id,
-         {_minhash_aggs}
-      FROM h GROUP BY doc_id)"""
+         {_minhash_mins}
+      FROM arr)"""
 
 _SQL_TOKENS = r"""
 tok AS (
@@ -123,7 +132,7 @@ def t03_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _T04_SQL = (
-    "WITH" + _SQL_SHINGLES + "," + _SQL_SHINGLE_HASH + "," + _SQL_MINHASH_WIDE
+    "WITH" + _SQL_SHINGLE_ARR + "," + _SQL_MINHASH_WIDE
     + "\n"
     + "\nUNION ALL\n".join(
         f"SELECT doc_id, {i} AS perm, mh{i} AS minhash FROM m" for i in range(NUM_PERM)
@@ -147,29 +156,41 @@ def t04_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _bands_sql = "\nUNION ALL\n".join(
-    f"SELECT doc_id, {b} AS band, mh{b * BAND_SIZE} AS bv0, mh{b * BAND_SIZE + 1} AS bv1 FROM m"
+    f"SELECT doc_id, {b} AS band, "
+    + ", ".join(f"mh{b * BAND_SIZE + j} AS bv{j}" for j in range(BAND_SIZE))
+    + " FROM m"
     for b in range(NUM_PERM // BAND_SIZE)
 )
 
+_est_matches = " + ".join(
+    f"CASE WHEN ma.mh{i} = mb.mh{i} THEN 1 ELSE 0 END" for i in range(NUM_PERM)
+)
+
 _T05_SQL = (
-    "WITH" + _SQL_SHINGLES + "," + _SQL_SHINGLE_HASH + "," + _SQL_MINHASH_WIDE + f""",
+    "WITH" + _SQL_SHINGLE_ARR + "," + _SQL_MINHASH_WIDE + f""",
 bands AS ({_bands_sql}),
-cand AS (
+cand0 AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b
-    ON a.band = b.band AND a.bv0 = b.bv0 AND a.bv1 = b.bv1 AND a.doc_id < b.doc_id
+    ON a.band = b.band AND a.bv0 = b.bv0 AND a.bv1 = b.bv1 AND a.bv2 = b.bv2 AND a.bv3 = b.bv3 AND a.doc_id < b.doc_id
 ),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT c.id_a, c.id_b, COUNT(*) AS inter
+cand AS (
+  SELECT id_a, id_b FROM cand0
+  JOIN m ma ON ma.doc_id = id_a
+  JOIN m mb ON mb.doc_id = id_b
+  WHERE ({_est_matches}) >= {NUM_PERM // 2}
+),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(a.hs, b.hs)) AS inter,
+         len(a.hs) AS na, len(b.hs) AS nb
   FROM cand c
-  JOIN sh sa ON sa.doc_id = c.id_a
-  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
-  GROUP BY 1, 2
+  JOIN arr a ON a.doc_id = c.id_a
+  JOIN arr b ON b.doc_id = c.id_b
 )
-SELECT id_a, id_b, inter / (sa.n + sb.n - inter) AS jaccard
-FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
-WHERE inter / (sa.n + sb.n - inter) >= 0.7
+SELECT id_a, id_b, inter / (na + nb - inter) AS jaccard
+FROM verified
+WHERE inter / (na + nb - inter) >= 0.7
 """
 )
 

@@ -1,0 +1,75 @@
+"""Dedup operators on planted duplicates (deterministic synthetic docs)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dask_lightgbm_spark.operators import dedup
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact duplicate of 0
+        (2, BASE.replace("lazy", "sleepy")),  # near-dup of 0
+        (3, "completely different content about spark query engines and shuffles"),
+        (4, "another unrelated document mentioning gradient boosted trees"),
+        (5, BASE + " extra tail words appended here"),  # near-dup, longer
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup(docs):
+    groups = dedup.exact_dedup_groups(docs, "doc_id", "text").collect()
+    assert len(groups) == 5  # 6 docs, one exact pair
+    dup = [g for g in groups if g.n_copies == 2]
+    assert len(dup) == 1 and dup[0].keep_id == 0
+
+
+def test_minhash_lsh_finds_planted_pairs(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.minhash_lsh_neardup(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0  # exact dup
+    assert (0, 2) in pairs  # single-word edit
+    assert not any({a, b} & {3, 4} and {a, b} != {3, 4} for a, b in pairs)
+
+
+def test_simhash_identical_and_near(docs):
+    sig = {r.doc_id: r.simhash for r in dedup.simhash(docs, "doc_id", "text").collect()}
+    assert sig[0] == sig[1]  # identical text → identical simhash
+    ham02 = bin(sig[0] ^ sig[2]).count("1")
+    ham03 = bin(sig[0] ^ sig[3]).count("1")
+    assert ham02 < ham03  # near-dup closer than unrelated
+
+
+def test_simhash_blocked_pairs_match_bruteforce(docs):
+    """Pigeonhole blocking must find exactly the all-pairs result."""
+    sig = {r.doc_id: r.simhash for r in dedup.simhash(docs, "doc_id", "text").collect()}
+    brute = {
+        (a, b)
+        for a in sig
+        for b in sig
+        if a < b and bin(sig[a] ^ sig[b]).count("1") <= 10
+    }
+    blocked = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=10).collect()
+    }
+    assert blocked == brute
+
+
+def test_ngram_jaccard_symmetric_bounds(docs):
+    out = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.0).collect()
+    for r in out:
+        assert 0.0 <= r.jaccard <= 1.0
+        assert r.id_a < r.id_b
+    exact = [r for r in out if (r.id_a, r.id_b) == (0, 1)]
+    assert exact and exact[0].jaccard == 1.0

@@ -1,0 +1,129 @@
+"""As-of join, sources, streaming, multimodal plumbing."""
+
+import glob
+import gzip
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_asof_join_matches_merge_asof(spark):
+    from dask_lightgbm_spark.operators.asof import asof_join
+
+    rng = np.random.default_rng(42)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 200),
+            "t": rng.integers(0, 10_000, 200),
+            "x": rng.normal(size=200),
+        }
+    ).sort_values("t").reset_index(drop=True)
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 300),
+            "t": rng.integers(0, 10_000, 300),
+            "val": rng.integers(0, 1000, 300),
+        }
+    ).sort_values("t").reset_index(drop=True)
+    # dedupe right on (k, t): merge_asof keeps the LAST at equal keys while a
+    # running max keeps the max — identical once (k, t) is unique
+    right = right.drop_duplicates(["k", "t"], keep="last")
+
+    expected = pd.merge_asof(
+        left, right.rename(columns={"val": "r_val"})[["k", "t", "r_val"]],
+        on="t", by="k", direction="backward",
+    )
+    # our operator carries the right's t as the carried value for determinism
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="t", by="k", value_col="t", out_col="last_t",
+        )
+        .toPandas()
+        .sort_values(["k", "t", "x"])
+        .reset_index(drop=True)
+    )
+    exp_t = pd.merge_asof(
+        left, right[["k", "t"]].assign(last_t=right["t"]),
+        on="t", by="k", direction="backward",
+    ).sort_values(["k", "t", "x"]).reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        got["last_t"].astype("float64"), exp_t["last_t"].astype("float64"), check_names=False
+    )
+
+
+def test_read_csv_gzip_glob(spark):
+    """Reference B1: gzip CSV glob scan with unsplit blocks
+    (system_tests/test_fit_predict.py:26)."""
+    from dask_lightgbm_spark.sources.readers import read_csv_glob
+
+    with tempfile.TemporaryDirectory() as d:
+        for shard in range(3):
+            with gzip.open(os.path.join(d, f"data_{shard}.csv.gz"), "wt") as f:
+                for i in range(10):
+                    f.write(f"{shard},{i},{i * 2}\n")
+        df = read_csv_glob(spark, f"{d}/*.csv.gz")
+        assert df.count() == 30
+        assert df.rdd.getNumPartitions() == 3  # one gzip file = one partition
+        total = df.select(F.sum(F.col("_c2").cast("long"))).first()[0]
+        assert total == 3 * sum(i * 2 for i in range(10))
+
+
+def test_events_nanos_load(spark, sf_dir):
+    from dask_lightgbm_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    assert dict(e.dtypes)["ts"] == "timestamp"
+    lo, hi = e.agg(F.min("ts"), F.max("ts")).first()
+    assert lo.year == 2024 and hi.year == 2024
+
+
+def test_streaming_equals_batch(spark, sf_dir):
+    from dask_lightgbm_spark.queries import all_queries
+    from dask_lightgbm_spark.streaming.events import stream_hourly_aggregate
+
+    stream = (
+        stream_hourly_aggregate(spark, sf_dir)
+        .toPandas()
+        .sort_values(["hour", "event_type"])
+        .reset_index(drop=True)
+    )
+    batch = (
+        all_queries()["q14_events_hourly"](spark, sf_dir)
+        .toPandas()
+        .sort_values(["hour", "event_type"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        stream[["hour", "event_type", "n", "sum_value"]],
+        batch[["hour", "event_type", "n", "sum_value"]],
+    )
+
+
+def test_multimodal_plumbing(spark):
+    from dask_lightgbm_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_features,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["hello world", "spark engine"]})
+    )
+    with_bin = attach_binary_payload(df, "text")
+    assert dict(with_bin.dtypes)["payload"] == "binary"
+    meta = with_bin.select("meta.byte_len").collect()
+    assert meta[0][0] == 11
+
+    feats = extract_features(with_bin, dim=8).collect()
+    assert len(feats) == 2
+    f0 = feats[0]
+    assert f0.n_bytes == 11 and len(f0.feature) == 8
+    assert abs(sum(f0.feature) - 1.0) < 1e-6  # normalized histogram
+
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        extract_features(with_bin, decode_stub=False).collect()

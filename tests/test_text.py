@@ -1,0 +1,55 @@
+"""Text-analysis operators."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dask_lightgbm_spark.operators import text_ops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat sat", "en"),
+        (1, "  padded   with   spaces  ", "en"),
+        (2, "der hund ist und die katze", "de"),
+        (3, "one", "en"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text", "lang"]))
+
+
+def test_token_count(spark, docs):
+    out = {
+        r.doc_id: r.n
+        for r in docs.select("doc_id", text_ops.token_count(F.col("text")).alias("n")).collect()
+    }
+    assert out == {0: 3, 1: 3, 2: 6, 3: 1}
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, "Hello   World"), (1, "hello world"), (2, " HELLO\tWORLD ")],
+            columns=["doc_id", "text"],
+        )
+    )
+    fps = {r.doc_id: r.fp for r in text_ops.fingerprint(df, "doc_id", "text").collect()}
+    assert fps[0] == fps[1] == fps[2]
+
+
+def test_quality_features(docs):
+    out = {r.doc_id: r for r in text_ops.text_quality(docs, "doc_id", "text").collect()}
+    r = out[0]  # "the cat sat": 11 chars, 3 tokens, 9 non-space
+    assert r.n_chars == 11 and r.n_tokens == 3
+    assert r.avg_token_len == 3.0
+    assert abs(r.space_ratio - 2 / 11) < 1e-15
+    assert abs(r.stop_ratio - 1 / 3) < 1e-15
+
+
+def test_lang_id_deterministic(docs):
+    out1 = sorted(text_ops.lang_id(docs, "doc_id", "text").collect())
+    out2 = sorted(text_ops.lang_id(docs, "doc_id", "text").collect())
+    assert out1 == out2
+    preds = {r.doc_id: r.pred_lang for r in out1}
+    assert preds[2] == "de"  # der/und/ist/die markers present
+    assert preds[0] == "en"  # 'the' marker
