@@ -639,3 +639,113 @@ def q23_predicate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("frac_n"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q22 — positional column projection (reference B2: data.iloc[:, :-1],
+# system_tests/test_fit_predict.py:27). Pure metadata op via data.iloc_cols.
+# ---------------------------------------------------------------------------
+
+_Q22_SQL = """
+SELECT n_nationkey, n_name FROM nation
+"""
+
+
+@query("q22_positional_projection", _Q22_SQL)
+def q22_positional_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_lightgbm_spark.data import iloc_cols
+
+    n = load_table(spark, sf_dir, "nation")
+    return iloc_cols(n, slice(None, -1))  # all but last column
+
+
+# ---------------------------------------------------------------------------
+# q24 — arbitrary-Python-per-group (reference B6 / applyInPandas): z-score
+# of quantity within each returnflag group, computed in a pandas kernel with
+# exact-int sums so the SQL window oracle reproduces it bit-exactly.
+# ---------------------------------------------------------------------------
+
+_Q24_SQL = """
+WITH base AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag,
+         CAST(round(l_quantity*100) AS BIGINT) AS qc
+  FROM lineitem
+), stats AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag, qc,
+         SUM(qc) OVER w AS s, COUNT(*) OVER w AS n, SUM(qc*qc) OVER w AS sq
+  FROM base
+  WINDOW w AS (PARTITION BY l_returnflag)
+)
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       (qc - s/n) / sqrt((sq - s*(s/n))/n) AS z
+FROM stats
+"""
+
+
+@query("q24_grouped_zscore_pandas", _Q24_SQL)
+def q24_grouped_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    import pandas as pd
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qc"),
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        # exact-int sums → float ops in the same order as the SQL oracle
+        s = int(pdf["qc"].sum())
+        n = len(pdf)
+        sq = int((pdf["qc"] * pdf["qc"]).sum())
+        mean = s / n
+        sd = math.sqrt((sq - s * mean) / n)
+        out = pdf[["l_orderkey", "l_linenumber", "l_returnflag"]].copy()
+        out["z"] = (pdf["qc"].to_numpy() - mean) / sd
+        return out
+
+    return l.groupBy("l_returnflag").applyInPandas(
+        zscore,
+        schema="l_orderkey long, l_linenumber int, l_returnflag string, z double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q25 — arbitrary-Python-per-partition (reference B7 / mapInPandas, the
+# map_partitions/map_blocks surface, core.py:165,171): elementwise math in a
+# pandas batch kernel; numpy float64 ops are bit-identical to SQL doubles.
+# ---------------------------------------------------------------------------
+
+_Q25_SQL = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS disc_price,
+       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+FROM lineitem
+WHERE l_quantity >= 49
+"""
+
+
+@query("q25_mapinpandas_elementwise", _Q25_SQL)
+def q25_mapinpandas_elementwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+
+    def kernel(batches):
+        for pdf in batches:
+            disc = pdf["l_extendedprice"] * (1 - pdf["l_discount"])
+            yield pd.DataFrame(
+                {
+                    "l_orderkey": pdf["l_orderkey"],
+                    "l_linenumber": pdf["l_linenumber"],
+                    "disc_price": disc,
+                    "charge": disc * (1 + pdf["l_tax"]),
+                }
+            )
+
+    return l.mapInPandas(
+        kernel,
+        schema="l_orderkey long, l_linenumber int, disc_price double, charge double",
+    )

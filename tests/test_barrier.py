@@ -1,0 +1,66 @@
+"""Barrier-mode LightGBM trainer, exercised end-to-end against the stub
+lightgbm package in tests/stubs (the native lib is absent from this image;
+the stub preserves the estimator surface so the barrier rendezvous, network
+param construction, per-partition concat, and partition-0 model return all
+run for real)."""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+STUBS = os.path.join(REPO, "tests", "stubs")
+
+SCRIPT = """
+import sys
+import lightgbm  # resolves to the stub via PYTHONPATH
+assert hasattr(lightgbm, "LGBMClassifier")
+
+import numpy as np
+import pandas as pd
+from dask_lightgbm_spark.session import get_spark
+from dask_lightgbm_spark import core
+from dask_lightgbm_spark.estimators import SparkLGBMClassifier
+
+assert core.have_lightgbm()
+spark = get_spark("barrier-test", cpus=4, shuffle_partitions=4)
+
+rng = np.random.default_rng(42)
+pdf = pd.DataFrame({
+    "f0": rng.normal(size=100), "f1": rng.normal(size=100),
+    "target": (rng.random(100) > 0.3).astype(float),
+})
+df = spark.createDataFrame(pdf)
+
+clf = SparkLGBMClassifier(n_estimators=3, backend="lightgbm", num_workers=2)
+clf.fit(df, feature_cols=["f0", "f1"], label_col="target")
+m = clf.to_local()
+
+# network params flowed into the worker-side estimator
+assert m.params["num_machines"] == 2, m.params
+assert m.params["machines"].count(":") == 2, m.params
+assert m.params["tree_learner"] == "data", m.params
+assert m.params["local_listen_port"] == 12400  # partition 0's port
+assert m.fitted_rows_ > 0
+assert list(m.classes_) == [0.0, 1.0]
+
+# distributed inference over the barrier-trained model
+out = clf.transform(df)
+assert out.filter("prediction = 1.0").count() == 100  # stub majority class
+assert len(out.select("probability").first()[0]) == 2
+print("BARRIER_OK")
+"""
+
+
+def test_barrier_training_with_stub_lightgbm():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = STUBS + os.pathsep + REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-c", SCRIPT],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=280,
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-3000:]}"
+    assert "BARRIER_OK" in proc.stdout

@@ -1,0 +1,43 @@
+"""Plan-quality assertions: pushdown, pruning, broadcast — the properties
+that decide whether these plans survive a 1000-executor / 100 TB scale-up."""
+
+from pyspark.sql import functions as F
+
+from dask_lightgbm_spark.plans import (
+    has_broadcast_join,
+    pushed_filters,
+    scan_columns,
+)
+from dask_lightgbm_spark.queries import all_queries
+from dask_lightgbm_spark.sources.readers import load_table
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = all_queries()["q02_filter_project"](spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+
+
+def test_column_pruning(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    scans = scan_columns(df)
+    assert scans and set(scans[0]) == {"l_orderkey", "l_quantity"}
+    # q01 must not read unused lineitem columns (e.g. partkey/suppkey)
+    q01 = all_queries()["q01_pricing_summary"](spark, sf_dir)
+    cols = set(scan_columns(q01)[0])
+    assert "l_partkey" not in cols and "l_suppkey" not in cols
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    df = all_queries()["q04_join_nation_revenue"](spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    """Global sort+limit must compile to TakeOrderedAndProject, not a full
+    sort — the difference between O(n log k) per partition and a global
+    shuffle sort at scale."""
+    from dask_lightgbm_spark.plans.explain import formatted_plan
+
+    df = all_queries()["q05_top_orders"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
