@@ -125,7 +125,17 @@ def train_lightgbm_barrier(
         infos = ctx.getTaskInfos()
         hosts = [i.address.split(":")[0] for i in infos]
         idx = ctx.partitionId()
-        net = build_network_params(hosts, idx, local_listen_port, time_out)
+        # inlined build_network_params: the task closure must stay
+        # self-contained — referencing a module-level helper would make
+        # cloudpickle serialize it by reference and require this package on
+        # the executors' import path
+        ports = [local_listen_port + i for i in range(len(hosts))]
+        net = {
+            "machines": ",".join(f"{h}:{p}" for h, p in zip(hosts, ports)),
+            "local_listen_port": ports[idx],
+            "num_machines": len(hosts),
+            "time_out": time_out,
+        }
 
         rows = list(iterator)
         # all peers must reach the rendezvous before any socket opens

@@ -229,6 +229,69 @@ class _SparkLGBMBase:
         ``to_local``, core.py:215-218)."""
         return self._model
 
+    # -- persistence (MLlib writer for the mllib backend; LightGBM boosters
+    # -- serialize via model_to_string — reference SURVEY.md §1 model object)
+    def save(self, path: str) -> None:
+        import json
+        import os
+        import pickle
+
+        if self._model is None:
+            raise RuntimeError("fit() first")
+        os.makedirs(path, exist_ok=True)
+        meta = {
+            "estimator": type(self).__name__,
+            "backend": self._backend_used,
+            "feature_cols": self._feature_cols,
+            "params": self.get_params(),
+            "model_class": type(self._model).__name__,
+        }
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        if self._backend_used == "mllib":
+            self._model.write().overwrite().save(os.path.join(path, "model"))
+        else:
+            booster = getattr(self._model, "booster_", None)
+            if booster is not None and hasattr(booster, "model_to_string"):
+                with open(os.path.join(path, "model.lgbm.txt"), "w") as f:
+                    f.write(booster.model_to_string())
+            with open(os.path.join(path, "model.pkl"), "wb") as f:
+                pickle.dump(self._model, f)
+
+    @classmethod
+    def load(cls, spark, path: str):
+        import json
+        import os
+        import pickle
+
+        from pyspark.ml.classification import (
+            GBTClassificationModel,
+            RandomForestClassificationModel,
+        )
+        from pyspark.ml.regression import GBTRegressionModel, RandomForestRegressionModel
+
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        inst = cls(**{
+            k: v for k, v in meta["params"].items()
+            if k in ("n_estimators", "learning_rate", "max_depth", "num_leaves",
+                     "min_child_samples", "subsample", "objective", "tree_learner", "seed")
+        })
+        inst._backend_used = meta["backend"]
+        inst._feature_cols = meta["feature_cols"]
+        if meta["backend"] == "mllib":
+            model_cls = {
+                "GBTClassificationModel": GBTClassificationModel,
+                "RandomForestClassificationModel": RandomForestClassificationModel,
+                "GBTRegressionModel": GBTRegressionModel,
+                "RandomForestRegressionModel": RandomForestRegressionModel,
+            }[meta["model_class"]]
+            inst._model = model_cls.load(os.path.join(path, "model"))
+        else:
+            with open(os.path.join(path, "model.pkl"), "rb") as f:
+                inst._model = pickle.load(f)
+        return inst
+
 
 class SparkLGBMClassifier(_SparkLGBMBase):
     """Distributed gradient-boosted classifier (reference

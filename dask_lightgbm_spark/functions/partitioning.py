@@ -1,0 +1,46 @@
+"""Partitioning & skew utilities.
+
+AQE's skew-join handling covers joins; for *aggregations* over pathological
+hot keys the classic fix is two-phase salted aggregation: shuffle once on
+(key, salt) so no single reducer owns a hot key, then combine the ≤ n_salt
+partials per key — a second, tiny shuffle. Only algebraic aggregates
+(sum/count/min/max) compose this way; the helpers here expose the safe ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, n_salt: int, cols: list[str], salt_col: str = "__salt") -> DataFrame:
+    """Deterministic salt derived from the row's non-key columns (hash-mod),
+    so retries produce identical assignments (F.rand would not)."""
+    return df.withColumn(
+        salt_col, F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(n_salt))
+    )
+
+
+def salted_sum_count(
+    df: DataFrame, keys: list[str], value_col: str, n_salt: int = 16
+) -> DataFrame:
+    """Two-phase skew-proof sum+count per key. Result is identical to a
+    direct groupBy (integer/exact inputs) — the salt only reshapes the
+    shuffle: phase 1 reduces (key, salt) partitions in parallel, phase 2
+    merges ≤ n_salt partial rows per key."""
+    non_key = [c for c in df.columns if c not in keys]
+    salted = with_salt(df, n_salt, non_key or keys)
+    partial = salted.groupBy(*keys, "__salt").agg(
+        F.sum(value_col).alias("__psum"), F.count(F.lit(1)).alias("__pcnt")
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("__psum").alias(f"sum_{value_col}"),
+        F.sum("__pcnt").alias("n_rows"),
+    )
+
+
+def repartition_for_join(df: DataFrame, keys: list[str], n: int | None = None) -> DataFrame:
+    """Hash-partition on the join keys ahead of multiple joins/aggs on the
+    same keys so the exchange is reused across stages (bucketing-without-
+    tables for ephemeral pipelines)."""
+    return df.repartition(n, *[F.col(k) for k in keys]) if n else df.repartition(*[F.col(k) for k in keys])

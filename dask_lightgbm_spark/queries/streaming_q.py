@@ -25,3 +25,19 @@ def x01_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_lightgbm_spark.streaming.events import stream_hourly_aggregate
 
     return stream_hourly_aggregate(spark, sf_dir)
+
+
+_X02_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+FROM events GROUP BY user_id
+"""
+
+
+@query("x02_stream_stateful_user_totals", _X02_SQL)
+def x02_stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running totals; drained final state must equal the batch groupBy."""
+    from dask_lightgbm_spark.streaming.sessions import stream_user_totals
+
+    return stream_user_totals(spark, sf_dir)

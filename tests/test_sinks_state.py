@@ -1,0 +1,106 @@
+"""Writers, salted aggregation, model persistence, stateful streaming."""
+
+import os
+import tempfile
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from dask_lightgbm_spark.functions.partitioning import salted_sum_count
+from dask_lightgbm_spark.sources.readers import load_table
+from dask_lightgbm_spark.sources.writers import write_csv_gzip, write_parquet
+
+
+def test_partitioned_parquet_roundtrip_and_pruning(spark, sf_dir):
+    from dask_lightgbm_spark.plans.explain import formatted_plan
+
+    orders = load_table(spark, sf_dir, "orders")
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "orders_part")
+        write_parquet(orders, out, partition_by=["o_orderstatus"])
+        back = spark.read.parquet(out)
+        assert back.count() == orders.count()
+        pruned = back.filter(F.col("o_orderstatus") == "O")
+        plan = formatted_plan(pruned)
+        assert "PartitionFilters" in plan and "o_orderstatus" in plan
+        assert pruned.count() == orders.filter("o_orderstatus = 'O'").count()
+
+
+def test_csv_gzip_roundtrip(spark, sf_dir):
+    from dask_lightgbm_spark.sources.readers import read_csv_glob
+
+    nation = load_table(spark, sf_dir, "nation")
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "nation_csv")
+        write_csv_gzip(nation, out)
+        back = read_csv_glob(spark, out + "/*.csv.gz", header=True, infer=True)
+        assert back.count() == 25
+        assert sorted(back.columns) == sorted(nation.columns)
+
+
+def test_salted_agg_equals_direct(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.round(F.col("l_quantity") * 100).cast("long").alias("qc")
+    )
+    direct = {
+        r.l_returnflag: (r.s, r.n)
+        for r in l.groupBy("l_returnflag")
+        .agg(F.sum("qc").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    salted = {
+        r.l_returnflag: (r.sum_qc, r.n_rows)
+        for r in salted_sum_count(l, ["l_returnflag"], "qc", n_salt=8).collect()
+    }
+    assert direct == salted
+
+
+def test_model_save_load_roundtrip(spark, tmp_path):
+    import numpy as np
+
+    from dask_lightgbm_spark import SparkLGBMClassifier
+
+    rng = np.random.default_rng(42)
+    pdf = pd.DataFrame(
+        {
+            "f0": np.concatenate([rng.normal(-4, 1, 50), rng.normal(4, 1, 50)]),
+            "f1": np.concatenate([rng.normal(-4, 1, 50), rng.normal(4, 1, 50)]),
+            "target": [0.0] * 50 + [1.0] * 50,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    clf = SparkLGBMClassifier(n_estimators=5, backend="mllib")
+    clf.fit(df, feature_cols=["f0", "f1"], label_col="target")
+    p1 = clf.transform(df).select("prediction").toPandas()
+
+    path = str(tmp_path / "model")
+    clf.save(path)
+    clf2 = SparkLGBMClassifier.load(spark, path)
+    assert clf2._feature_cols == ["f0", "f1"]
+    p2 = clf2.transform(df).select("prediction").toPandas()
+    pd.testing.assert_frame_equal(p1, p2)
+
+
+def test_stateful_stream_totals(spark, sf_dir):
+    from dask_lightgbm_spark.streaming.sessions import stream_user_totals
+
+    got = (
+        stream_user_totals(spark, sf_dir)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / F.lit(100.0)).alias(
+                "sum_value"
+            ),
+        )
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["user_id", "n_events", "sum_value"]], want)
