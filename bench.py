@@ -41,7 +41,11 @@ def main():
     spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
     qs = all_queries()
 
-    # warm the JVM + parquet footers with the cheapest query
+    # warm the JVM, codegen, and parquet footers of every table touched
+    from dask_lightgbm_spark.sources.readers import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
     qs["q05_top_orders"](spark, sf_dir).collect()
 
     timings: dict[str, float] = {}

@@ -139,3 +139,66 @@ def cosine_neardup_pairs(
         .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane (sign) LSH — the bucketed ANN scale path for cosine:
+# bucket id = sign bits of dot(v, plane_p). Deterministic plane constants
+# (fixed seed, rounded so the SQL oracle embeds identical literals).
+# ---------------------------------------------------------------------------
+
+import numpy as _np
+
+N_PLANES = 8
+EMBED_DIM = 64
+_rng = _np.random.default_rng(7)
+PLANES: list[list[float]] = [
+    [round(float(x), 6) for x in _rng.standard_normal(EMBED_DIM)]
+    for _ in range(N_PLANES)
+]
+
+
+def _lit_array(values: list[float]) -> Column:
+    return F.array(*[F.lit(v) for v in values])
+
+
+def lsh_bucket(v: Column) -> Column:
+    """0..2^P-1 bucket from sign bits of plane projections (sequential
+    fold dot products — oracle-exact)."""
+    bucket = F.lit(0)
+    for p, plane in enumerate(PLANES):
+        bucket = bucket + F.when(dot(v, _lit_array(plane)) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_knn(
+    corpus: DataFrame,
+    queries_filter: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors searching only the query's sign-LSH
+    bucket. Equi-join on the bucket id — each corpus row shuffles once; no
+    cross product. Recall < 1 by construction (more planes → smaller buckets
+    → faster/lower recall; multi-probe would raise it)."""
+    base = corpus.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("__v")
+    ).withColumn("__bkt", lsh_bucket(F.col("__v")))
+    q = base.filter(queries_filter).select(
+        F.col(id_col).alias("qid"), F.col("__v").alias("qv"), F.col("__bkt").alias("bkt")
+    )
+    n = base.select(
+        F.col(id_col).alias("nid"), F.col("__v").alias("nv"), F.col("__bkt").alias("bkt")
+    )
+    scored = (
+        n.join(F.broadcast(q), "bkt")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("cos"))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "cos")
+    )

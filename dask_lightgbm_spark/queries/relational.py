@@ -749,3 +749,58 @@ def q25_mapinpandas_elementwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel,
         schema="l_orderkey long, l_linenumber int, disc_price double, charge double",
     )
+
+
+# ---------------------------------------------------------------------------
+# q26 — JSON functions: extract a numeric field from the events.props JSON
+# string and aggregate it (exact ints). Spark get_json_object ≡ DuckDB
+# json_extract_string.
+# ---------------------------------------------------------------------------
+
+_Q26_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("q26_json_extract", _Q26_SQL)
+def q26_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q27 — explicit GROUPING SETS (beyond rollup/cube): totals by returnflag,
+# by linestatus, and grand total — via the SQL API (Catalyst produces the
+# same Expand plan either way).
+# ---------------------------------------------------------------------------
+
+_Q27_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+@query("q27_grouping_sets", _Q27_SQL)
+def q27_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    l.createOrReplaceTempView("__q27_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows
+        FROM __q27_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )

@@ -156,3 +156,42 @@ def s04_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("nrm").alias("max_norm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# s05 — sign-LSH bucketed ANN (random hyperplanes; deterministic plane
+# constants shared verbatim with the oracle SQL).
+# ---------------------------------------------------------------------------
+
+
+def _sql_plane_literal(plane: list[float]) -> str:
+    # parenthesized so the literal can be indexed: ([...]::DOUBLE[])[i]
+    return "([" + ", ".join(repr(v) for v in plane) + "]::DOUBLE[])"
+
+
+_bucket_terms = " + ".join(
+    f"CASE WHEN ({_sql_dot('v', _sql_plane_literal(plane))}) > 0 THEN {1 << p} ELSE 0 END"
+    for p, plane in enumerate(sim.PLANES)
+)
+
+_S05_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, ({_bucket_terms}) AS bkt FROM e),
+q AS (SELECT vec_id AS qid, v AS qv, bkt FROM b WHERE vec_id < 10),
+scored AS (
+  SELECT q.qid, n.vec_id AS nid, {_sql_cos('q.qv', 'n.v')} AS cos
+  FROM q JOIN b n ON q.bkt = n.bkt AND n.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, nid, cos,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT qid, nid, rank, cos FROM ranked WHERE rank <= 3
+"""
+
+
+@query("s05_knn_lsh", _S05_SQL)
+def s05_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.lsh_knn(e, queries_filter=F.col("vec_id") < 10, k=3)
