@@ -39,6 +39,19 @@ def salted_sum_count(
     )
 
 
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Spread a narrow input across the cluster before a CPU-heavy
+    projection. Single-file/single-row-group parquet scans arrive as ONE
+    partition — any expensive per-row work would run on one core. The
+    round-robin shuffle is tiny relative to the compute it parallelizes;
+    inputs that are already wide pass through untouched (at 100 TB the scan
+    is thousands of partitions and this is a no-op)."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def repartition_for_join(df: DataFrame, keys: list[str], n: int | None = None) -> DataFrame:
     """Hash-partition on the join keys ahead of multiple joins/aggs on the
     same keys so the exchange is reused across stages (bucketing-without-

@@ -11,10 +11,10 @@ Scale design (the 100 TB story):
   self-equi-join on banded signature buckets (shuffle keyed on small band
   tuples), and only candidates get exact-Jaccard verification. No all-pairs
   stage anywhere.
-- **simhash**: signature via 60 conditional-sum aggregates in ONE groupBy
-  (no bit-explosion shuffle); near-dup pairs via pigeonhole block join
-  (hamming ≤ d pairs must agree on ≥1 of d+1 signature blocks) — again an
-  equi-join, never a cross-product.
+- **simhash**: signature computed fully row-locally (one fold over the
+  per-doc token-hash array with a 60-slot accumulator — zero shuffle);
+  near-dup pairs via pigeonhole block join (hamming ≤ d pairs must agree on
+  ≥1 of d+1 signature blocks) — again an equi-join, never a cross-product.
 - **ngram_jaccard**: exact all-shared-shingle join; correct but quadratic in
   docs sharing hot shingles — the scale path is minhash_lsh_neardup, which
   uses this only on the (tiny) candidate set.
@@ -31,6 +31,7 @@ import operator
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dask_lightgbm_spark.functions.partitioning import ensure_parallelism
 from dask_lightgbm_spark.functions.hashing import (
     MINHASH_COEF,
     md5_hash60,
@@ -87,6 +88,7 @@ def shingle_hash_array(
     zero-shuffle signature + verify stages. Shingles are hashed with a
     32-bit rolling hash over a per-char code array (one pass per doc,
     5 mult-adds per position — no per-shingle md5)."""
+    df = ensure_parallelism(df)
     n_pos = F.greatest(F.length(text_col) - (k - 1), F.lit(1))
     codes = F.transform(F.split(F.col(text_col), ""), lambda c: F.ascii(c))
     return df.withColumn("__codes", codes).select(
@@ -279,33 +281,38 @@ SIMHASH_BITS = 60  # 15 md5 hex chars → 60-bit token hashes
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """60-bit SimHash over distinct whitespace tokens: (id, simhash).
 
-    Single groupBy with 60 conditional-sum aggregates (one shuffle,
-    map-side combined) — no per-bit row explosion."""
-    toks = (
-        df.select(
-            F.col(id_col),
-            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
-        )
-        .filter(F.col("tok") != "")
-        .distinct()
-        .select(F.col(id_col), md5_hash60(F.col("tok")).alias("h"))
+    Fully row-local: the distinct token set, token hashes, per-bit ±1 sums
+    (60 array folds), and the final bit-pack all happen inside one
+    projection — NO explode, NO shuffle. Integer addition is associative,
+    so the oracle's list_sum reproduces the folds exactly."""
+    df = ensure_parallelism(df)
+    toks = F.array_distinct(
+        F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")
     )
-    sums = toks.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{j}")
-            for j in range(SIMHASH_BITS)
-        ]
+    hs = F.transform(toks, lambda t: md5_hash60(t))
+
+    # ONE fold over the token hashes with a 60-slot array accumulator —
+    # the hash array is consumed exactly once (60 separate per-bit folds
+    # would make Catalyst recompute the md5 transform per fold).
+    powers = F.array(*[F.lit(1 << j).cast("long") for j in range(SIMHASH_BITS)])
+    sums = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(powers, lambda p: F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1)),
+            lambda a, b: a + b,
+        ),
     )
-    sim = functools.reduce(
-        operator.add,
-        [
-            F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-            for j in range(SIMHASH_BITS)
-        ],
+    # pack: sum of 2^j where sums[j] > 0
+    packed = F.aggregate(
+        F.zip_with(
+            sums, powers, lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
-    return sums.select(F.col(id_col), sim.alias("simhash"))
+    return df.select(F.col(id_col), packed.alias("simhash"))
 
 
 def _simhash_blocks(col: Column, n_blocks: int) -> list[Column]:

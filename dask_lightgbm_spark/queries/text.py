@@ -209,8 +209,20 @@ def t05_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # simpler SQL; the Spark side uses the scalable blocked join).
 # ---------------------------------------------------------------------------
 
+# row-local twin of dedup.simhash: per-doc token-hash list, 60 list_sum
+# folds (integer addition — order-free), bit-pack. list aliases mirror the
+# Spark plan exactly.
+_SQL_TOKHASH_ARR = rf"""
+tharr AS (
+  SELECT doc_id,
+         list_transform(
+           list_distinct(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')),
+           t -> {sql_hash60('t')}) AS th
+  FROM documents
+)"""
+
 _bitsums = ",\n         ".join(
-    f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+    f"CAST(list_sum(list_transform(th, h -> CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END)) AS BIGINT) AS b{j}"
     for j in range(SIMHASH_BITS)
 )
 _simexpr = " + ".join(
@@ -219,11 +231,10 @@ _simexpr = " + ".join(
 )
 
 _T06_SQL = (
-    "WITH" + _SQL_TOKENS + f""",
-th AS (SELECT doc_id, {sql_hash60('tok')} AS h FROM tok),
+    "WITH" + _SQL_TOKHASH_ARR + f""",
 sums AS (SELECT doc_id,
          {_bitsums}
-         FROM th GROUP BY doc_id)
+         FROM tharr)
 SELECT doc_id, CAST({_simexpr} AS BIGINT) AS simhash FROM sums
 """
 )
@@ -236,11 +247,10 @@ def t06_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _T07_SQL = (
-    "WITH" + _SQL_TOKENS + f""",
-th AS (SELECT doc_id, {sql_hash60('tok')} AS h FROM tok),
+    "WITH" + _SQL_TOKHASH_ARR + f""",
 sums AS (SELECT doc_id,
          {_bitsums}
-         FROM th GROUP BY doc_id),
+         FROM tharr),
 sig AS (SELECT doc_id, CAST({_simexpr} AS BIGINT) AS simhash FROM sums)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
