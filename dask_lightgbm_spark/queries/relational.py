@@ -844,3 +844,133 @@ def q28_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q29 — TPC-H Q14-style promo revenue: conditional aggregation over a join
+# (CASE inside SUM), exact fixed-point ratio.
+# ---------------------------------------------------------------------------
+
+_Q29_SQL = """
+SELECT
+  CAST(SUM(CASE WHEN p_type LIKE 'ECONOMY%'
+       THEN CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))
+       ELSE 0 END) AS DOUBLE)
+  / CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)
+  AS promo_frac,
+  COUNT(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+"""
+
+
+@query("q29_promo_revenue", _Q29_SQL)
+def q29_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = _cents(F.col("l_extendedprice")) * (F.lit(100) - _pct(F.col("l_discount")))
+    promo = F.when(F.col("p_type").like("ECONOMY%"), rev).otherwise(F.lit(0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (F.sum(promo).cast("double") / F.sum(rev).cast("double")).alias("promo_frac"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q30 — TPC-H Q19-style disjunctive multi-clause predicate (OR of ANDs
+# across two tables): Catalyst pushes the common l_partkey=p_partkey while
+# evaluating the residual disjunction post-join.
+# ---------------------------------------------------------------------------
+
+_Q30_SQL = """
+SELECT COUNT(*) AS n,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10 AND l_quantity <= 35)
+   OR (p_brand = 'Brand#33' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 20 AND l_quantity <= 50)
+"""
+
+
+@query("q30_disjunctive_predicates", _Q30_SQL)
+def q30_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15) & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#22") & F.col("p_size").between(10, 30) & q.between(10, 35))
+        | ((F.col("p_brand") == "Brand#33") & F.col("p_size").between(20, 50) & q.between(20, 50))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(_cents(F.col("l_extendedprice"))).cast("double") / F.lit(100.0)).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q31 — NOT IN subquery (TPC-H Q16 flavor): parts never shipped by supplier
+# s_suppkey <= 3. Spark: left_anti join; SQL: NOT IN.
+# ---------------------------------------------------------------------------
+
+_Q31_SQL = """
+SELECT p_brand, COUNT(*) AS n_parts
+FROM part
+WHERE p_partkey NOT IN (
+  SELECT l_partkey FROM lineitem WHERE l_suppkey <= 3
+)
+GROUP BY p_brand
+"""
+
+
+@query("q31_not_in_subquery", _Q31_SQL)
+def q31_not_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    shipped = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") <= 3)
+        .select("l_partkey")
+    )
+    return (
+        p.join(shipped, p.p_partkey == shipped.l_partkey, "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q32 — scalar subquery: customers whose balance exceeds every supplier's
+# (exact MAX comparison — order-insensitive, no float-summation ambiguity).
+# ---------------------------------------------------------------------------
+
+_Q32_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT MAX(s_acctbal) FROM supplier)
+"""
+
+
+@query("q32_scalar_subquery", _Q32_SQL)
+def q32_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    c.createOrReplaceTempView("__q32_customer")
+    s.createOrReplaceTempView("__q32_supplier")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM __q32_customer
+        WHERE c_acctbal > (SELECT MAX(s_acctbal) FROM __q32_supplier)
+        """
+    )

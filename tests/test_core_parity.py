@@ -1,0 +1,59 @@
+"""Reference-parity unit tests for core helpers (SURVEY.md Table A) and
+the task-failure semantics the reference implemented by hand (A14)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dask_lightgbm_spark import core
+
+
+def test_concat_dispatch():
+    """A3 (reference concat, core.py:51-62): ndarray + pandas branches,
+    empty-part filtering, type error on junk."""
+    out = core.concat([np.array([1, 2]), np.array([]), np.array([3])])
+    assert list(out) == [1, 2, 3]
+    out = core.concat([pd.DataFrame({"a": [1]}), pd.DataFrame({"a": [2]})])
+    assert list(out["a"]) == [1, 2]
+    assert core.concat([np.array([])]) is None
+    with pytest.raises(TypeError, match="numpy arrays or pandas"):
+        core.concat([{1, 2}])
+
+
+def test_error_propagation_to_driver(spark):
+    """A14 (reference core.py:108-110 + tests/test_core.py:202-210): a
+    failing task surfaces the original exception on the driver — Spark
+    gives this for free; pin it so the behavior is contractual."""
+    df = spark.range(4)
+
+    @F.udf(T.LongType())
+    def boom(x):
+        raise ValueError("worker exploded on purpose")
+
+    with pytest.raises(Exception, match="worker exploded on purpose"):
+        df.select(boom("id")).collect()
+
+
+def test_udf_registration_sql_surface(spark):
+    """UDF registration for the SQL API (a template category Spark provides
+    natively; none existed in the reference)."""
+    spark.udf.register("plus_one_test", lambda x: x + 1, T.LongType())
+    out = spark.sql("SELECT plus_one_test(41) AS v").first().v
+    assert out == 42
+
+
+def test_predict_udf_empty_batch(spark):
+    """A7 empty-partition guard through the real pandas-UDF path."""
+
+    class ConstModel:
+        def predict(self, X):
+            return np.full(len(X), 7.0)
+
+    udf = core.predict_udf_for(ConstModel(), ["a", "b"], proba=False)
+    df = spark.createDataFrame(pd.DataFrame({"a": [1.0, 2.0], "b": [3.0, 4.0]}))
+    got = df.withColumn("p", udf(F.col("a"), F.col("b"))).select("p").collect()
+    assert [r.p for r in got] == [7.0, 7.0]
+    empty = df.filter("a > 100")
+    assert empty.withColumn("p", udf(F.col("a"), F.col("b"))).count() == 0
