@@ -974,3 +974,58 @@ def q32_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c_acctbal > (SELECT MAX(s_acctbal) FROM __q32_supplier)
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q33 — exact percentiles (continuous interpolation): Spark percentile ≡
+# DuckDB quantile_cont. Quantities are whole numbers, so interpolated
+# values are exactly-representable small fractions.
+# ---------------------------------------------------------------------------
+
+_Q33_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS p50_qty,
+       quantile_cont(l_quantity, 0.9) AS p90_qty,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("q33_percentiles", _Q33_SQL)
+def q33_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("p50_qty"),
+        F.percentile("l_quantity", F.lit(0.9)).alias("p90_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q34 — array + regexp functions: split/sort/size/contains and a group-1
+# regexp extraction, all reduced to scalar outputs for oracle comparison.
+# ---------------------------------------------------------------------------
+
+_Q34_SQL = """
+SELECT p_partkey,
+       CAST(len(string_split(p_type, ' ')) AS INTEGER) AS n_words,
+       list_sort(string_split(p_type, ' '))[1] AS first_word_sorted,
+       list_contains(string_split(p_type, ' '), 'ECONOMY') AS has_economy,
+       regexp_extract(p_type, '([A-Z]+)$', 1) AS last_word
+FROM part
+"""
+
+
+@query("q34_array_regexp_funcs", _Q34_SQL)
+def q34_array_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    words = F.split(F.col("p_type"), " ")
+    return p.select(
+        "p_partkey",
+        F.size(words).alias("n_words"),
+        F.sort_array(words).getItem(0).alias("first_word_sorted"),
+        F.array_contains(words, "ECONOMY").alias("has_economy"),
+        F.regexp_extract(F.col("p_type"), r"([A-Z]+)$", 1).alias("last_word"),
+    )
