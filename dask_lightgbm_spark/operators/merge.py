@@ -1,0 +1,33 @@
+"""MERGE INTO emulation (CDC upsert) without a table format.
+
+Delta/Iceberg own real MERGE; on plain parquet the scalable emulation is a
+full-outer join on the key with COALESCE per column:
+
+- matched rows take the update's values,
+- unmatched-target rows pass through,
+- unmatched-update rows are inserts.
+
+One shuffle on the key for each side; at scale the win is bucketing both
+target and updates on the key (sources/writers.write_parquet partitioning +
+bucketBy) so the join co-locates without a shuffle. SCD2 (history-keeping)
+falls out by unioning the superseded target rows with an end-date stamp
+instead of dropping them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """Upsert ``updates`` into ``target`` on ``key``: update-else-insert,
+    keep unmatched target rows. Columns must match."""
+    assert set(target.columns) == set(updates.columns), "schemas must align"
+    t = target.alias("t")
+    u = updates.alias("u")
+    cols = [
+        F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c)
+        for c in target.columns
+    ]
+    return t.join(u, F.col(f"t.{key}") == F.col(f"u.{key}"), "full_outer").select(*cols)

@@ -1029,3 +1029,62 @@ def q34_array_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains(words, "ECONOMY").alias("has_economy"),
         F.regexp_extract(F.col("p_type"), r"([A-Z]+)$", 1).alias("last_word"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q35 — approximate aggregates (HLL distinct + approx percentile). Sketch
+# internals differ across engines by construction → no SQL oracle; the
+# driver records the rows-only check, and tests/test_operators_misc.py
+# bounds the approximation error against exact values.
+# ---------------------------------------------------------------------------
+
+
+@query("q35_approx_stats")  # rows-only: sketches are engine-specific
+def q35_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q36 — MERGE INTO emulation (CDC upsert on plain parquet): update-else-
+# insert via full-outer join + COALESCE. Updates = orders with status 'P'
+# get a flagged priority; inserts = synthetic new keys.
+# ---------------------------------------------------------------------------
+
+_Q36_SQL = """
+WITH updates AS (
+  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey <= 5
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         '0-MERGED' AS o_orderpriority
+  FROM orders WHERE o_orderstatus = 'P'
+)
+SELECT COALESCE(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+       COALESCE(u.o_custkey, t.o_custkey) AS o_custkey,
+       COALESCE(u.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+       COALESCE(u.o_totalprice, t.o_totalprice) AS o_totalprice,
+       COALESCE(u.o_orderdate, t.o_orderdate) AS o_orderdate,
+       COALESCE(u.o_orderpriority, t.o_orderpriority) AS o_orderpriority
+FROM orders t FULL OUTER JOIN updates u ON t.o_orderkey = u.o_orderkey
+"""
+
+
+@query("q36_merge_upsert", _Q36_SQL)
+def q36_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_lightgbm_spark.operators.merge import merge_upsert
+
+    o = load_table(spark, sf_dir, "orders")
+    inserts = o.filter(F.col("o_orderkey") <= 5).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10000000
+    )
+    changes = o.filter(F.col("o_orderstatus") == "P").withColumn(
+        "o_orderpriority", F.lit("0-MERGED")
+    )
+    updates = inserts.select(*o.columns).unionByName(changes.select(*o.columns))
+    return merge_upsert(o, updates, key="o_orderkey")

@@ -127,3 +127,44 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
         extract_features(with_bin, decode_stub=False).collect()
+
+
+def test_approx_stats_error_bounds(spark, sf_dir):
+    """HLL distinct within 5% of exact; approx median within the exact
+    p40-p60 band (sketch internals are engine-specific — this is the
+    correctness statement approximate aggregates can make)."""
+    from dask_lightgbm_spark.queries import all_queries
+    from dask_lightgbm_spark.sources.readers import load_table
+
+    approx = {
+        r.l_returnflag: r
+        for r in all_queries()["q35_approx_stats"](spark, sf_dir).collect()
+    }
+    l = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: r
+        for r in l.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("parts"),
+            F.percentile("l_extendedprice", F.lit(0.4)).alias("p40"),
+            F.percentile("l_extendedprice", F.lit(0.6)).alias("p60"),
+        )
+        .collect()
+    }
+    for flag, a in approx.items():
+        e = exact[flag]
+        assert abs(a.approx_parts - e.parts) / e.parts < 0.05
+        assert e.p40 <= a.approx_median_price <= e.p60
+
+
+def test_merge_upsert_semantics(spark):
+    from dask_lightgbm_spark.operators.merge import merge_upsert
+
+    t = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, 3], "v": ["a", "b", "c"]})
+    )
+    u = spark.createDataFrame(
+        pd.DataFrame({"k": [2, 9], "v": ["B", "new"]})
+    )
+    out = {r.k: r.v for r in merge_upsert(t, u, "k").collect()}
+    assert out == {1: "a", 2: "B", 3: "c", 9: "new"}
