@@ -157,6 +157,10 @@ class _SparkLGBMBase:
                 self.classes_ = list(getattr(self._model, "classes_", []))
             return self
 
+        # remember HOW features were supplied so transform() replays it
+        self._fit_feature_mode = (
+            ("cols", list(feature_cols)) if feature_cols is not None else ("col", features_col)
+        )
         assembled, vec_col, self._feature_cols = self._assemble(
             df, feature_cols, features_col
         )
@@ -193,9 +197,6 @@ class _SparkLGBMBase:
         core.py:163-173, was equally lazy)."""
         if self._model is None:
             raise RuntimeError("fit() first")
-        feature_cols = feature_cols or (
-            self._feature_cols if self._feature_cols and len(self._feature_cols) > 1 else None
-        )
         if self._backend_used == "lightgbm":
             cols = feature_cols or self._feature_cols
             pred = core.predict_udf_for(self._model, cols, proba=False)
@@ -205,6 +206,13 @@ class _SparkLGBMBase:
                 out = out.withColumn("probability", proba(*[F.col(c) for c in cols]))
             return out
 
+        # replay the fit-time feature supply unless the caller overrides
+        if feature_cols is None and features_col is None:
+            mode, val = getattr(self, "_fit_feature_mode", ("col", "features"))
+            if mode == "cols":
+                feature_cols = val
+            else:
+                features_col = val
         assembled, vec_col, _ = self._assemble(
             df, feature_cols, features_col or (self._feature_cols or ["features"])[0]
         )
@@ -243,6 +251,7 @@ class _SparkLGBMBase:
             "estimator": type(self).__name__,
             "backend": self._backend_used,
             "feature_cols": self._feature_cols,
+            "feature_mode": list(getattr(self, "_fit_feature_mode", ("col", "features"))),
             "params": self.get_params(),
             "model_class": type(self._model).__name__,
         }
@@ -279,6 +288,8 @@ class _SparkLGBMBase:
         })
         inst._backend_used = meta["backend"]
         inst._feature_cols = meta["feature_cols"]
+        mode, val = meta.get("feature_mode", ["col", "features"])
+        inst._fit_feature_mode = (mode, val)
         if meta["backend"] == "mllib":
             model_cls = {
                 "GBTClassificationModel": GBTClassificationModel,

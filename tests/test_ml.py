@@ -154,3 +154,45 @@ def test_network_params():
     assert p0["local_listen_port"] == 12400
     assert p2["local_listen_port"] == 12402  # same host, different port
     assert p0["time_out"] == 120
+
+
+def test_mllib_pipeline_compat(spark, blobs2):
+    """Estimator works as a pyspark.ml.Pipeline stage after a
+    VectorAssembler (SURVEY.md §7 M4)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import VectorAssembler
+
+    from dask_lightgbm_spark.ml_pipeline import LGBMClassifierEstimator
+
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=["f0", "f1"], outputCol="features"),
+            LGBMClassifierEstimator(
+                featuresCol="features", labelCol="target", nEstimators=5, backend="mllib"
+            ),
+        ]
+    )
+    model = pipe.fit(blobs2)
+    out = model.transform(blobs2)
+    acc = out.agg(F.avg((F.col("prediction") == F.col("target")).cast("double"))).first()[0]
+    assert acc > 0.9
+
+
+def test_quantile_objective_passthrough(spark):
+    """Reference quantile-objective path (tests/test_core.py:148-165): on
+    MLlib the closest zero-dep analog is absolute-loss GBT (median);
+    predictions must track the conditional median, i.e. roughly half the
+    residuals on each side."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    x = rng.uniform(0, 10, 800)
+    y = x * 2 + rng.normal(0, 1.0, 800)
+    df = spark.createDataFrame(pd.DataFrame({"x": x, "target": y}))
+    reg = SparkLGBMRegressor(n_estimators=30, objective="quantile", alpha=0.5, backend="mllib")
+    reg.fit(df, feature_cols=["x"], label_col="target")
+    pred = reg.transform(df)
+    frac_below = pred.agg(
+        F.avg((F.col("target") < F.col("prediction")).cast("double"))
+    ).first()[0]
+    assert 0.35 < frac_below < 0.65

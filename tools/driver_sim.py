@@ -1,0 +1,69 @@
+"""Full driver simulation: import __spark_entry__ the way the external
+driver does (repo on sys.path, arbitrary cwd, UNTUNED default SparkSession),
+run every query at sf0.01 against its oracle, and report. Catches anything
+that silently depends on our session factory, cwd, or config.
+
+Usage: python tools/driver_sim.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import duckdb  # noqa: E402
+
+os.chdir("/tmp")  # deliberately NOT the repo
+
+import __spark_entry__ as E  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
+
+from dask_lightgbm_spark.sources.readers import TABLES  # noqa: E402
+from tools.check import compare  # noqa: E402
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # deliberately default config — the driver owns its session
+    spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    entry_rows = E.entry(spark).collect()
+    print(f"entry: {len(entry_rows)} rows")
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    n_pass = n_fail = 0
+    t_total = time.time()
+    for name in sorted(qs):
+        t0 = time.time()
+        try:
+            sp = qs[name](spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: spark raised {type(exc).__name__}: {exc}")
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"PASS {name} (rows-only: {len(sp)}, {dt:.1f}s)")
+            n_pass += 1
+            continue
+        du = con.sql(oracles[name]).df()
+        problems = compare(name, sp, du)
+        if problems:
+            print(f"FAIL {name}: {'; '.join(problems)}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(sp)} rows, {dt:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} passed, {n_fail} failed in {time.time() - t_total:.0f}s total")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
