@@ -29,9 +29,13 @@ HEADLINE = [
     "q15_sessionize",
     "q18_shipping_priority",
     "q21_asof_join",
+    "q28_session_window",
+    "q33_percentiles",
+    "q36_merge_upsert",
     "t05_minhash_lsh_neardup",
     "t06_simhash",
     "s01_knn_bruteforce",
+    "s02_knn_ivf",
 ]
 
 

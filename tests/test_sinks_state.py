@@ -104,3 +104,43 @@ def test_stateful_stream_totals(spark, sf_dir):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[["user_id", "n_events", "sum_value"]], want)
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode windowed agg with a watermark: an event arriving after
+    the watermark passed its window is dropped — the late-data contract
+    Structured Streaming adds over batch."""
+    import pyspark.sql.functions as F
+
+    d = str(tmp_path / "stream_src")
+    on_time = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(["2024-01-01 00:01:00", "2024-01-01 00:02:00",
+                                   "2024-01-01 02:00:00"]),
+            "v": [1.0, 2.0, 3.0],
+        }
+    )
+    late = pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-01-01 00:03:00"]), "v": [100.0]}  # 2h late
+    )
+    spark.createDataFrame(on_time).coalesce(1).write.parquet(d + "/b=1")
+
+    schema = spark.read.parquet(d + "/b=1").schema
+    src = spark.readStream.schema(schema).parquet(d + "/b=*")
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    name = "wm_test_out"
+    q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()  # batch 1: watermark advances to 01:50
+        spark.createDataFrame(late).coalesce(1).write.parquet(d + "/b=2")
+        q.processAllAvailable()  # batch 2: 00:03 event is below the watermark
+    finally:
+        q.stop()
+    rows = {r.w.start.hour: (r.s, r.n) for r in spark.table(name).collect()}
+    # hour-0 window closed when the watermark passed 01:00 → emitted WITHOUT
+    # the late 00:03 event (it would have made s=103.0, n=3)
+    assert rows.get(0) == (3.0, 2), rows
