@@ -48,16 +48,24 @@ def brute_force_knn(
     k: int = 5,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
-    Output: (qid, nid, rank, cos)."""
+    Output: (qid, nid, rank, cos).
+
+    Norms are precomputed once per vector (cosine-in-the-join would refold
+    the query norm for every corpus row); dot/(na*nb) evaluates the exact
+    same IEEE ops as cosine(), so oracle bit-equality is preserved."""
     c = corpus.select(
         F.col(id_col).alias("nid"), to_double_array(F.col(vec_col)).alias("nv")
-    )
+    ).withColumn("nn", norm(F.col("nv")))
     q = queries.select(
         F.col(id_col).alias("qid"), to_double_array(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     scored = (
         c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
-        .select("qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("cos"))
+        .select(
+            "qid",
+            "nid",
+            (dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias("cos"),
+        )
     )
     w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
     return (
@@ -77,12 +85,15 @@ def assign_cells(
     centroid id). Output: corpus columns + ``cell``."""
     c = corpus.select(
         F.col(id_col), to_double_array(F.col(vec_col)).alias("__v")
-    )
+    ).withColumn("__vn", norm(F.col("__v")))
     cent = centroids.select(
         F.col(id_col).alias("__cid"), to_double_array(F.col(vec_col)).alias("__cv")
-    )
+    ).withColumn("__cn", norm(F.col("__cv")))
     scored = c.join(F.broadcast(cent)).select(
-        id_col, "__v", "__cid", cosine(F.col("__v"), F.col("__cv")).alias("__cs")
+        id_col,
+        "__v",
+        "__cid",
+        (dot(F.col("__v"), F.col("__cv")) / (F.col("__vn") * F.col("__cn"))).alias("__cs"),
     )
     w = W.partitionBy(id_col).orderBy(F.desc("__cs"), F.asc("__cid"))
     return (
@@ -111,9 +122,14 @@ def ivf_knn(
         F.col(id_col).alias("nid"), F.col("v").alias("nv"), F.col("cell")
     )
     scored = (
-        n.join(F.broadcast(q), "cell")
+        n.withColumn("nn", norm(F.col("nv")))
+        .join(F.broadcast(q.withColumn("qn", norm(F.col("qv")))), "cell")
         .filter(F.col("qid") != F.col("nid"))
-        .select("qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("cos"))
+        .select(
+            "qid",
+            "nid",
+            (dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias("cos"),
+        )
     )
     w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
     return (
@@ -132,11 +148,19 @@ def cosine_neardup_pairs(
     """Embedding near-dup pairs: cosine ≥ threshold, id_a < id_b.
     Brute all-pairs — bounded inputs only; at scale, run it per-IVF-cell
     (assign_cells + self-join on cell) to avoid the cross product."""
-    a = df.select(F.col(id_col).alias("id_a"), to_double_array(F.col(vec_col)).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), to_double_array(F.col(vec_col)).alias("vb"))
+    a = df.select(
+        F.col(id_col).alias("id_a"), to_double_array(F.col(vec_col)).alias("va")
+    ).withColumn("na", norm(F.col("va")))
+    b = df.select(
+        F.col(id_col).alias("id_b"), to_double_array(F.col(vec_col)).alias("vb")
+    ).withColumn("nb", norm(F.col("vb")))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
         .filter(F.col("cos") >= threshold)
     )
 
@@ -192,9 +216,14 @@ def lsh_knn(
         F.col(id_col).alias("nid"), F.col("__v").alias("nv"), F.col("__bkt").alias("bkt")
     )
     scored = (
-        n.join(F.broadcast(q), "bkt")
+        n.withColumn("nn", norm(F.col("nv")))
+        .join(F.broadcast(q.withColumn("qn", norm(F.col("qv")))), "bkt")
         .filter(F.col("qid") != F.col("nid"))
-        .select("qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("cos"))
+        .select(
+            "qid",
+            "nid",
+            (dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias("cos"),
+        )
     )
     w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
     return (

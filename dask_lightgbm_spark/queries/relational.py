@@ -1088,3 +1088,53 @@ def q36_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     updates = inserts.select(*o.columns).unionByName(changes.select(*o.columns))
     return merge_upsert(o, updates, key="o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# q37 — remaining set ops: UNION ALL (bag) and EXCEPT (set difference).
+# ---------------------------------------------------------------------------
+
+_Q37_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+UNION ALL
+SELECT c_custkey AS o_custkey FROM customer WHERE c_acctbal < 0
+"""
+
+
+@query("q37_union_except", _Q37_SQL)
+def q37_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    opened = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    pending = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    negative = c.filter(F.col("c_acctbal") < 0).select(F.col("c_custkey").alias("o_custkey"))
+    # subtract == ANSI EXCEPT (set semantics: distinct rows of A not in B)
+    return opened.subtract(pending).unionAll(negative)
+
+
+# ---------------------------------------------------------------------------
+# q38 — posexplode / lateral unnest with ordinality: words of p_type with
+# their position.
+# ---------------------------------------------------------------------------
+
+_Q38_SQL = """
+SELECT p_partkey,
+       CAST(g - 1 AS INTEGER) AS pos,
+       string_split(p_type, ' ')[g] AS word
+FROM (
+  SELECT p_partkey, p_type,
+         unnest(generate_series(1, len(string_split(p_type, ' ')))) AS g
+  FROM part
+)
+"""
+
+
+@query("q38_posexplode", _Q38_SQL)
+def q38_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.posexplode(F.split(F.col("p_type"), " ")).alias("pos", "word"),
+    )
