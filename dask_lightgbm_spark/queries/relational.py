@@ -1138,3 +1138,89 @@ def q38_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.posexplode(F.split(F.col("p_type"), " ")).alias("pos", "word"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q39 — window FRAMES: 7-row moving sum/avg over daily revenue
+# (rowsBetween; exact fixed-point arithmetic inside the frame).
+# ---------------------------------------------------------------------------
+
+_Q39_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS rev_c,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT day,
+       CAST(rev_c AS DOUBLE)/100.0 AS revenue,
+       n_orders,
+       CAST(SUM(rev_c) OVER w AS DOUBLE)/100.0 AS rev_7d,
+       CAST(SUM(rev_c) OVER w AS DOUBLE)/100.0/CAST(SUM(n_orders) OVER w AS BIGINT) AS avg_order_7d
+FROM daily
+WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("q39_moving_window_frame", _Q39_SQL)
+def q39_moving_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.sum(_cents(F.col("o_totalprice"))).alias("rev_c"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = W.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        (F.col("rev_c").cast("double") / F.lit(100.0)).alias("revenue"),
+        "n_orders",
+        (F.sum("rev_c").over(w).cast("double") / F.lit(100.0)).alias("rev_7d"),
+        (
+            F.sum("rev_c").over(w).cast("double")
+            / F.lit(100.0)
+            / F.sum("n_orders").over(w)
+        ).alias("avg_order_7d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q40 — funnel analysis: per user, did view → click → purchase happen in
+# temporal order? Exact µs min-timestamps per stage, then ordered-stage
+# counting — a training-data-pipeline staple on event logs.
+# ---------------------------------------------------------------------------
+
+_Q40_SQL = """
+WITH stages AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT
+  COUNT(*) AS n_users,
+  CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+  CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after,
+  CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+FROM stages
+"""
+
+
+@query("q40_funnel", _Q40_SQL)
+def q40_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    stages = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", us)).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    full = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(viewed.cast("int")).cast("long").alias("n_viewed"),
+        F.sum(clicked.cast("int")).cast("long").alias("n_clicked_after"),
+        F.sum(full.cast("int")).cast("long").alias("n_full_funnel"),
+    )

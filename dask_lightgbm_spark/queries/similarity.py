@@ -103,6 +103,9 @@ def s02_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # s03 — embedding-cosine near-dup pairs (dedup by semantic similarity).
+# The fixture embeddings are random (no planted near-dups; max pairwise
+# cosine ≈ 0.51 at sf0.01), so the threshold sits where output is
+# non-trivial; production dedup would use ≥0.95.
 # ---------------------------------------------------------------------------
 
 _S03_SQL = f"""
@@ -111,14 +114,14 @@ pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_sql_cos('a.v', 'b.v')} AS cos
   FROM e a JOIN e b ON a.vec_id < b.vec_id
 )
-SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.99
+SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.45
 """
 
 
 @query("s03_embedding_neardup", _S03_SQL)
 def s03_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    return sim.cosine_neardup_pairs(e, threshold=0.99)
+    return sim.cosine_neardup_pairs(e, threshold=0.45)
 
 
 # ---------------------------------------------------------------------------
@@ -195,3 +198,53 @@ SELECT qid, nid, rank, cos FROM ranked WHERE rank <= 3
 def s05_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return sim.lsh_knn(e, queries_filter=F.col("vec_id") < 10, k=3)
+
+
+# ---------------------------------------------------------------------------
+# s06 — embedding near-dup WITHIN IVF cells: the scale path for semantic
+# dedup (assign to cells once, all-pairs only inside each cell). Same
+# centroid scheme as s02.
+# ---------------------------------------------------------------------------
+
+_S06_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+cell_scored AS (
+  SELECT e.vec_id, e.v, cent.cid, {_sql_cos('e.v', 'cent.cv')} AS cs
+  FROM e, cent
+),
+assigned AS (
+  SELECT vec_id, v, cid AS cell FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+    FROM cell_scored
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_sql_cos('a.v', 'b.v')} AS cos
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.42
+"""
+
+
+@query("s06_neardup_in_cells", _S06_SQL)
+def s06_neardup_in_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned = sim.assign_cells(e, e.filter(F.col("vec_id") % 25 == 0))
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("cell")
+    ).withColumn("na", sim.norm(F.col("va")))
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("cell")
+    ).withColumn("nb", sim.norm(F.col("vb")))
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (sim.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.42)
+    )

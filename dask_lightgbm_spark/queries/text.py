@@ -410,3 +410,63 @@ def t12_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return binary_metadata(d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# t13 — TF-IDF-style term scoring, log-free for oracle exactness: score =
+# tf · N/df (exact integer counts + one division). Top-3 terms per doc with
+# deterministic tie-break. The shape is the classic two-pass corpus
+# statistic: per-doc term counts (row-local) ⋈ document frequencies (one
+# small aggregation), both shuffle-light at scale.
+# ---------------------------------------------------------------------------
+
+_T13_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS t
+    FROM documents
+  )
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+         tf.tf * (n.n_docs / df.df) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tf, tfidf, rnk FROM ranked WHERE rnk <= 3
+"""
+
+
+@query("t13_tfidf_topterms", _T13_SQL)
+def t13_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.count()  # small scalar; at scale: a broadcast single-row agg
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        (F.col("tf") * (F.lit(n_docs) / F.col("df"))).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "tfidf", "rnk")
+    )
