@@ -47,6 +47,6 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def whole_stage_codegen_ids(df: DataFrame) -> int:
-    """Count of WholeStageCodegen spans (wider is better — Python UDFs and
-    certain exprs break them)."""
-    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", formatted_plan(df))))
+    """Count of whole-stage-codegen spans (wider is better — Python UDFs and
+    certain exprs break them). Formatted plans tag them `[codegen id : N]`."""
+    return len(set(re.findall(r"codegen id : (\d+)", formatted_plan(df))))

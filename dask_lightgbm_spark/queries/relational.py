@@ -1224,3 +1224,30 @@ def q40_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(clicked.cast("int")).cast("long").alias("n_clicked_after"),
         F.sum(full.cast("int")).cast("long").alias("n_full_funnel"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q41 — MapType surface: parse the props JSON into map<string,long>, then
+# map_keys/size/element access reduced to scalars.
+# ---------------------------------------------------------------------------
+
+_Q41_SQL = """
+SELECT event_id,
+       CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+FROM events
+WHERE event_type = 'purchase'
+"""
+
+
+@query("q41_map_funcs", _Q41_SQL)
+def q41_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    m = F.from_json(F.col("props"), T.MapType(T.StringType(), T.LongType()))
+    return e.select(
+        "event_id",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(m, "k").alias("k_value"),
+    )

@@ -196,3 +196,34 @@ def test_quantile_objective_passthrough(spark):
         F.avg((F.col("target") < F.col("prediction")).cast("double"))
     ).first()[0]
     assert 0.35 < frac_below < 0.65
+
+
+def test_crossvalidator_integration(spark, blobs2):
+    """Hyperparameter tuning via MLlib CrossValidator over our Pipeline
+    stage — proves Params copy/fit semantics are fully MLlib-conformant."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    from dask_lightgbm_spark.ml_pipeline import LGBMClassifierEstimator
+
+    est = LGBMClassifierEstimator(
+        featuresCol="features", labelCol="target", backend="mllib"
+    )
+    pipe = Pipeline(
+        stages=[VectorAssembler(inputCols=["f0", "f1"], outputCol="features"), est]
+    )
+    grid = ParamGridBuilder().addGrid(est.nEstimators, [3, 6]).build()
+    cv = CrossValidator(
+        estimator=pipe,
+        estimatorParamMaps=grid,
+        evaluator=MulticlassClassificationEvaluator(
+            labelCol="target", predictionCol="prediction", metricName="accuracy"
+        ),
+        numFolds=2,
+        seed=42,
+    )
+    model = cv.fit(blobs2)
+    assert len(model.avgMetrics) == 2
+    assert max(model.avgMetrics) > 0.9
