@@ -93,3 +93,85 @@ def extract_features(
             )
 
     return df.mapInPandas(kernel, schema=_FEATURE_SCHEMA)
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int,
+    id_col: str = "doc_id", payload_col: str = "payload",
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Image resize over Arrow batches. Stub 'resize' truncates/pads the
+    byte payload to width·height (deterministic, testable); a real kernel
+    swaps in PIL here — the schema, batching, and partitioning are what the
+    engine owns."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if not decode_stub:
+                raise NotImplementedError("plug PIL.Image.resize here")
+            out = []
+            for payload in pdf[payload_col]:
+                raw = bytes(payload)
+                out.append(raw[:target].ljust(target, b"\0"))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "width": width,
+                    "height": height,
+                    "payload": out,
+                }
+            )
+
+    return df.mapInPandas(kernel, schema=_RESIZE_SCHEMA)
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, n_frames: int, frame_bytes: int = 16,
+    id_col: str = "doc_id", payload_col: str = "payload",
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Video frame sampling (1 row in → n_frames rows out) over Arrow
+    batches. Stub samples evenly-spaced byte windows; a real kernel swaps in
+    ffmpeg/pyav. Row-expanding mapInPandas — the same shape a real decoder
+    needs."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if not decode_stub:
+                raise NotImplementedError("plug ffmpeg/pyav frame extraction here")
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                step = max(len(raw) // max(n_frames, 1), 1)
+                for i in range(n_frames):
+                    start = min(i * step, max(len(raw) - frame_bytes, 0))
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(raw[start : start + frame_bytes].ljust(frame_bytes, b"\0"))
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.mapInPandas(kernel, schema=_FRAME_SCHEMA)

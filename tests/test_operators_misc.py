@@ -168,3 +168,28 @@ def test_merge_upsert_semantics(spark):
     )
     out = {r.k: r.v for r in merge_upsert(t, u, "k").collect()}
     assert out == {1: "a", 2: "B", 3: "c", 9: "new"}
+
+
+def test_multimodal_resize_and_frames(spark):
+    from dask_lightgbm_spark.operators.multimodal import (
+        attach_binary_payload,
+        resize_images,
+        sample_frames,
+    )
+
+    df = attach_binary_payload(
+        spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0, 1], "text": ["x" * 100, "y" * 10]})
+        ),
+        "text",
+    )
+    resized = resize_images(df, width=4, height=8).collect()
+    assert all(len(r.payload) == 32 and r.width == 4 for r in resized)
+
+    frames = sample_frames(df, n_frames=3, frame_bytes=8).collect()
+    assert len(frames) == 6
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+        assert len(r.frame) == 8
+    assert by_doc[0] == [0, 1, 2] and by_doc[1] == [0, 1, 2]
