@@ -35,3 +35,22 @@ def write_csv_gzip(df: DataFrame, path: str, header: bool = True, mode: str = "o
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: joins/aggregations on ``bucket_cols`` between
+    tables bucketed the same way run with ZERO exchanges — the co-location
+    strategy that replaces per-query shuffles for 100 TB fact-fact joins.
+    Requires a session with a warehouse dir (bucketing metadata lives in the
+    catalog, not the parquet files)."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
