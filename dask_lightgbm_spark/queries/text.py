@@ -470,3 +470,54 @@ def t13_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "tf", "tfidf", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# t14 — dedup GROUPS: connected components over the MinHash-LSH near-dup
+# pairs (iterative label propagation on Spark; recursive-CTE transitive
+# closure in the oracle — both assign each doc the min reachable doc_id).
+# ---------------------------------------------------------------------------
+
+_T14_SQL = (
+    "WITH RECURSIVE" + _SQL_SHINGLE_ARR + "," + _SQL_MINHASH_WIDE + f""",
+bands AS ({_bands_sql}),
+cand0 AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bv0 = b.bv0 AND a.bv1 = b.bv1 AND a.bv2 = b.bv2 AND a.bv3 = b.bv3 AND a.doc_id < b.doc_id
+),
+cand AS (
+  SELECT id_a, id_b FROM cand0
+  JOIN m ma ON ma.doc_id = id_a
+  JOIN m mb ON mb.doc_id = id_b
+  WHERE ({_est_matches}) >= {NUM_PERM // 2}
+),
+edges AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN arr a ON a.doc_id = c.id_a JOIN arr b ON b.doc_id = c.id_b
+  WHERE len(list_intersect(a.hs, b.hs))
+        / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) >= 0.7
+),
+sym AS (SELECT id_a AS a, id_b AS b FROM edges UNION SELECT id_b, id_a FROM edges),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (SELECT a AS doc_id, MIN(b) AS min_reach FROM reach GROUP BY a)
+SELECT d.doc_id,
+       CAST(COALESCE(LEAST(c.doc_id, c.min_reach), d.doc_id) AS BIGINT) AS component
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+"""
+)
+
+
+@query("t14_dedup_components", _T14_SQL)
+def t14_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_lightgbm_spark.operators.components import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_neardup(
+        d, "doc_id", "text", K_SHINGLE, NUM_PERM, BAND_SIZE, threshold=0.7
+    ).select("id_a", "id_b")
+    return connected_components(pairs, d.select("doc_id"))

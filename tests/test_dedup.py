@@ -73,3 +73,16 @@ def test_ngram_jaccard_symmetric_bounds(docs):
         assert r.id_a < r.id_b
     exact = [r for r in out if (r.id_a, r.id_b) == (0, 1)]
     assert exact and exact[0].jaccard == 1.0
+
+
+def test_connected_components_chain(spark):
+    """Chain a-b, b-c, isolated d: one component {a,b,c} labeled min, d its
+    own (transitivity that pairwise near-dup output alone can't express)."""
+    import pandas as pd
+
+    from dask_lightgbm_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(pd.DataFrame({"id_a": [1, 2, 10], "id_b": [2, 3, 11]}))
+    nodes = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2, 3, 4, 10, 11]}))
+    out = {r.doc_id: r.component for r in connected_components(edges, nodes).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 10: 10, 11: 10}
