@@ -19,8 +19,9 @@ Scale design (the 100 TB story):
   docs sharing hot shingles — the scale path is minhash_lsh_neardup, which
   uses this only on the (tiny) candidate set.
 
-Hashes are md5-derived (functions/hashing.py) so the DuckDB oracle computes
-identical values.
+Shingle hashes use a 32-bit rolling hash over char codes; token hashes
+(simhash) are md5-derived — both defined in functions/hashing.py so the
+DuckDB oracle computes identical values.
 """
 
 from __future__ import annotations
@@ -33,7 +34,6 @@ from pyspark.sql import functions as F
 
 from dask_lightgbm_spark.functions.partitioning import ensure_parallelism
 from dask_lightgbm_spark.functions.hashing import (
-    MINHASH_COEF,
     md5_hash60,
     minhash_value,
     poly_shingle_hash,

@@ -30,15 +30,6 @@ K_SHINGLE = 5
 
 # ---- shared SQL fragments (mirror the Spark operators exactly) ------------
 
-_SQL_SHINGLES = f"""
-sh AS (
-  SELECT doc_id,
-         unnest(list_distinct(list_transform(
-           generate_series(1, greatest(length(text) - {K_SHINGLE - 1}, 1)),
-           g -> substr(text, g, {K_SHINGLE})))) AS shingle
-  FROM documents
-)"""
-
 # per-doc distinct shingle-hash ARRAY, mirroring dedup.shingle_hash_array
 # (32-bit rolling hash over char codes — same fold as poly_shingle_hash)
 _SQL_SHINGLE_ARR = f"""
@@ -58,13 +49,6 @@ _SQL_MINHASH_WIDE = f"""
 m AS (SELECT doc_id,
          {_minhash_mins}
       FROM arr)"""
-
-_SQL_TOKENS = r"""
-tok AS (
-  SELECT DISTINCT doc_id, t AS tok FROM (
-    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents
-  ) WHERE t <> ''
-)"""
 
 
 # ---------------------------------------------------------------------------
