@@ -227,10 +227,41 @@ def minhash_lsh_neardup(
     # per-doc hash arrays feed both the signature and the verify stage —
     # persist so the shingling projection runs once
     arr = shingle_hash_array(df, id_col, text_col, k_shingle).persist()
-    # signatures feed the band join (2×) and the estimate filter (2×)
     sig = signatures_from_array(arr, id_col, num_perm).persist()
-    cand = lsh_candidate_pairs(sig, id_col, num_perm, band_size)
-    cand = estimate_filter_pairs(cand, sig, id_col, num_perm, est_min_matches)
+    # band views carry the FULL signature as an array so the estimate filter
+    # evaluates inline on the band join output — no extra signature joins
+    sig_arr = F.array(*[F.col(f"mh{i}") for i in range(num_perm)])
+    bands = functools.reduce(
+        DataFrame.unionByName,
+        [
+            sig.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                *[F.col(f"mh{b * band_size + j}").alias(f"bv{j}") for j in range(band_size)],
+                sig_arr.alias("sigarr"),
+            )
+            for b in range(num_perm // band_size)
+        ],
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cond = (F.col("a.band") == F.col("b.band")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    for j in range(band_size):
+        cond = cond & (F.col(f"a.bv{j}") == F.col(f"b.bv{j}"))
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("a.sigarr"), F.col("b.sigarr"), lambda x, y: (x == y).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        a.join(b, cond)
+        .filter(matches >= est_min_matches)
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
     # verify: row-local array_intersect per candidate pair — no exploded join
     a = arr.select(F.col(id_col).alias("id_a"), F.col("hs").alias("ha"))
     b = arr.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hb"))
