@@ -91,5 +91,7 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Normalized-content fingerprint: md5 of lowercased,
     whitespace-collapsed text — the exact-dedup key that survives
     formatting noise."""
-    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    # collapse runs FIRST, then trim: trim() strips only spaces, so a
+    # leading/trailing tab would otherwise survive as a residual space
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     return df.select(F.col(id_col), F.md5(norm).alias("fp"))
