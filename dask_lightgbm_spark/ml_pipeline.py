@@ -79,6 +79,7 @@ class _LGBMEstimatorBase(Estimator, _LGBMParams):
             label_col=self.getLabelCol(),
         )
         model = _LGBMModel(inner=inner, featuresCol=self.getFeaturesCol())
+        model._set(predictionCol=self.getPredictionCol())
         return model
 
 
@@ -90,7 +91,11 @@ class _LGBMModel(Model, _LGBMParams):
         self._inner = inner
 
     def _transform(self, dataset: DataFrame) -> DataFrame:
-        return self._inner.transform(dataset, features_col=self.getFeaturesCol())
+        out = self._inner.transform(dataset, features_col=self.getFeaturesCol())
+        pred_col = self.getPredictionCol()
+        if pred_col != "prediction":  # honor the declared Param
+            out = out.withColumnRenamed("prediction", pred_col)
+        return out
 
     def to_local(self):
         return self._inner.to_local()

@@ -36,6 +36,7 @@ def connected_components(
         .persist()
     )
     labels = nodes.select(F.col(id_col).alias("a"), F.col(id_col).alias("component")).persist()
+    converged = False
     for _ in range(max_iter):
         # neighbor minimum: for each node, min label among its neighbors
         neigh = (
@@ -53,16 +54,26 @@ def connected_components(
             )
             .persist()
         )
+        # full count (not limit(1)): materializes EVERY partition of the new
+        # cache before dropping the parent — a partial materialization would
+        # recompute through the whole unpersisted lineage next round
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "a")
             .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
             .count()
         )
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     sym.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "component diameter exceeds max_iter; raise it"
+        )
+    # returned DataFrame stays persisted (it is the converged result; callers
+    # re-deriving it through the loop lineage would be far costlier)
     return labels.select(F.col("a").alias(id_col), "component")

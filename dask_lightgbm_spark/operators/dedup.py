@@ -125,14 +125,12 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    sig: DataFrame, id_col: str, num_perm: int = 8, band_size: int = 2
+def _band_views(
+    sig: DataFrame, id_col: str, num_perm: int, band_size: int, extra_cols=()
 ) -> DataFrame:
-    """Banded-LSH candidate pairs (id_a < id_b) from a wide signature:
-    docs agreeing on all rows of ≥1 band. Equi-join on (band, values) —
-    shuffle-friendly, no cross-product."""
-    n_bands = num_perm // band_size
-    bands = functools.reduce(
+    """Union of per-band views of a wide signature: (id, band, bv0..bv{r-1}
+    [, extras]) — the single source of the banding layout."""
+    return functools.reduce(
         DataFrame.unionByName,
         [
             sig.select(
@@ -142,18 +140,33 @@ def lsh_candidate_pairs(
                     F.col(f"mh{b * band_size + j}").alias(f"bv{j}")
                     for j in range(band_size)
                 ],
+                *extra_cols,
             )
-            for b in range(n_bands)
+            for b in range(num_perm // band_size)
         ],
     )
-    a, b = bands.alias("a"), bands.alias("b")
+
+
+def _band_join_cond(id_col: str, band_size: int):
     cond = (F.col("a.band") == F.col("b.band")) & (
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     )
     for j in range(band_size):
         cond = cond & (F.col(f"a.bv{j}") == F.col(f"b.bv{j}"))
+    return cond
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str, num_perm: int = 8, band_size: int = 2
+) -> DataFrame:
+    """Banded-LSH candidate pairs (id_a < id_b) from a wide signature:
+    docs agreeing on all rows of ≥1 band. Equi-join on (band, values) —
+    shuffle-friendly, no cross-product. (minhash_lsh_neardup uses the same
+    band layout fused with its estimate filter via _band_views.)"""
+    bands = _band_views(sig, id_col, num_perm, band_size)
+    a, b = bands.alias("a"), bands.alias("b")
     return (
-        a.join(b, cond)
+        a.join(b, _band_join_cond(id_col, band_size))
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
@@ -231,24 +244,10 @@ def minhash_lsh_neardup(
     # band views carry the FULL signature as an array so the estimate filter
     # evaluates inline on the band join output — no extra signature joins
     sig_arr = F.array(*[F.col(f"mh{i}") for i in range(num_perm)])
-    bands = functools.reduce(
-        DataFrame.unionByName,
-        [
-            sig.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                *[F.col(f"mh{b * band_size + j}").alias(f"bv{j}") for j in range(band_size)],
-                sig_arr.alias("sigarr"),
-            )
-            for b in range(num_perm // band_size)
-        ],
+    bands = _band_views(
+        sig, id_col, num_perm, band_size, extra_cols=[sig_arr.alias("sigarr")]
     )
     a, b = bands.alias("a"), bands.alias("b")
-    cond = (F.col("a.band") == F.col("b.band")) & (
-        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-    )
-    for j in range(band_size):
-        cond = cond & (F.col(f"a.bv{j}") == F.col(f"b.bv{j}"))
     matches = F.aggregate(
         F.zip_with(
             F.col("a.sigarr"), F.col("b.sigarr"), lambda x, y: (x == y).cast("int")
@@ -257,7 +256,7 @@ def minhash_lsh_neardup(
         lambda acc, x: acc + x,
     )
     cand = (
-        a.join(b, cond)
+        a.join(b, _band_join_cond(id_col, band_size))
         .filter(matches >= est_min_matches)
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()

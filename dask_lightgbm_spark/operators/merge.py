@@ -22,7 +22,14 @@ from pyspark.sql import functions as F
 
 def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     """Upsert ``updates`` into ``target`` on ``key``: update-else-insert,
-    keep unmatched target rows. Columns must match."""
+    keep unmatched target rows. Columns must match.
+
+    Contract (inherent to the COALESCE formulation; a table format's MERGE
+    relaxes both): (1) a NULL in an update column means "keep the target's
+    value", so an update cannot set a column TO NULL — use a sentinel and a
+    post-pass if that's needed; (2) ``updates`` must be unique on ``key``
+    (duplicate update keys would each pair with the target row and emit
+    duplicates — dedupe upstream, e.g. keep the latest by version)."""
     assert set(target.columns) == set(updates.columns), "schemas must align"
     t = target.alias("t")
     u = updates.alias("u")

@@ -1218,11 +1218,18 @@ def q40_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     viewed = F.col("t_view").isNotNull()
     clicked = viewed & (F.col("t_click") > F.col("t_view"))
     full = clicked & (F.col("t_purchase") > F.col("t_click"))
+
+    def count_true(cond):
+        # NULL-safe: a three-valued NULL (e.g. viewed but never clicked)
+        # must count as 0, exactly like the oracle's CASE ... ELSE 0 —
+        # sum(cast) would skip NULLs and return NULL on an all-NULL column
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
     return stages.agg(
         F.count(F.lit(1)).alias("n_users"),
-        F.sum(viewed.cast("int")).cast("long").alias("n_viewed"),
-        F.sum(clicked.cast("int")).cast("long").alias("n_clicked_after"),
-        F.sum(full.cast("int")).cast("long").alias("n_full_funnel"),
+        count_true(viewed).alias("n_viewed"),
+        count_true(clicked).alias("n_clicked_after"),
+        count_true(full).alias("n_full_funnel"),
     )
 
 

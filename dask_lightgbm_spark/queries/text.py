@@ -441,12 +441,18 @@ def t13_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = toks.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = d.count()  # small scalar; at scale: a broadcast single-row agg
-    scored = tf.join(F.broadcast(df_), "term").select(
-        "doc_id",
-        "term",
-        "tf",
-        (F.col("tf") * (F.lit(n_docs) / F.col("df"))).alias("tfidf"),
+    # corpus size as a broadcast 1-row aggregate: keeps the query fully lazy
+    # (a driver-side d.count() here would run a Spark job at plan-build time)
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            (F.col("tf") * (F.col("n_docs") / F.col("df"))).alias("tfidf"),
+        )
     )
     w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (

@@ -227,3 +227,23 @@ def test_crossvalidator_integration(spark, blobs2):
     model = cv.fit(blobs2)
     assert len(model.avgMetrics) == 2
     assert max(model.avgMetrics) > 0.9
+
+
+def test_pipeline_prediction_col_param(spark, blobs2):
+    """predictionCol Param must be honored end-to-end (review finding)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import VectorAssembler
+
+    from dask_lightgbm_spark.ml_pipeline import LGBMClassifierEstimator
+
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=["f0", "f1"], outputCol="features"),
+            LGBMClassifierEstimator(
+                featuresCol="features", labelCol="target",
+                predictionCol="pred_custom", nEstimators=3, backend="mllib",
+            ),
+        ]
+    )
+    out = pipe.fit(blobs2).transform(blobs2)
+    assert "pred_custom" in out.columns and "prediction" not in out.columns
