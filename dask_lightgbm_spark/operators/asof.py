@@ -26,14 +26,18 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """For each ``left`` row, attach the ``value_col`` of the ``right`` row
-    with the greatest ``on`` ≤ left's ``on`` (direction='backward'; ties on
-    ``on`` count as matches) within the same ``by`` group.
+    with the greatest ``on`` ≤ left's ``on`` (direction='backward') or the
+    smallest ``on`` ≥ left's ``on`` (direction='forward'); ties on ``on``
+    count as matches, within the same ``by`` group.
 
-    Only 'backward' is implemented (the common as-of semantics); 'forward'
-    falls out by negating the ordering, left as a follow-up.
+    'forward' is the mirror image: the scan order flips and the running
+    last() picks the nearest-following right value. If multiple right rows
+    share the same ``on`` within a group, which one wins is tie-ambiguous
+    (as in pd.merge_asof) — dedupe the right side on (by, on) for
+    deterministic results.
     """
-    if direction != "backward":
-        raise NotImplementedError("only direction='backward' is supported")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
 
     carried = "__asof_carry"
     # kind: right=0 sorts before left=1 at equal `on` → ties match
@@ -53,13 +57,19 @@ def asof_join(
     u = l.select(*left_cols, "__kind", carried).unionByName(
         r.select(*left_cols, "__kind", carried)
     )
-    w = (
-        W.partitionBy(by)
-        .orderBy(F.col(on).asc(), F.col("__kind").asc())
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    # last(ignorenulls) picks the value of the NEAREST right row in frame
+    # order — correct for arbitrary carried values (a running max/min would
+    # only coincide when the carried value is monotone in `on`).
+    order = (
+        [F.col(on).asc(), F.col("__kind").asc()]
+        if direction == "backward"
+        # descending scan: the last right seen is the earliest at-or-after
+        # (right still sorts before left at equal `on` → ties match)
+        else [F.col(on).desc(), F.col("__kind").asc()]
     )
+    w = W.partitionBy(by).orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
     return (
-        u.withColumn(out_col, F.max(carried).over(w))
+        u.withColumn(out_col, F.last(carried, ignorenulls=True).over(w))
         .filter(F.col("__kind") == 1)
         .drop("__kind", carried)
     )

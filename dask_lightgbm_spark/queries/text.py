@@ -511,3 +511,57 @@ def t14_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", K_SHINGLE, NUM_PERM, BAND_SIZE, threshold=0.7
     ).select("id_a", "id_b")
     return connected_components(pairs, d.select("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# t15 — repetition detection: fraction of duplicated word 3-grams per doc
+# (1 - distinct/total) — a standard LLM-data quality signal for boilerplate
+# and degenerate repetition. Row-local (token array → n-gram array →
+# distinct), exact-int division.
+# ---------------------------------------------------------------------------
+
+_T15_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+                        g -> ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2]) AS ng
+  FROM toks
+)
+SELECT doc_id,
+       CAST(len(ng) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(ng)) AS BIGINT) AS n_distinct,
+       CASE WHEN len(ng) > 0
+            THEN 1.0 - len(list_distinct(ng)) / len(ng)
+            ELSE 0.0 END AS rep_ratio
+FROM grams
+"""
+
+
+@query("t15_repetition_ratio", _T15_SQL)
+def t15_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    d = d.select("doc_id", ws.alias("ws"))
+    ng = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("ws") - 2, F.lit(0))),
+        lambda g: F.concat_ws(
+            " ",
+            F.element_at(F.col("ws"), g),
+            F.element_at(F.col("ws"), g + F.lit(1)),
+            F.element_at(F.col("ws"), g + F.lit(2)),
+        ),
+    )
+    d = d.select("doc_id", ng.alias("ng"))
+    n = F.size("ng").cast("long")
+    nd = F.size(F.array_distinct("ng")).cast("long")
+    return d.select(
+        "doc_id",
+        n.alias("n_grams"),
+        nd.alias("n_distinct"),
+        F.when(n > 0, F.lit(1.0) - nd / n).otherwise(F.lit(0.0)).alias("rep_ratio"),
+    )

@@ -193,3 +193,34 @@ def test_multimodal_resize_and_frames(spark):
         by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
         assert len(r.frame) == 8
     assert by_doc[0] == [0, 1, 2] and by_doc[1] == [0, 1, 2]
+
+
+def test_asof_join_forward_and_nonmonotone_value(spark):
+    """forward direction + a carried value NOT monotone in the key (a
+    running max/min would get this wrong; last() must not)."""
+    from dask_lightgbm_spark.operators.asof import asof_join
+
+    left = pd.DataFrame({"k": [1, 1, 1], "t": [5, 15, 25]})
+    right = pd.DataFrame({"k": [1, 1, 1], "t": [10, 20, 30], "val": [90.0, 10.0, 50.0]})
+    got = {
+        r.t: r.nxt
+        for r in asof_join(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            on="t", by="k", value_col="val", out_col="nxt", direction="forward",
+        ).collect()
+    }
+    exp = pd.merge_asof(left, right, on="t", by="k", direction="forward")
+    assert got == dict(zip(exp["t"], exp["val"]))
+
+    # backward with the same non-monotone values
+    got_b = {
+        r.t: r.prev
+        for r in asof_join(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            on="t", by="k", value_col="val", out_col="prev", direction="backward",
+        ).collect()
+    }
+    exp_b = pd.merge_asof(left, right, on="t", by="k", direction="backward")
+    assert got_b == {
+        t: (v if pd.notna(v) else None) for t, v in zip(exp_b["t"], exp_b["val"])
+    }
