@@ -117,6 +117,10 @@ def train_lightgbm_barrier(
     n_feat = len(feature_cols)
     params = dict(params)
     params.setdefault("tree_learner", "data")  # reference default, core.py:122-125
+    # per-task thread budget (reference sets num_threads=worker ncores,
+    # core.py:120,130); spark.task.cpus is the per-task analog — defaulting
+    # to 0 (all cores) would oversubscribe executors running multiple tasks
+    params.setdefault("num_threads", int(sc.getConf().get("spark.task.cpus", "1")))
 
     def _train_task(iterator):
         from pyspark import BarrierTaskContext
@@ -143,7 +147,7 @@ def train_lightgbm_barrier(
         import lightgbm as lgb
         from lightgbm.basic import _LIB, _safe_call
 
-        local_params = {**params, **net, "num_threads": params.get("num_threads", 0)}
+        local_params = {**params, **net}
         try:
             if rows:
                 data = np.array([[r[i] for i in range(n_feat)] for r in rows], dtype=np.float64)

@@ -1258,3 +1258,63 @@ def q41_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.map_keys(m)).alias("n_keys"),
         F.element_at(m, "k").alias("k_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q42 — HAVING (post-aggregation filter).
+# ---------------------------------------------------------------------------
+
+_Q42_SQL = """
+SELECT l_orderkey, COUNT(*) AS n_items,
+       CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_qty
+FROM lineitem
+GROUP BY l_orderkey
+HAVING COUNT(*) >= 6
+"""
+
+
+@query("q42_having", _Q42_SQL)
+def q42_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(_cents(F.col("l_quantity"))).cast("double") / F.lit(100.0)).alias("total_qty"),
+        )
+        .filter(F.col("n_items") >= 6)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q43 — date arithmetic: ship latency in whole days per order priority
+# (datediff ≡ date_diff('day') for midnight-aligned dates; exact ints).
+# ---------------------------------------------------------------------------
+
+_Q43_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) AS total_latency_days,
+       CAST(SUM(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) / COUNT(*) AS avg_latency_days,
+       MAX(date_diff('day', o_orderdate, l_shipdate)) AS max_latency_days
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@query("q43_date_arithmetic", _Q43_SQL)
+def q43_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lat = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).cast("long")
+    cnt = F.count(F.lit(1))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            cnt.alias("n"),
+            F.sum(lat).alias("total_latency_days"),
+            (F.sum(lat) / cnt).alias("avg_latency_days"),
+            F.max(lat).alias("max_latency_days"),
+        )
+    )
