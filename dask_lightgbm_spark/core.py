@@ -170,21 +170,28 @@ def train_lightgbm_barrier(
     return pickle.loads(payload)
 
 
-def predict_udf_for(model, feature_cols: list[str], proba: bool, n_classes: int = 2):
+def predict_udf_for(
+    model, feature_cols: list[str], proba: bool, n_classes: int = 2, spark=None
+):
     """Arrow-vectorized inference UDF (reference ``_predict_part``,
-    core.py:144-160). The model rides along by closure capture, exactly the
-    reference's broadcast-by-closure (core.py:165,171); Spark pickles it once
-    per task, not per row."""
+    core.py:144-160). By default the model rides along by closure capture,
+    exactly the reference's broadcast-by-closure (core.py:165,171); Spark
+    pickles it once per task. Pass ``spark`` to ship it as an explicit
+    broadcast variable instead — one copy per executor rather than one per
+    task closure, the right choice for multi-hundred-MB boosters
+    (SURVEY.md §4 broadcast row)."""
     ret_type = T.ArrayType(T.DoubleType()) if proba else T.DoubleType()
+    bc = spark.sparkContext.broadcast(model) if spark is not None else None
 
     @F.pandas_udf(ret_type)
     def _predict(*cols: pd.Series) -> pd.Series:
+        m = bc.value if bc is not None else model
         X = pd.concat(cols, axis=1).to_numpy(dtype=np.float64)
         if X.shape[0] == 0:  # empty-partition guard, reference core.py:147-148
             return pd.Series([], dtype=object if proba else np.float64)
         if proba:
-            out = model.predict_proba(X)
+            out = m.predict_proba(X)
             return pd.Series(list(out))
-        return pd.Series(model.predict(X).astype(np.float64))
+        return pd.Series(m.predict(X).astype(np.float64))
 
     return _predict

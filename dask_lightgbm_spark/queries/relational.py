@@ -1318,3 +1318,23 @@ def q43_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(lat).alias("max_latency_days"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q44 — INTERSECT ALL (bag semantics, multiplicity-preserving — the
+# complement of q07's set INTERSECT and q37's set EXCEPT).
+# ---------------------------------------------------------------------------
+
+_Q44_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+@query("q44_intersect_all", _Q44_SQL)
+def q44_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersectAll(b)

@@ -57,3 +57,41 @@ def test_predict_udf_empty_batch(spark):
     assert [r.p for r in got] == [7.0, 7.0]
     empty = df.filter("a > 100")
     assert empty.withColumn("p", udf(F.col("a"), F.col("b"))).count() == 0
+
+
+def test_metrics_helpers(spark):
+    """accuracy/R²/rmse dataflow expressions (the reference's score
+    formulas, system_tests/test_fit_predict.py:35,53-56)."""
+    import pandas as pd
+
+    from dask_lightgbm_spark.functions import metrics
+
+    pdf = pd.DataFrame(
+        {"y": [1.0, 2.0, 3.0, 4.0], "prediction": [1.0, 2.0, 3.0, 5.0]}
+    )
+    df = spark.createDataFrame(pdf)
+    assert metrics.accuracy(df, "y") == 0.75
+    import numpy as np
+
+    y, p = pdf["y"], pdf["prediction"]
+    exp_r2 = 1 - ((y - p) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+    assert abs(metrics.r2(df, "y") - exp_r2) < 1e-12
+    assert abs(metrics.rmse(df, "y") - np.sqrt(((y - p) ** 2).mean())) < 1e-12
+
+
+class _BroadcastableConstModel:
+    # module-level on purpose: sc.broadcast uses plain pickle, which cannot
+    # serialize test-local classes (real lightgbm/mllib models are
+    # module-level and pickle fine)
+    def predict(self, X):
+        return np.full(len(X), 3.0)
+
+
+def test_predict_udf_broadcast_variant(spark):
+    import pandas as pd
+
+    from dask_lightgbm_spark import core
+
+    udf = core.predict_udf_for(_BroadcastableConstModel(), ["a"], proba=False, spark=spark)
+    df = spark.createDataFrame(pd.DataFrame({"a": [1.0, 2.0]}))
+    assert [r.p for r in df.withColumn("p", udf(F.col("a"))).select("p").collect()] == [3.0, 3.0]
