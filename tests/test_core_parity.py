@@ -79,19 +79,40 @@ def test_metrics_helpers(spark):
     assert abs(metrics.rmse(df, "y") - np.sqrt(((y - p) ** 2).mean())) < 1e-12
 
 
-class _BroadcastableConstModel:
-    # module-level on purpose: sc.broadcast uses plain pickle, which cannot
-    # serialize test-local classes (real lightgbm/mllib models are
-    # module-level and pickle fine)
-    def predict(self, X):
-        return np.full(len(X), 3.0)
+def test_predict_udf_broadcast_variant():
+    """Explicit sc.broadcast model shipping. Runs in a subprocess with the
+    stub lightgbm on PYTHONPATH: plain pickle (which sc.broadcast uses)
+    serializes classes BY REFERENCE, so the model's class must be importable
+    on the Python workers — true for real lightgbm/mllib models installed on
+    executors, not for test-local classes."""
+    import os
+    import subprocess
+    import sys
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = """
+import sys
+import numpy as np, pandas as pd
+import lightgbm  # stub via PYTHONPATH — importable on workers too
+from dask_lightgbm_spark.session import get_spark
+from dask_lightgbm_spark import core
 
-def test_predict_udf_broadcast_variant(spark):
-    import pandas as pd
-
-    from dask_lightgbm_spark import core
-
-    udf = core.predict_udf_for(_BroadcastableConstModel(), ["a"], proba=False, spark=spark)
-    df = spark.createDataFrame(pd.DataFrame({"a": [1.0, 2.0]}))
-    assert [r.p for r in df.withColumn("p", udf(F.col("a"))).select("p").collect()] == [3.0, 3.0]
+spark = get_spark("bcast-test", cpus=2)
+model = lightgbm.LGBMRegressor().fit(np.array([[0.0], [1.0]]), np.array([3.0, 3.0]))
+udf = core.predict_udf_for(model, ["a"], proba=False, spark=spark)
+import pyspark.sql.functions as F
+df = spark.createDataFrame(pd.DataFrame({"a": [1.0, 2.0]}))
+vals = [r.p for r in df.withColumn("p", udf(F.col("a"))).select("p").collect()]
+assert vals == [3.0, 3.0], vals
+print("BCAST_OK")
+"""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (
+        os.path.join(repo, "tests", "stubs") + os.pathsep + repo
+        + os.pathsep + env.get("PYTHONPATH", "")
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script], env=env, capture_output=True, text=True, timeout=280
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "BCAST_OK" in proc.stdout
