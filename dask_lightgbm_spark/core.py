@@ -119,8 +119,11 @@ def train_lightgbm_barrier(
     params.setdefault("tree_learner", "data")  # reference default, core.py:122-125
     # per-task thread budget (reference sets num_threads=worker ncores,
     # core.py:120,130); spark.task.cpus is the per-task analog — defaulting
-    # to 0 (all cores) would oversubscribe executors running multiple tasks
-    params.setdefault("num_threads", int(sc.getConf().get("spark.task.cpus", "1")))
+    # to 0 (all cores) would oversubscribe executors running multiple tasks.
+    # Respect any LightGBM alias the caller may have used (the canonical
+    # name would win alias resolution and silently override their setting).
+    if not any(k in params for k in ("num_threads", "nthread", "nthreads", "n_jobs")):
+        params["num_threads"] = int(sc.getConf().get("spark.task.cpus", "1"))
 
     def _train_task(iterator):
         from pyspark import BarrierTaskContext
@@ -182,6 +185,10 @@ def predict_udf_for(
     (SURVEY.md §4 broadcast row)."""
     ret_type = T.ArrayType(T.DoubleType()) if proba else T.DoubleType()
     bc = spark.sparkContext.broadcast(model) if spark is not None else None
+    if bc is not None:
+        # drop the direct reference so ONLY the broadcast handle rides in the
+        # UDF closure — otherwise cloudpickle ships the model per task anyway
+        model = None
 
     @F.pandas_udf(ret_type)
     def _predict(*cols: pd.Series) -> pd.Series:

@@ -18,17 +18,21 @@ def accuracy(pred: DataFrame, label_col: str, pred_col: str = "prediction") -> f
 
 
 def r2(pred: DataFrame, label_col: str, pred_col: str = "prediction") -> float:
-    """Coefficient of determination from residual/total sums of squares
-    (reference R² expression) — one pass, no driver-side math beyond the
-    final division."""
+    """Coefficient of determination from residual/total sums of squares —
+    the reference's two-pass form (mean first, then centered sums,
+    test_fit_predict.py:53-56). Two passes on purpose: the one-pass
+    sum-of-squares shortcut cancels catastrophically for large label
+    magnitudes. Returns NaN for empty input or constant labels."""
+    mean_row = pred.agg(F.avg(F.col(label_col)).alias("m")).first()
+    if mean_row.m is None:
+        return float("nan")
     row = pred.agg(
         F.sum(F.pow(F.col(label_col) - F.col(pred_col), 2)).alias("ss_res"),
-        F.sum(F.pow(F.col(label_col), 2)).alias("ss_raw"),
-        F.sum(F.col(label_col)).alias("s"),
-        F.count(F.lit(1)).alias("n"),
+        F.sum(F.pow(F.col(label_col) - F.lit(mean_row.m), 2)).alias("ss_tot"),
     ).first()
-    ss_tot = row.ss_raw - row.s * row.s / row.n
-    return 1.0 - row.ss_res / ss_tot
+    if not row.ss_tot:
+        return float("nan")
+    return 1.0 - row.ss_res / row.ss_tot
 
 
 def rmse(pred: DataFrame, label_col: str, pred_col: str = "prediction") -> float:

@@ -91,10 +91,18 @@ class _LGBMModel(Model, _LGBMParams):
         self._inner = inner
 
     def _transform(self, dataset: DataFrame) -> DataFrame:
-        out = self._inner.transform(dataset, features_col=self.getFeaturesCol())
         pred_col = self.getPredictionCol()
+        if pred_col != "prediction" and pred_col in dataset.columns:
+            # withColumnRenamed would silently create a duplicate name
+            raise ValueError(
+                f"predictionCol {pred_col!r} already exists in the input"
+            )
+        out = self._inner.transform(dataset, features_col=self.getFeaturesCol())
         if pred_col != "prediction":  # honor the declared Param
             out = out.withColumnRenamed("prediction", pred_col)
+        # NB: classifier side-outputs (probability) keep their fixed name —
+        # chain-two-classifiers pipelines should rename/drop it between
+        # stages (probabilityCol param is a known gap, docs/NOTES_r1.md)
         return out
 
     def to_local(self):

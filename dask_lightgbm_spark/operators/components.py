@@ -70,6 +70,7 @@ def connected_components(
             break
     sym.unpersist()
     if not converged:
+        labels.unpersist()  # don't leak the unreachable cache on the error path
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds — "
             "component diameter exceeds max_iter; raise it"

@@ -547,15 +547,21 @@ def t15_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     ws = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
     d = d.select("doc_id", ws.alias("ws"))
-    ng = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("ws") - 2, F.lit(0))),
-        lambda g: F.concat_ws(
-            " ",
-            F.element_at(F.col("ws"), g),
-            F.element_at(F.col("ws"), g + F.lit(1)),
-            F.element_at(F.col("ws"), g + F.lit(2)),
+    # guard: Spark's sequence(1, 0) is the DESCENDING [1, 0], not [] (DuckDB
+    # generate_series(1,0) IS empty) — docs under 3 tokens need an explicit
+    # empty array or element_at walks off the end
+    ng = F.when(
+        F.size("ws") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - 2),
+            lambda g: F.concat_ws(
+                " ",
+                F.element_at(F.col("ws"), g),
+                F.element_at(F.col("ws"), g + F.lit(1)),
+                F.element_at(F.col("ws"), g + F.lit(2)),
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     d = d.select("doc_id", ng.alias("ng"))
     n = F.size("ng").cast("long")
     nd = F.size(F.array_distinct("ng")).cast("long")

@@ -53,3 +53,30 @@ def test_lang_id_deterministic(docs):
     preds = {r.doc_id: r.pred_lang for r in out1}
     assert preds[2] == "de"  # der/und/ist/die markers present
     assert preds[0] == "en"  # 'the' marker
+
+
+def test_repetition_ratio_short_docs(spark):
+    """Docs under 3 tokens must yield 0 grams, not crash: Spark's
+    sequence(1, 0) is the DESCENDING [1, 0] (review finding)."""
+    import pandas as pd
+
+    from dask_lightgbm_spark.queries.text import t15_repetition_ratio  # noqa: F401
+    from dask_lightgbm_spark.queries import all_queries
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": ["", "one", "one two", "a a a a a a"],
+                "lang": ["en"] * 4,
+                "source": ["s"] * 4,
+                "n_chars": [0, 3, 7, 11],
+            }
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r.doc_id: r for r in all_queries()["t15_repetition_ratio"](spark, d).collect()}
+        assert out[0].n_grams == 0 and out[0].rep_ratio == 0.0
+        assert out[1].n_grams == 0 and out[2].n_grams == 0
+        assert out[3].n_grams == 4 and out[3].n_distinct == 1
+        assert out[3].rep_ratio == 0.75
