@@ -25,7 +25,9 @@ def token_count(text: Column) -> Column:
 def text_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-doc quality features: length, token count, mean token length,
     whitespace ratio, stop-token ratio. Ratios are single divisions of
-    exact ints → engine-portable bit-exact."""
+    exact ints → engine-portable bit-exact. try_divide: Spark 4 runs ANSI
+    mode by default, so a plain `/` RAISES on zero (empty/whitespace-only
+    docs) while DuckDB — and therefore the oracle — yields NULL."""
     text = F.col(text_col)
     toks = _tokens(text)
     n_chars = F.length(text).cast("long")
@@ -36,9 +38,9 @@ def text_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
-        ((n_nonspace / n_tokens)).alias("avg_token_len"),
-        ((n_chars - n_nonspace) / n_chars).alias("space_ratio"),
-        (stop_toks / n_tokens).alias("stop_ratio"),
+        F.try_divide(n_nonspace, n_tokens).alias("avg_token_len"),
+        F.try_divide(n_chars - n_nonspace, n_chars).alias("space_ratio"),
+        F.try_divide(stop_toks, n_tokens).alias("stop_ratio"),
     )
 
 

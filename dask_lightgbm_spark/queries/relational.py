@@ -1256,7 +1256,9 @@ def q41_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         F.size(F.map_keys(m)).alias("n_keys"),
-        F.element_at(m, "k").alias("k_value"),
+        # try_element_at: ANSI mode (Spark 4 default) raises on a missing
+        # map key; the oracle's json_extract_string yields NULL
+        F.try_element_at(m, F.lit("k")).alias("k_value"),
     )
 
 

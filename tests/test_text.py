@@ -80,3 +80,17 @@ def test_repetition_ratio_short_docs(spark):
         assert out[1].n_grams == 0 and out[2].n_grams == 0
         assert out[3].n_grams == 4 and out[3].n_distinct == 1
         assert out[3].rep_ratio == 0.75
+
+
+def test_quality_degenerate_docs(spark):
+    """Empty / whitespace-only docs: ANSI Spark must NULL the ratios like
+    the DuckDB oracle, not raise DIVIDE_BY_ZERO."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["", "   "]})
+    )
+    out = {r.doc_id: r for r in text_ops.text_quality(df, "doc_id", "text").collect()}
+    assert out[0].n_tokens == 0 and out[0].avg_token_len is None
+    assert out[0].space_ratio is None  # n_chars == 0
+    assert out[1].n_tokens == 0 and out[1].stop_ratio is None
