@@ -37,7 +37,8 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: ANSI Spark raises on /0 (zero vector); DuckDB yields NULL
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def brute_force_knn(
@@ -64,7 +65,7 @@ def brute_force_knn(
         .select(
             "qid",
             "nid",
-            (dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias("cos"),
+            F.try_divide(dot(F.col("qv"), F.col("nv")), F.col("qn") * F.col("nn")).alias("cos"),
         )
     )
     w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
@@ -93,7 +94,7 @@ def assign_cells(
         id_col,
         "__v",
         "__cid",
-        (dot(F.col("__v"), F.col("__cv")) / (F.col("__vn") * F.col("__cn"))).alias("__cs"),
+        F.try_divide(dot(F.col("__v"), F.col("__cv")), F.col("__vn") * F.col("__cn")).alias("__cs"),
     )
     w = W.partitionBy(id_col).orderBy(F.desc("__cs"), F.asc("__cid"))
     return (
@@ -128,7 +129,7 @@ def ivf_knn(
         .select(
             "qid",
             "nid",
-            (dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias("cos"),
+            F.try_divide(dot(F.col("qv"), F.col("nv")), F.col("qn") * F.col("nn")).alias("cos"),
         )
     )
     w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
@@ -159,7 +160,7 @@ def cosine_neardup_pairs(
         .select(
             "id_a",
             "id_b",
-            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
+            F.try_divide(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -222,7 +223,7 @@ def lsh_knn(
         .select(
             "qid",
             "nid",
-            (dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias("cos"),
+            F.try_divide(dot(F.col("qv"), F.col("nv")), F.col("qn") * F.col("nn")).alias("cos"),
         )
     )
     w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))

@@ -244,7 +244,7 @@ def s06_neardup_in_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id_a",
             "id_b",
-            (sim.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
+            F.try_divide(sim.dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")).alias("cos"),
         )
         .filter(F.col("cos") >= 0.42)
     )
