@@ -1340,3 +1340,56 @@ def q44_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     return a.intersectAll(b)
+
+
+# ---------------------------------------------------------------------------
+# q45 — remaining window functions: lag/lead/first_value/ntile with a fully
+# deterministic ordering.
+# ---------------------------------------------------------------------------
+
+_Q45_SQL = """
+SELECT o_custkey, o_orderkey,
+       lag(o_orderkey) OVER w AS prev_order,
+       lead(o_orderkey) OVER w AS next_order,
+       first_value(o_orderkey) OVER w AS first_order,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@query("q45_window_functions", _Q45_SQL)
+def q45_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q46 — ordered string aggregation: Spark collect_list has no deterministic
+# order, so sort before joining (≡ string_agg ... ORDER BY).
+# ---------------------------------------------------------------------------
+
+_Q46_SQL = """
+SELECT o_custkey,
+       string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+@query("q46_string_agg", _Q46_SQL)
+def q46_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.array_join(F.array_sort(F.collect_list("o_orderstatus")), ",").alias("statuses"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
