@@ -237,6 +237,16 @@ class _SparkLGBMBase:
         ``to_local``, core.py:215-218)."""
         return self._model
 
+    @property
+    def feature_importances_(self):
+        """Per-feature importances in feature_cols order (sklearn/LightGBM
+        naming; MLlib models expose featureImportances as a vector)."""
+        if self._model is None:
+            raise RuntimeError("fit() first")
+        if self._backend_used == "lightgbm":
+            return list(self._model.feature_importances_)
+        return list(self._model.featureImportances.toArray())
+
     # -- persistence (MLlib writer for the mllib backend; LightGBM boosters
     # -- serialize via model_to_string — reference SURVEY.md §1 model object)
     def save(self, path: str) -> None:

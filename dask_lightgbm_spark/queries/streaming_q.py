@@ -41,3 +41,18 @@ def x02_stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFra
     from dask_lightgbm_spark.streaming.sessions import stream_user_totals
 
     return stream_user_totals(spark, sf_dir)
+
+
+_X03_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+@query("x03_stream_dedup_counts", _X03_SQL)
+def x03_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup (stateful dropDuplicates) + count, equal to the batch
+    COUNT(DISTINCT) oracle once the bounded stream drains."""
+    from dask_lightgbm_spark.streaming.events import stream_distinct_user_counts
+
+    return stream_distinct_user_counts(spark, sf_dir)

@@ -56,3 +56,26 @@ def stream_hourly_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+def stream_distinct_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DEDUPLICATION: dropDuplicates over a stream is Spark's
+    stateful distinct (state keyed on the dedup columns; at scale bounded
+    with a watermark). Distinct (user, event_type) pairs then count per
+    type — exact COUNT(DISTINCT) is not allowed in streaming aggs, and this
+    is the standard rewrite."""
+    import uuid as _uuid
+
+    src = read_events_stream(spark, sf_dir).select("user_id", "event_type")
+    counts = (
+        src.dropDuplicates(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    name = f"stream_dedup_{_uuid.uuid4().hex[:8]}"
+    q = counts.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

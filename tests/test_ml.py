@@ -247,3 +247,12 @@ def test_pipeline_prediction_col_param(spark, blobs2):
     )
     out = pipe.fit(blobs2).transform(blobs2)
     assert "pred_custom" in out.columns and "prediction" not in out.columns
+
+
+def test_feature_importances(spark, blobs2):
+    clf = SparkLGBMClassifier(n_estimators=5, backend="mllib")
+    clf.fit(blobs2, feature_cols=["f0", "f1"], label_col="target")
+    imp = clf.feature_importances_
+    assert len(imp) == 2 and abs(sum(imp) - 1.0) < 1e-9  # MLlib normalizes
+    with pytest.raises(RuntimeError):
+        SparkLGBMClassifier().feature_importances_
