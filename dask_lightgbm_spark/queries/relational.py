@@ -1393,3 +1393,30 @@ def q46_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.collect_list("o_orderstatus")), ",").alias("statuses"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q47 — correlated scalar subquery: per-customer order count computed as a
+# correlated subquery; Catalyst decorrelates it into an aggregate + outer
+# join (subquery decorrelation is one of the §4 optimizer capabilities the
+# substrate provides for free).
+# ---------------------------------------------------------------------------
+
+_Q47_SQL = """
+SELECT c_custkey, c_mktsegment,
+       (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+FROM customer c
+"""
+
+
+@query("q47_correlated_scalar_subquery", _Q47_SQL)
+def q47_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("__q47_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__q47_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment,
+               (SELECT COUNT(*) FROM __q47_orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM __q47_customer c
+        """
+    )
