@@ -73,26 +73,90 @@ def build_network_params(
 
 def concat(seq):
     """Concatenate a task's local batches (reference ``concat``,
-    core.py:51-62). Spark's Arrow boundary yields pandas objects, so only
-    the pandas/numpy branches are needed; sparse inputs arrive as MLlib
-    vectors and are densified upstream."""
-    seq = [s for s in seq if len(s)]
+    core.py:51-62). Spark's Arrow boundary yields pandas objects, so the
+    pandas/numpy branches cover the dense path; scipy CSR parts (the
+    reference's ``ss.vstack`` branch, core.py:56-57) are supported when
+    scipy is importable. Sparse MLlib vector columns take a faster route:
+    :func:`train_lightgbm_barrier` assembles ONE csr_matrix per task
+    directly from Arrow struct components (no per-part vstack at all)."""
+    seq = [s for s in seq if _part_len(s)]
     if not seq:
         return None
     if isinstance(seq[0], np.ndarray):
         return np.concatenate(seq)
     if isinstance(seq[0], (pd.DataFrame, pd.Series)):
         return pd.concat(seq, axis=0)
+    try:
+        import scipy.sparse as ss
+
+        if isinstance(seq[0], ss.spmatrix):
+            return ss.vstack(seq, format="csr")
+    except ImportError:
+        pass
     raise TypeError(f"Data must be either numpy arrays or pandas dataframes. Got {type(seq[0])}")
+
+
+def _part_len(part) -> int:
+    shape = getattr(part, "shape", None)
+    return shape[0] if shape is not None else len(part)
+
+
+def _csr_from_unwrapped(fv_values, n_features: int):
+    """Assemble one CSR matrix (or dense ndarray fallback when scipy is
+    absent) from a pandas Series of unwrap_udt(VectorUDT) structs — dicts
+    with fields (type, size, indices, values); type 0 = sparse, 1 = dense.
+    Touches only array *headers* per row (lengths + one concatenate), never
+    individual elements in Python — the reference's CSR branch
+    (core.py:56-57) without densifying."""
+    ind_parts, val_parts, lens = [], [], []
+    dense_rows = False
+    for fv in fv_values:
+        if fv["type"] == 1:  # dense vector row
+            dense_rows = True
+            break
+    if dense_rows:
+        # mixed/dense vectors: build the dense matrix directly
+        out = np.empty((len(fv_values), n_features), dtype=np.float64)
+        for i, fv in enumerate(fv_values):
+            if fv["type"] == 1:
+                out[i, :] = np.asarray(fv["values"], dtype=np.float64)
+            else:
+                row = np.zeros(n_features, dtype=np.float64)
+                idx = np.asarray(fv["indices"], dtype=np.int64)
+                row[idx] = np.asarray(fv["values"], dtype=np.float64)
+                out[i, :] = row
+        return out
+    for fv in fv_values:
+        idx = np.asarray(fv["indices"], dtype=np.int32)
+        ind_parts.append(idx)
+        val_parts.append(np.asarray(fv["values"], dtype=np.float64))
+        lens.append(len(idx))
+    indices = np.concatenate(ind_parts) if ind_parts else np.empty(0, dtype=np.int32)
+    values = np.concatenate(val_parts) if val_parts else np.empty(0, dtype=np.float64)
+    indptr = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=indptr[1:])
+    try:
+        import scipy.sparse as ss
+
+        return ss.csr_matrix((values, indices, indptr), shape=(len(lens), n_features))
+    except ImportError:
+        # documented fallback: no scipy on executors → densify (reference
+        # could not run sparse without scipy either)
+        out = np.zeros((len(lens), n_features), dtype=np.float64)
+        for i in range(len(lens)):
+            out[i, indices[indptr[i]:indptr[i + 1]]] = values[indptr[i]:indptr[i + 1]]
+        return out
 
 
 def train_lightgbm_barrier(
     df: DataFrame,
-    feature_cols: list[str],
+    feature_cols: list[str] | None,
     label_col: str,
     model_factory,
     params: dict,
     weight_col: str | None = None,
+    features_col: str | None = None,
+    n_features: int | None = None,
     num_workers: int | None = None,
     local_listen_port: int = DEFAULT_LISTEN_PORT,
     time_out: int = DEFAULT_TIME_OUT,
@@ -102,19 +166,61 @@ def train_lightgbm_barrier(
 
     One task per partition; LightGBM's own socket AllReduce
     (``tree_learner='data'`` → distributed histogram merge) runs between
-    tasks exactly as it ran between Dask workers. Partition 0 returns the
-    pickled fitted model.
+    tasks exactly as it ran between Dask workers. The first *data-holding*
+    task returns the pickled fitted model.
+
+    Ingest is **Arrow-batched** (``mapInPandas(..., barrier=True)``): each
+    task accumulates columnar pandas batches and builds its feature matrix
+    with one ``np.vstack`` — no Row objects, no per-element Python (the
+    reference's ``concat`` of pandas parts, core.py:72-75, re-expressed on
+    the Arrow boundary).
+
+    Feature supply is either ``feature_cols`` (numeric columns → dense
+    float64 matrix) or ``features_col`` (an MLlib VectorUDT column —
+    SparseVectors become one scipy CSR per task *without densifying*,
+    matching the reference's sparse containers, core.py:56-59).
+
+    Empty partitions (possible when rows < num_workers after round-robin
+    repartition) are excluded from the socket ring: tasks exchange row
+    counts via ``allGather`` — which is also the pre-socket rendezvous — and
+    only data-holding tasks enter the LightGBM network, mirroring the
+    reference where only workers that own parts participate
+    (``worker_map``, core.py:113-117). Real LightGBM rejects 0-sample fit,
+    so an empty task joining the ring would deadlock the rendezvous.
     """
     if not _HAVE_LGBM:
         raise RuntimeError(
             "lightgbm is not importable on the executors; use backend='mllib'"
         )
+    if (feature_cols is None) == (features_col is None):
+        raise ValueError("supply exactly one of feature_cols / features_col")
     sc = df.sparkSession.sparkContext
     num_workers = num_workers or max(sc.defaultParallelism // 4, 2)
-    cols = [*feature_cols, label_col] + ([weight_col] if weight_col else [])
-    part = df.select(*cols).repartition(num_workers)
+    # a barrier stage needs ALL its tasks scheduled at once; asking for more
+    # partitions than task slots would stall the scheduler's slot check for
+    # ~10 min before aborting, so clamp instead
+    num_workers = max(1, min(num_workers, sc.defaultParallelism))
 
-    n_feat = len(feature_cols)
+    sparse_mode = features_col is not None
+    if sparse_mode:
+        if n_features is None:
+            first = df.select(features_col).first()
+            if first is None:
+                raise ValueError("cannot train on an empty DataFrame")
+            n_features = len(first[0])
+        sel = [
+            F.unwrap_udt(F.col(features_col)).alias("__fv"),
+            F.col(label_col).alias("__label"),
+        ]
+        if weight_col:
+            sel.append(F.col(weight_col).alias("__weight"))
+        part = df.select(*sel).repartition(num_workers)
+        n_feat = n_features
+    else:
+        cols = [*feature_cols, label_col] + ([weight_col] if weight_col else [])
+        part = df.select(*cols).repartition(num_workers)
+        n_feat = len(feature_cols)
+
     params = dict(params)
     params.setdefault("tree_learner", "data")  # reference default, core.py:122-125
     # per-task thread budget (reference sets num_threads=worker ncores,
@@ -125,56 +231,91 @@ def train_lightgbm_barrier(
     if not any(k in params for k in ("num_threads", "nthread", "nthreads", "n_jobs")):
         params["num_threads"] = int(sc.getConf().get("spark.task.cpus", "1"))
 
-    def _train_task(iterator):
+    has_weight = weight_col is not None
+    fcols = list(feature_cols) if feature_cols else None
+    lcol = label_col
+    wcol = weight_col
+    csr_builder = _csr_from_unwrapped  # ships by value with the closure
+
+    def _train_task(batches):
         from pyspark import BarrierTaskContext
 
         ctx = BarrierTaskContext.get()
         infos = ctx.getTaskInfos()
-        hosts = [i.address.split(":")[0] for i in infos]
+        all_hosts = [i.address.split(":")[0] for i in infos]
         idx = ctx.partitionId()
-        # inlined build_network_params: the task closure must stay
-        # self-contained — referencing a module-level helper would make
-        # cloudpickle serialize it by reference and require this package on
-        # the executors' import path
-        ports = [local_listen_port + i for i in range(len(hosts))]
+
+        # columnar accumulation: one float64 block per Arrow batch
+        X_parts, y_parts, w_parts, fv_rows = [], [], [], []
+        for b in batches:
+            if len(b) == 0:
+                continue
+            if sparse_mode:
+                fv_rows.extend(b["__fv"].tolist())
+                y_parts.append(b["__label"].to_numpy())
+                if has_weight:
+                    w_parts.append(b["__weight"].to_numpy())
+            else:
+                X_parts.append(b[fcols].to_numpy(dtype=np.float64))
+                y_parts.append(b[lcol].to_numpy())
+                if has_weight:
+                    w_parts.append(b[wcol].to_numpy())
+        n_rows = sum(len(y) for y in y_parts)
+
+        # allGather doubles as the rendezvous (all peers reach this point
+        # before anyone opens a socket) and tells every task which
+        # partitions actually hold data
+        counts = [int(c) for c in ctx.allGather(str(n_rows))]
+        active = [i for i, c in enumerate(counts) if c > 0]
+        if not active:
+            if idx == 0:
+                raise ValueError("cannot train: all partitions are empty")
+            return
+        if n_rows == 0:
+            return  # no data → stay out of the LightGBM ring (see docstring)
+
+        rank = active.index(idx)
+        hosts = [all_hosts[i] for i in active]
+        ports = [local_listen_port + r for r in range(len(hosts))]
         net = {
             "machines": ",".join(f"{h}:{p}" for h, p in zip(hosts, ports)),
-            "local_listen_port": ports[idx],
+            "local_listen_port": ports[rank],
             "num_machines": len(hosts),
             "time_out": time_out,
         }
 
-        rows = list(iterator)
-        # all peers must reach the rendezvous before any socket opens
-        ctx.barrier()
-        import lightgbm as lgb
         from lightgbm.basic import _LIB, _safe_call
+
+        if sparse_mode:
+            data = csr_builder(fv_rows, n_feat)
+        else:
+            data = np.vstack(X_parts) if X_parts else np.empty((0, n_feat))
+        label = np.concatenate(y_parts)
+        weight = np.concatenate(w_parts) if w_parts else None
 
         local_params = {**params, **net}
         try:
-            if rows:
-                data = np.array([[r[i] for i in range(n_feat)] for r in rows], dtype=np.float64)
-                label = np.array([r[n_feat] for r in rows])
-                weight = (
-                    np.array([r[n_feat + 1] for r in rows]) if weight_col else None
-                )
-            else:  # a worker with no data still must join the network ring
-                data = np.empty((0, n_feat))
-                label = np.empty((0,))
-                weight = None
             model = model_factory(**local_params)
             model.fit(data, label, sample_weight=weight)
         finally:
             _safe_call(_LIB.LGBM_NetworkFree())  # reference core.py:81
-        if idx == 0:  # only the designated task returns the model (core.py:77-80)
-            yield pickle.dumps(model)
+        if rank == 0:  # first data-holding task returns the model (core.py:77-80)
+            yield pd.DataFrame({"model": [pickle.dumps(model)]})
 
-    [payload] = part.rdd.barrier().mapPartitions(_train_task).collect()
-    return pickle.loads(payload)
+    out = part.mapInPandas(_train_task, "model binary", barrier=True).collect()
+    if not out:
+        raise RuntimeError("barrier training returned no model")
+    return pickle.loads(out[0].model)
 
 
 def predict_udf_for(
-    model, feature_cols: list[str], proba: bool, n_classes: int = 2, spark=None
+    model,
+    feature_cols: list[str],
+    proba: bool,
+    n_classes: int = 2,
+    spark=None,
+    dtype=np.float64,
+    **predict_kwargs,
 ):
     """Arrow-vectorized inference UDF (reference ``_predict_part``,
     core.py:144-160). By default the model rides along by closure capture,
@@ -182,7 +323,15 @@ def predict_udf_for(
     pickles it once per task. Pass ``spark`` to ship it as an explicit
     broadcast variable instead — one copy per executor rather than one per
     task closure, the right choice for multi-hundred-MB boosters
-    (SURVEY.md §4 broadcast row)."""
+    (SURVEY.md §4 broadcast row).
+
+    ``**predict_kwargs`` are forwarded verbatim to the model's
+    ``predict``/``predict_proba`` — ``raw_score``, ``num_iteration``,
+    ``pred_leaf`` etc. (reference ``predict(..., **kwargs)``,
+    core.py:144-173). ``dtype`` controls the numpy output dtype before the
+    Arrow hand-off (reference default was float32, core.py:163; the Spark
+    column is DoubleType either way, so float64 is our lossless default —
+    pass ``np.float32`` to reproduce reference truncation semantics)."""
     ret_type = T.ArrayType(T.DoubleType()) if proba else T.DoubleType()
     bc = spark.sparkContext.broadcast(model) if spark is not None else None
     if bc is not None:
@@ -197,8 +346,38 @@ def predict_udf_for(
         if X.shape[0] == 0:  # empty-partition guard, reference core.py:147-148
             return pd.Series([], dtype=object if proba else np.float64)
         if proba:
-            out = m.predict_proba(X)
-            return pd.Series(list(out))
-        return pd.Series(m.predict(X).astype(np.float64))
+            out = np.asarray(m.predict_proba(X, **predict_kwargs), dtype=dtype)
+            return pd.Series(list(out.astype(np.float64)))
+        out = np.asarray(m.predict(X, **predict_kwargs), dtype=dtype)
+        return pd.Series(out.astype(np.float64))
+
+    return _predict
+
+
+def predict_udf_for_vector(
+    model, proba: bool, n_features: int, spark=None, dtype=np.float64, **predict_kwargs
+):
+    """Inference UDF over an *unwrapped* MLlib vector struct column
+    (``F.unwrap_udt(features)``) — SparseVector batches become one CSR
+    matrix per Arrow batch (no densify when scipy is present), matching the
+    reference's sparse predict path (core.py:56-59,144-160). Apply as
+    ``udf(F.unwrap_udt(F.col(features_col)))``."""
+    ret_type = T.ArrayType(T.DoubleType()) if proba else T.DoubleType()
+    bc = spark.sparkContext.broadcast(model) if spark is not None else None
+    if bc is not None:
+        model = None
+    builder = _csr_from_unwrapped
+
+    @F.pandas_udf(ret_type)
+    def _predict(fv: pd.Series) -> pd.Series:
+        m = bc.value if bc is not None else model
+        if len(fv) == 0:  # empty-partition guard, reference core.py:147-148
+            return pd.Series([], dtype=object if proba else np.float64)
+        X = builder(fv.tolist(), n_features)
+        if proba:
+            out = np.asarray(m.predict_proba(X, **predict_kwargs), dtype=dtype)
+            return pd.Series(list(out.astype(np.float64)))
+        out = np.asarray(m.predict(X, **predict_kwargs), dtype=dtype)
+        return pd.Series(out.astype(np.float64))
 
     return _predict

@@ -1,10 +1,20 @@
 """Minimal lightgbm stand-in for exercising the barrier training path in
 tests (the real native library is not in this image). Mimics the sklearn
 estimator surface the engine touches: fit/predict/predict_proba/classes_,
-plus basic._LIB.LGBM_NetworkFree. The 'model' is a class-prior/mean
-predictor — enough to assert orchestration, not learning quality."""
+plus basic._LIB.LGBM_NetworkFree. Like the real library it accepts dense
+ndarrays and scipy-style CSR matrices (anything with .toarray()), and its
+predict accepts the reference's passthrough kwargs (raw_score,
+num_iteration, ...), recording them so tests can assert the plumbing.
+The 'model' is a class-prior/mean predictor — enough to assert
+orchestration, not learning quality."""
 
 import numpy as np
+
+
+def _densify(X):
+    if hasattr(X, "toarray"):
+        return np.asarray(X.toarray())
+    return np.asarray(X)
 
 
 class _Base:
@@ -17,34 +27,48 @@ class _Base:
 
 class LGBMClassifier(_Base):
     def fit(self, X, y, sample_weight=None):
-        X = np.asarray(X)
+        X = _densify(X)
+        if len(np.asarray(y)) == 0:
+            # real lightgbm (sklearn check_X_y) rejects 0-sample fit
+            raise ValueError("Found array with 0 sample(s) while a minimum of 1 is required")
         y = np.asarray(y)
         self.n_features_in_ = X.shape[1] if X.ndim == 2 else 0
-        self.classes_ = np.unique(y) if len(y) else np.array([0.0])
-        vals, counts = (
-            np.unique(y, return_counts=True) if len(y) else (np.array([0.0]), np.array([1]))
-        )
+        self.fitted_X_sum_ = float(X.sum())
+        self.classes_ = np.unique(y)
+        vals, counts = np.unique(y, return_counts=True)
         self._majority = float(vals[np.argmax(counts)])
         self.fitted_rows_ = int(len(y))
         return self
 
-    def predict(self, X):
-        return np.full(len(np.asarray(X)), self._majority)
+    def predict(self, X, **kwargs):
+        self.last_predict_kwargs_ = dict(kwargs)
+        n = len(_densify(X))
+        if kwargs.get("raw_score"):
+            return np.full(n, -1.5)  # distinguishable raw-margin output
+        return np.full(n, self._majority)
 
-    def predict_proba(self, X):
-        n = len(np.asarray(X))
+    def predict_proba(self, X, **kwargs):
+        self.last_predict_kwargs_ = dict(kwargs)
+        n = len(_densify(X))
         k = max(len(self.classes_), 1)
         return np.full((n, k), 1.0 / k)
 
 
 class LGBMRegressor(_Base):
     def fit(self, X, y, sample_weight=None):
-        X = np.asarray(X)
+        X = _densify(X)
+        if len(np.asarray(y)) == 0:
+            raise ValueError("Found array with 0 sample(s) while a minimum of 1 is required")
         y = np.asarray(y)
         self.n_features_in_ = X.shape[1] if X.ndim == 2 else 0
-        self._mean = float(np.mean(y)) if len(y) else 0.0
+        self.fitted_X_sum_ = float(X.sum())
+        self._mean = float(np.mean(y))
         self.fitted_rows_ = int(len(y))
         return self
 
-    def predict(self, X):
-        return np.full(len(np.asarray(X)), self._mean)
+    def predict(self, X, **kwargs):
+        self.last_predict_kwargs_ = dict(kwargs)
+        n = len(_densify(X))
+        if kwargs.get("raw_score"):
+            return np.full(n, -1.5)
+        return np.full(n, self._mean)

@@ -48,6 +48,42 @@ assert list(m.classes_) == [0.0, 1.0]
 out = clf.transform(df)
 assert out.filter("prediction = 1.0").count() == 100  # stub majority class
 assert len(out.select("probability").first()[0]) == 2
+
+# predict kwargs passthrough (reference predict(..., **kwargs), core.py:163-173)
+raw = clf.transform(df, raw_score=True, num_iteration=2)
+assert raw.filter("prediction = -1.5").count() == 100  # stub raw-margin marker
+assert clf.to_local() is m
+
+# ---- empty partitions: rows < num_workers must still train (the empty
+# tasks sit out the socket ring via allGather; real lightgbm rejects
+# 0-sample fit, and the stub now does too) ----------------------------------
+tiny = spark.createDataFrame(pdf.head(3))
+# num_workers=8 also proves the slot clamp (4 local cores → 4 partitions)
+clf_tiny = SparkLGBMClassifier(n_estimators=2, backend="lightgbm", num_workers=8)
+clf_tiny.fit(tiny, feature_cols=["f0", "f1"], label_col="target")
+mt = clf_tiny.to_local()
+assert mt.fitted_rows_ > 0
+assert mt.params["num_machines"] <= 3, mt.params  # only data-holding tasks joined
+
+# ---- sparse features: SparseVector column → per-task CSR, no densify -----
+from pyspark.ml.linalg import Vectors, SparseVector
+rows = [
+    (SparseVector(50, {i % 50: 1.0, (i * 7) % 50: 2.0}), float(i % 2))
+    for i in range(80)
+]
+sdf = spark.createDataFrame(rows, ["features", "target"])
+# num_workers=1 so the returned (partition-0) stub model saw ALL rows —
+# makes the CSR-vs-dense differential exact
+clf_sp = SparkLGBMClassifier(n_estimators=2, backend="lightgbm", num_workers=1)
+clf_sp.fit(sdf, features_col="features", label_col="target")
+ms = clf_sp.to_local()
+assert ms.n_features_in_ == 50
+assert ms.fitted_rows_ == 80
+# differential: CSR ingest must see exactly the dense matrix's values
+dense_sum = float(sum(v.toArray().sum() for v, _ in rows))
+assert abs(ms.fitted_X_sum_ - dense_sum) < 1e-9, (ms.fitted_X_sum_, dense_sum)
+out_sp = clf_sp.transform(sdf)
+assert out_sp.select("prediction").count() == 80
 print("BARRIER_OK")
 """
 
