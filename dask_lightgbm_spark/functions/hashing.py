@@ -72,10 +72,14 @@ def poly_shingle_hash(codes: Column, g: Column, k: int) -> Column:
     ~10× cheaper than md5 per shingle and equally portable (oracle twin:
     :func:`sql_poly_shingle_hash`). Defined on ASCII/codepoint arrays;
     engines agree for any codepoint. Positions past the end (only possible
-    for docs shorter than k) yield NULL."""
+    for docs shorter than k) contribute code 0 — matching DuckDB, where
+    ``text[pos]`` out of range is ``''`` and ``ascii('') = 0``. Guarded with
+    try_element_at so ANSI mode (Spark 4 default) never throws on short or
+    empty documents."""
     h = F.lit(0).cast("long")
     for i in range(k):
-        h = (h * F.lit(POLY_MULT) + F.element_at(codes, g + F.lit(i))) % F.lit(POLY_MOD)
+        c = F.coalesce(F.try_element_at(codes, g + F.lit(i)), F.lit(0))
+        h = (h * F.lit(POLY_MULT) + c) % F.lit(POLY_MOD)
     return h
 
 

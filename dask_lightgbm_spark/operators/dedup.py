@@ -105,6 +105,14 @@ def shingle_hash_array(
 def signatures_from_array(arr: DataFrame, id_col: str, num_perm: int) -> DataFrame:
     """Wide minhash signature from per-doc hash arrays: (id, mh0..mh{n-1}).
     array_min over a row-local transform — NO shuffle at all."""
+    from dask_lightgbm_spark.functions.hashing import MINHASH_COEF
+
+    if not 1 <= num_perm <= len(MINHASH_COEF):
+        raise ValueError(
+            f"num_perm must be in [1, {len(MINHASH_COEF)}] (fixed permutation "
+            f"table shared with the SQL oracle); got {num_perm}"
+        )
+
     def perm_fn(i):
         # nb: a plain `lambda h, i=i:` would be treated as a binary
         # (element, index) HOF lambda by Spark — keep it unary via closure
@@ -130,6 +138,11 @@ def _band_views(
 ) -> DataFrame:
     """Union of per-band views of a wide signature: (id, band, bv0..bv{r-1}
     [, extras]) — the single source of the banding layout."""
+    if band_size < 1 or num_perm % band_size != 0:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be a positive multiple of band_size "
+            f"({band_size}); trailing permutations would be silently dropped"
+        )
     return functools.reduce(
         DataFrame.unionByName,
         [

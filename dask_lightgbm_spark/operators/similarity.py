@@ -81,9 +81,13 @@ def assign_cells(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF cell assignment: nearest centroid by cosine (tie → lowest
-    centroid id). Output: corpus columns + ``cell``."""
+    """IVF cell assignment: the ``nprobe`` nearest centroids by cosine
+    (tie → lowest centroid id). ``nprobe=1`` (default) is the storage
+    assignment — one row per vector; ``nprobe>1`` is the *probe* assignment
+    for the query side of multi-probe search — nprobe rows per vector.
+    Output: (id, v, cell)."""
     c = corpus.select(
         F.col(id_col), to_double_array(F.col(vec_col)).alias("__v")
     ).withColumn("__vn", norm(F.col("__v")))
@@ -99,7 +103,7 @@ def assign_cells(
     w = W.partitionBy(id_col).orderBy(F.desc("__cs"), F.asc("__cid"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        .filter(F.col("__rn") <= nprobe)
         .select(F.col(id_col), F.col("__v").alias("v"), F.col("__cid").alias("cell"))
     )
 
@@ -111,14 +115,19 @@ def ivf_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: search only the query's IVF cell.
+    """Approximate top-k: search the query's ``nprobe`` nearest IVF cells
+    (corpus vectors live in exactly one cell, so probing more cells raises
+    recall monotonically at nprobe× the join fan-out — the standard IVF
+    recall/cost dial). Still an equi-join on cell id; no cross product.
     Output: (qid, nid, rank, cos)."""
     centroids = corpus.filter(centroid_filter)
     assigned = assign_cells(corpus, centroids, id_col, vec_col)
-    q = assigned.filter(queries_filter).select(
-        F.col(id_col).alias("qid"), F.col("v").alias("qv"), F.col("cell")
-    )
+    # probe assignment computed on the (small) query subset only
+    q = assign_cells(
+        corpus.filter(queries_filter), centroids, id_col, vec_col, nprobe=nprobe
+    ).select(F.col(id_col).alias("qid"), F.col("v").alias("qv"), F.col("cell"))
     n = assigned.select(
         F.col(id_col).alias("nid"), F.col("v").alias("nv"), F.col("cell")
     )
@@ -202,17 +211,29 @@ def lsh_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
+    hamming_probe: int = 0,
 ) -> DataFrame:
-    """Approximate top-k cosine neighbors searching only the query's sign-LSH
+    """Approximate top-k cosine neighbors searching the query's sign-LSH
     bucket. Equi-join on the bucket id — each corpus row shuffles once; no
-    cross product. Recall < 1 by construction (more planes → smaller buckets
-    → faster/lower recall; multi-probe would raise it)."""
+    cross product. ``hamming_probe=1`` probes all buckets within Hamming
+    distance 1 of the query's bucket as well (flip each sign bit once:
+    +N_PLANES probes per query) — the multi-probe recall/cost dial; corpus
+    vectors live in exactly one bucket so probed candidate sets are
+    disjoint and recall rises monotonically."""
+    if hamming_probe not in (0, 1):
+        raise ValueError(f"hamming_probe must be 0 or 1, got {hamming_probe}")
     base = corpus.select(
         F.col(id_col), to_double_array(F.col(vec_col)).alias("__v")
     ).withColumn("__bkt", lsh_bucket(F.col("__v")))
     q = base.filter(queries_filter).select(
         F.col(id_col).alias("qid"), F.col("__v").alias("qv"), F.col("__bkt").alias("bkt")
     )
+    if hamming_probe == 1:
+        probes = F.array(
+            F.col("bkt"),
+            *[F.col("bkt").bitwiseXOR(F.lit(1 << p)) for p in range(N_PLANES)],
+        )
+        q = q.select("qid", "qv", F.explode(probes).alias("bkt"))
     n = base.select(
         F.col(id_col).alias("nid"), F.col("__v").alias("nv"), F.col("__bkt").alias("bkt")
     )

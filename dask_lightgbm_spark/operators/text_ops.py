@@ -70,9 +70,14 @@ def lang_scores(text: Column) -> dict[str, Column]:
     }
 
 
-def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def lang_id(
+    df: DataFrame, id_col: str, text_col: str, truth_col: str | None = None
+) -> DataFrame:
     """Predict language by marker-token argmax with a fixed CASE-chain
-    tie-break (first lang in sorted order wins ties)."""
+    tie-break (first lang in sorted order wins ties). ``truth_col``
+    optionally carries a ground-truth label column through (for accuracy
+    eval); the predictor itself needs no such column, so the operator works
+    on any (id, text) table."""
     scores = lang_scores(F.col(text_col))
     langs = sorted(scores)
     # CASE chain: first lang (sorted) whose score >= all others wins
@@ -86,7 +91,10 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             cond = c if cond is None else (cond & c)
         expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
     expr = expr.otherwise(F.lit(langs[0]))
-    return df.select(F.col(id_col), F.col("lang"), expr.alias("pred_lang"))
+    cols = [F.col(id_col)]
+    if truth_col is not None:
+        cols.append(F.col(truth_col))
+    return df.select(*cols, expr.alias("pred_lang"))
 
 
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

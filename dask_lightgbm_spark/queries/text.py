@@ -291,7 +291,7 @@ FROM scored
 @query("t08_lang_id", _T08_SQL)
 def t08_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return text_ops.lang_id(d, "doc_id", "text")
+    return text_ops.lang_id(d, "doc_id", "text", truth_col="lang")
 
 
 # ---------------------------------------------------------------------------

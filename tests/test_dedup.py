@@ -86,3 +86,54 @@ def test_connected_components_chain(spark):
     nodes = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2, 3, 4, 10, 11]}))
     out = {r.doc_id: r.component for r in connected_components(edges, nodes).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 4, 10: 10, 11: 10}
+
+
+def test_short_and_empty_docs_ansi_safe_and_oracle_parity(spark):
+    """Docs shorter than k_shingle (incl. empty) must not throw under ANSI
+    mode (Spark 4 default) and must produce bit-identical minhash signatures
+    to the DuckDB oracle, which computes ascii('')=0 for positions past the
+    end of the text."""
+    import duckdb
+    import pandas as pd
+
+    from dask_lightgbm_spark.functions.hashing import (
+        MINHASH_COEF,
+        MINHASH_PRIME,
+        sql_poly_shingle_hash,
+    )
+
+    pdf = pd.DataFrame(
+        {"doc_id": [0, 1, 2, 3], "text": ["", "ab", "abcd", "abcdefgh"]}
+    )
+    k, num_perm = 5, 4
+    sdf = spark.createDataFrame(pdf)
+    spark_sig = (
+        dedup.minhash_signatures(sdf, "doc_id", "text", k_shingle=k, num_perm=num_perm)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+
+    mins = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MINHASH_PRIME})) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_COEF[:num_perm])
+    )
+    oracle = duckdb.sql(
+        f"""
+        WITH arr AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(length(text) - {k - 1}, 1)),
+                   g -> {sql_poly_shingle_hash('text', 'g', k)})) AS hs
+          FROM pdf)
+        SELECT doc_id, {mins} FROM arr ORDER BY doc_id
+        """
+    ).df()
+    pd.testing.assert_frame_equal(
+        spark_sig.astype("int64"), oracle.astype("int64"), check_names=False
+    )
+
+    # the full LSH pipeline must also survive short docs ("" vs "ab" etc.)
+    out = dedup.minhash_lsh_neardup(
+        sdf, "doc_id", "text", k_shingle=k, num_perm=8, band_size=2, threshold=0.9
+    ).collect()
+    assert isinstance(out, list)

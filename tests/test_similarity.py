@@ -59,3 +59,72 @@ def test_cosine_exact_value(spark):
     )
     out = sim.brute_force_knn(df, df.filter(F.col("vec_id") == 0), k=1).collect()
     assert out[0].cos == 0.0  # orthogonal
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """Vectors in tight clusters so single-cell IVF genuinely misses some
+    true neighbors that a second probe recovers."""
+    rng = np.random.default_rng(7)
+    centers = [rng.normal(0, 1, 8) for _ in range(6)]
+    rows = []
+    for i in range(120):
+        c = centers[i % 6]
+        rows.append((i, [float(x) for x in c + rng.normal(0, 0.35, 8)]))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    return spark.createDataFrame(pdf)
+
+
+def _recall_vs_exact(approx_rows, exact_rows):
+    exact = {}
+    for r in exact_rows:
+        exact.setdefault(r.qid, set()).add(r.nid)
+    got = {}
+    for r in approx_rows:
+        got.setdefault(r.qid, set()).add(r.nid)
+    hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    return hits / total
+
+
+def test_ivf_multiprobe_recall_improves(clustered):
+    """nprobe=3 recall vs exact brute-force must be ≥ nprobe=1 recall, and
+    returned cosines must be oracle-exact (equal to brute-force cos for the
+    same (qid, nid))."""
+    qf = F.col("vec_id") < 12
+    cf = F.col("vec_id") % 11 == 0
+    exact = sim.brute_force_knn(clustered, clustered.filter(qf), k=5).collect()
+    one = sim.ivf_knn(clustered, qf, cf, k=5, nprobe=1).collect()
+    multi = sim.ivf_knn(clustered, qf, cf, k=5, nprobe=3).collect()
+    r1, r3 = _recall_vs_exact(one, exact), _recall_vs_exact(multi, exact)
+    assert r3 >= r1
+    assert r3 > 0.5  # multi-probe must genuinely recover neighbors
+    # cosine exactness: any (qid, nid) also present in exact must agree
+    exact_cos = {(r.qid, r.nid): r.cos for r in exact}
+    for r in multi:
+        if (r.qid, r.nid) in exact_cos:
+            assert r.cos == exact_cos[(r.qid, r.nid)]
+
+
+def test_lsh_multiprobe_recall_improves(clustered):
+    qf = F.col("vec_id") < 12
+    exact = sim.brute_force_knn(clustered, clustered.filter(qf), k=5).collect()
+    base = sim.lsh_knn(clustered, qf, k=5, hamming_probe=0).collect()
+    probed = sim.lsh_knn(clustered, qf, k=5, hamming_probe=1).collect()
+    r0, r1 = _recall_vs_exact(base, exact), _recall_vs_exact(probed, exact)
+    assert r1 >= r0
+    # probing extra buckets can only add candidates, so per-query result
+    # counts never shrink
+    def counts(rows):
+        out = {}
+        for r in rows:
+            out[r.qid] = out.get(r.qid, 0) + 1
+        return out
+
+    cb, cp = counts(base), counts(probed)
+    assert all(cp.get(q, 0) >= n for q, n in cb.items())
+
+
+def test_lsh_hamming_probe_validation(clustered):
+    with pytest.raises(ValueError):
+        sim.lsh_knn(clustered, F.col("vec_id") < 2, hamming_probe=2)

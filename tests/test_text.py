@@ -94,3 +94,15 @@ def test_quality_degenerate_docs(spark):
     assert out[0].n_tokens == 0 and out[0].avg_token_len is None
     assert out[0].space_ratio is None  # n_chars == 0
     assert out[1].n_tokens == 0 and out[1].stop_ratio is None
+
+
+def test_lang_id_works_without_lang_column(spark):
+    """lang_id must not require a ground-truth 'lang' column (generic
+    operator; the documents fixture just happens to carry one)."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["the cat sat", "der hund ist"]})
+    )
+    out = {r.doc_id: r.pred_lang for r in text_ops.lang_id(df, "doc_id", "text").collect()}
+    assert out == {0: "en", 1: "de"}
