@@ -160,9 +160,13 @@ def train_lightgbm_barrier(
     num_workers: int | None = None,
     local_listen_port: int = DEFAULT_LISTEN_PORT,
     time_out: int = DEFAULT_TIME_OUT,
+    **fit_kwargs,
 ):
     """Train a LightGBM estimator across a barrier stage (reference
-    ``train`` + ``_train_part``, core.py:65-141).
+    ``train`` + ``_train_part``, core.py:65-141). ``**fit_kwargs`` are
+    forwarded to the worker-side ``model.fit`` (reference ``train(...,
+    **kwargs)`` → ``_train_part`` → ``fit``, core.py:94,79) — e.g.
+    ``eval_metric``, ``callbacks``, ``categorical_feature``.
 
     One task per partition; LightGBM's own socket AllReduce
     (``tree_learner='data'`` → distributed histogram merge) runs between
@@ -296,7 +300,7 @@ def train_lightgbm_barrier(
         local_params = {**params, **net}
         try:
             model = model_factory(**local_params)
-            model.fit(data, label, sample_weight=weight)
+            model.fit(data, label, sample_weight=weight, **fit_kwargs)
         finally:
             _safe_call(_LIB.LGBM_NetworkFree())  # reference core.py:81
         if rank == 0:  # first data-holding task returns the model (core.py:77-80)

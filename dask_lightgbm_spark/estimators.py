@@ -133,6 +133,7 @@ class _SparkLGBMBase:
         features_col: str | None = None,
         label_col: str = "label",
         weight_col: str | None = None,
+        **fit_kwargs,
     ):
         backend = self._resolve_backend()
         self._backend_used = backend
@@ -169,10 +170,16 @@ class _SparkLGBMBase:
                 num_workers=self.num_workers,
                 local_listen_port=self.local_listen_port,
                 time_out=self.time_out,
+                **fit_kwargs,
             )
             if self._is_classifier:
                 self.classes_ = list(getattr(self._model, "classes_", []))
             return self
+        if fit_kwargs:
+            raise ValueError(
+                "fit kwargs passthrough requires the lightgbm backend; "
+                f"mllib estimators do not accept {sorted(fit_kwargs)}"
+            )
 
         # remember HOW features were supplied so transform() replays it
         self._fit_feature_mode = (

@@ -136,27 +136,36 @@ def minhash_signatures(
 def _band_views(
     sig: DataFrame, id_col: str, num_perm: int, band_size: int, extra_cols=()
 ) -> DataFrame:
-    """Union of per-band views of a wide signature: (id, band, bv0..bv{r-1}
-    [, extras]) — the single source of the banding layout."""
+    """Per-band view of a wide signature: (id, band, bv0..bv{r-1}
+    [, extras]) — the single source of the banding layout. ONE projection +
+    explode (not a union of per-band scans), so the signature input is read
+    once regardless of band count — at 100 TB a b-way union would re-scan
+    the signature b times."""
     if band_size < 1 or num_perm % band_size != 0:
         raise ValueError(
             f"num_perm ({num_perm}) must be a positive multiple of band_size "
             f"({band_size}); trailing permutations would be silently dropped"
         )
-    return functools.reduce(
-        DataFrame.unionByName,
-        [
-            sig.select(
-                F.col(id_col),
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band"),
                 *[
                     F.col(f"mh{b * band_size + j}").alias(f"bv{j}")
                     for j in range(band_size)
                 ],
-                *extra_cols,
             )
             for b in range(num_perm // band_size)
-        ],
+        ]
+    )
+    exploded = sig.select(
+        F.col(id_col), F.explode(band_structs).alias("__b"), *extra_cols
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("__b.band").alias("band"),
+        *[F.col(f"__b.bv{j}").alias(f"bv{j}") for j in range(band_size)],
+        *[F.col(c) for c in exploded.columns if c not in (id_col, "__b")],
     )
 
 
@@ -375,17 +384,22 @@ def simhash_neardup_pairs(
     d agrees on ≥1 block → equi-join per block, then exact hamming filter."""
     n_blocks = max_hamming + 1
     sig = simhash(df, id_col, text_col)
-    blocks = functools.reduce(
-        DataFrame.unionByName,
-        [
-            sig.select(
-                F.col(id_col),
-                F.col("simhash"),
-                F.lit(i).alias("blk_id"),
-                _simhash_blocks(F.col("simhash"), n_blocks)[i].alias("blk_val"),
-            )
+    # one projection + explode (not an n_blocks-way union): the signature
+    # input is scanned once regardless of block count
+    blk_cols = _simhash_blocks(F.col("simhash"), n_blocks)
+    blk_structs = F.array(
+        *[
+            F.struct(F.lit(i).alias("blk_id"), blk_cols[i].alias("blk_val"))
             for i in range(n_blocks)
-        ],
+        ]
+    )
+    blocks = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(blk_structs).alias("__blk")
+    ).select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.col("__blk.blk_id").alias("blk_id"),
+        F.col("__blk.blk_val").alias("blk_val"),
     )
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (

@@ -26,7 +26,8 @@ class _Base:
 
 
 class LGBMClassifier(_Base):
-    def fit(self, X, y, sample_weight=None):
+    def fit(self, X, y, sample_weight=None, **kwargs):
+        self.last_fit_kwargs_ = dict(kwargs)
         X = _densify(X)
         if len(np.asarray(y)) == 0:
             # real lightgbm (sklearn check_X_y) rejects 0-sample fit
@@ -55,7 +56,8 @@ class LGBMClassifier(_Base):
 
 
 class LGBMRegressor(_Base):
-    def fit(self, X, y, sample_weight=None):
+    def fit(self, X, y, sample_weight=None, **kwargs):
+        self.last_fit_kwargs_ = dict(kwargs)
         X = _densify(X)
         if len(np.asarray(y)) == 0:
             raise ValueError("Found array with 0 sample(s) while a minimum of 1 is required")

@@ -33,8 +33,11 @@ pdf = pd.DataFrame({
 df = spark.createDataFrame(pdf)
 
 clf = SparkLGBMClassifier(n_estimators=3, backend="lightgbm", num_workers=2)
-clf.fit(df, feature_cols=["f0", "f1"], label_col="target")
+clf.fit(df, feature_cols=["f0", "f1"], label_col="target", eval_metric="logloss")
 m = clf.to_local()
+
+# fit kwargs reached the worker-side model.fit (reference train(**kwargs))
+assert m.last_fit_kwargs_ == {"eval_metric": "logloss"}, m.last_fit_kwargs_
 
 # network params flowed into the worker-side estimator
 assert m.params["num_machines"] == 2, m.params
