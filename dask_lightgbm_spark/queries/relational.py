@@ -1420,3 +1420,140 @@ def q47_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFram
         FROM __q47_customer c
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q48 — time-RANGE window frame: per-event count/sum over the trailing hour
+# within its event_type, keyed on exact int64 microseconds so the frame
+# bounds are identical on both engines. Complements q39's ROWS frame — a
+# RANGE frame over a time axis is the other physical windowing mode (peers
+# by value, not position).
+# ---------------------------------------------------------------------------
+
+_Q48_SQL = """
+SELECT event_id,
+       COUNT(*) OVER w AS n_trailing_1h,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT) AS sum_cents_1h
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("q48_range_interval_window", _Q48_SQL)
+def q48_range_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).over(w).cast("long").alias("sum_cents_1h"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q49 — conditional aggregation (FILTER-clause semantics): per-segment
+# order stats split by status without self-joins — count_if / sum(CASE).
+# ---------------------------------------------------------------------------
+
+_Q49_SQL = """
+SELECT c.c_mktsegment,
+       CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+       CAST(SUM(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(SUM(CASE WHEN o.o_orderstatus = 'F'
+                     THEN CAST(round(o.o_totalprice*100) AS BIGINT) ELSE 0 END) AS BIGINT)
+         AS filled_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
+@query("q49_conditional_agg", _Q49_SQL)
+def q49_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count_if(F.col("o_orderstatus") == "F").alias("n_filled"),
+            F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
+            F.sum(
+                F.when(
+                    F.col("o_orderstatus") == "F",
+                    F.round(F.col("o_totalprice") * 100).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).cast("long").alias("filled_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q50 — analytic distribution window functions: percent_rank / cume_dist /
+# nth_value with an explicit full-partition frame (nth_value without one is
+# nondeterministic — the default frame stops at CURRENT ROW).
+# ---------------------------------------------------------------------------
+
+_Q50_SQL = """
+SELECT c_custkey, c_mktsegment,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd,
+       nth_value(c_custkey, 2) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS second_richest
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+"""
+
+
+@query("q50_distribution_windows", _Q50_SQL)
+def q50_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.nth_value("c_custkey", 2).over(wfull).alias("second_richest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q51 — UNPIVOT (wide measures → long): per-measure fixed-point totals over
+# lineitem. Spark: stack(); oracle: UNION ALL of per-measure aggregates
+# (semantically the UNPIVOT plan after pushdown).
+# ---------------------------------------------------------------------------
+
+_Q51_SQL = """
+SELECT 'discount' AS measure, CAST(SUM(CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS total_cents FROM lineitem
+UNION ALL
+SELECT 'extendedprice', CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'quantity', CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'tax', CAST(SUM(CAST(round(l_tax*100) AS BIGINT)) AS BIGINT) FROM lineitem
+"""
+
+
+@query("q51_unpivot_measures", _Q51_SQL)
+def q51_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.select(
+        F.expr(
+            "stack(4, 'discount', l_discount, 'extendedprice', l_extendedprice, "
+            "'quantity', l_quantity, 'tax', l_tax) AS (measure, val)"
+        )
+    )
+    return long.groupBy("measure").agg(
+        F.sum(F.round(F.col("val") * 100).cast("long")).cast("long").alias("total_cents")
+    )

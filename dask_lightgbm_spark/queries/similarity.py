@@ -343,3 +343,66 @@ SELECT qid, nid, rank, cos FROM ranked WHERE rank <= 3
 def s08_knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return sim.lsh_knn(e, queries_filter=F.col("vec_id") < 10, k=3, hamming_probe=1)
+
+
+# ---------------------------------------------------------------------------
+# s09 — k-means centroid training (Lloyd's, 2 fixed iterations): the "learn
+# your own IVF cells" path (operators/kmeans.py). The oracle chains one
+# assign+update CTE pair per iteration — generated from the same constants,
+# fixed-point means keep both engines bit-identical. Output is long-format
+# (cid, pos, val) so the hash compare sees scalars only.
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ITERS = 2
+_KM_DIM = 64
+
+
+def _sql_sqdist(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, len({a})), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+    )
+
+
+def _kmeans_oracle_sql(k: int, n_iters: int, dim: int) -> str:
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),",
+        f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS cv
+  FROM e WHERE vec_id < {k}
+)""",
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(f""",
+a{i} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_sql_sqdist('e.v', 'c.cv')} ASC, c.cid ASC) AS rn
+    FROM e, c{i - 1} c
+  ) WHERE rn = 1
+),
+c{i} AS (
+  SELECT cid, array_agg(m ORDER BY pos) AS cv FROM (
+    SELECT cid, pos,
+           CAST(SUM(CAST(round(val * 1000000) AS BIGINT)) AS DOUBLE)/1000000.0/COUNT(*) AS m
+    FROM (SELECT cid, g - 1 AS pos, v[g] AS val
+          FROM a{i}, (SELECT unnest(generate_series(1, {dim})) AS g))
+    GROUP BY cid, pos
+  ) GROUP BY cid
+)""")
+    parts.append(f"""
+SELECT cid, g - 1 AS pos, cv[g] AS val
+FROM c{n_iters}, (SELECT unnest(generate_series(1, {dim})) AS g)""")
+    return "".join(parts)
+
+
+@query("s09_kmeans_train", _kmeans_oracle_sql(_KM_K, _KM_ITERS, _KM_DIM))
+def s09_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_lightgbm_spark.operators.kmeans import kmeans_centroids_long
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return kmeans_centroids_long(
+        e, init_filter=F.col("vec_id") < _KM_K, n_iters=_KM_ITERS
+    )

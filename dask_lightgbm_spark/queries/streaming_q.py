@@ -56,3 +56,21 @@ def x03_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_lightgbm_spark.streaming.events import stream_distinct_user_counts
 
     return stream_distinct_user_counts(spark, sf_dir)
+
+
+_X04_SQL = """
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(e.value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+"""
+
+
+@query("x04_stream_static_join", _X04_SQL)
+def x04_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join (event stream enriched with the customer
+    dim) + streaming agg; drained final state equals the batch join oracle."""
+    from dask_lightgbm_spark.streaming.events import stream_static_segment_totals
+
+    return stream_static_segment_totals(spark, sf_dir)

@@ -571,3 +571,52 @@ def t15_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         nd.alias("n_distinct"),
         F.when(n > 0, F.lit(1.0) - nd / n).otherwise(F.lit(0.0)).alias("rep_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t16 — corpus token-frequency / Zipf profile: top-25 tokens with rank and
+# relative frequency. The canonical vocabulary statistic a training-data
+# pipeline computes before filtering; exact ints + one division → oracle
+# bit-parity. At scale: explode feeds a map-side partial count, shuffle
+# carries one row per distinct token, top-k via a single window over the
+# (small) vocabulary.
+# ---------------------------------------------------------------------------
+
+_T16_SQL = r"""
+WITH tok AS (
+  SELECT t AS token FROM (
+    SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS t
+    FROM documents
+  )
+),
+counts AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+total AS (SELECT SUM(n) AS total FROM counts),
+ranked AS (
+  SELECT token, CAST(n AS BIGINT) AS n,
+         CAST(row_number() OVER (ORDER BY n DESC, token) AS INTEGER) AS rnk
+  FROM counts
+)
+SELECT token, n, rnk, n / total.total AS freq
+FROM ranked CROSS JOIN total WHERE rnk <= 25
+"""
+
+
+@query("t16_token_zipf", _T16_SQL)
+def t16_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+        ).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    w = W.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 25)
+        .crossJoin(F.broadcast(total))
+        .select("token", "n", "rnk", (F.col("n") / F.col("total")).alias("freq"))
+    )

@@ -79,3 +79,42 @@ def stream_distinct_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+def stream_static_segment_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: enrich the event stream with the static customer
+    dimension (user_id = c_custkey), then aggregate per market segment.
+
+    The static side is a plain batch DataFrame — Spark re-plans it per
+    micro-batch and broadcasts it into the stream (the standard enrichment
+    topology: dims in a warehouse table, facts on a bus). Complete-mode
+    memory sink, drained synchronously."""
+    from dask_lightgbm_spark.sources.readers import load_table
+
+    src = read_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        src.join(F.broadcast(dim), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / F.lit(100.0)
+            ).alias("sum_value"),
+        )
+    )
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -128,3 +128,37 @@ def test_lsh_multiprobe_recall_improves(clustered):
 def test_lsh_hamming_probe_validation(clustered):
     with pytest.raises(ValueError):
         sim.lsh_knn(clustered, F.col("vec_id") < 2, hamming_probe=2)
+
+
+def test_kmeans_sse_decreases_and_is_deterministic(clustered):
+    """Lloyd's iterations must not increase within-cluster SSE, and the
+    fixed-point update rule must make repeat runs bit-identical."""
+    from dask_lightgbm_spark.operators import kmeans as km
+
+    e = clustered.select("vec_id", sim.to_double_array(F.col("embedding")).alias("v"))
+
+    init = [(i, [float(x) for x in r.v]) for i, r in enumerate(
+        e.filter(F.col("vec_id") < 6).orderBy("vec_id").collect()
+    )]
+
+    def total_sse(cents):
+        assigned = km.assign_to_literal_centroids(e, cents)
+        structs = F.array(
+            *[
+                F.struct(km.sq_dist(F.col("v"), km._lit_arr(cv)).alias("dist"),
+                         F.lit(int(cid)).alias("cid"))
+                for cid, cv in cents
+            ]
+        )
+        return assigned.select(F.array_min(structs)["dist"].alias("d")).agg(F.sum("d")).first()[0]
+
+    c1 = km.kmeans_centroids(clustered, F.col("vec_id") < 6, n_iters=1)
+    c2 = km.kmeans_centroids(clustered, F.col("vec_id") < 6, n_iters=3)
+    cents1 = [(r.cid, list(r.cv)) for r in c1.collect()]
+    cents3 = [(r.cid, list(r.cv)) for r in c2.collect()]
+    assert total_sse(init) >= total_sse(cents1) >= total_sse(cents3)
+
+    # determinism: bit-identical repeat
+    again = [(r.cid, list(r.cv)) for r in km.kmeans_centroids(
+        clustered, F.col("vec_id") < 6, n_iters=3).collect()]
+    assert again == cents3
