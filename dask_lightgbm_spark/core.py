@@ -101,51 +101,61 @@ def _part_len(part) -> int:
     return shape[0] if shape is not None else len(part)
 
 
-def _csr_from_unwrapped(fv_values, n_features: int):
-    """Assemble one CSR matrix (or dense ndarray fallback when scipy is
-    absent) from a pandas Series of unwrap_udt(VectorUDT) structs — dicts
-    with fields (type, size, indices, values); type 0 = sparse, 1 = dense.
-    Touches only array *headers* per row (lengths + one concatenate), never
-    individual elements in Python — the reference's CSR branch
-    (core.py:56-57) without densifying."""
-    ind_parts, val_parts, lens = [], [], []
-    dense_rows = False
-    for fv in fv_values:
-        if fv["type"] == 1:  # dense vector row
-            dense_rows = True
-            break
-    if dense_rows:
-        # mixed/dense vectors: build the dense matrix directly
-        out = np.empty((len(fv_values), n_features), dtype=np.float64)
-        for i, fv in enumerate(fv_values):
-            if fv["type"] == 1:
-                out[i, :] = np.asarray(fv["values"], dtype=np.float64)
-            else:
-                row = np.zeros(n_features, dtype=np.float64)
-                idx = np.asarray(fv["indices"], dtype=np.int64)
-                row[idx] = np.asarray(fv["values"], dtype=np.float64)
-                out[i, :] = row
-        return out
-    for fv in fv_values:
-        idx = np.asarray(fv["indices"], dtype=np.int32)
-        ind_parts.append(idx)
-        val_parts.append(np.asarray(fv["values"], dtype=np.float64))
-        lens.append(len(idx))
-    indices = np.concatenate(ind_parts) if ind_parts else np.empty(0, dtype=np.int32)
-    values = np.concatenate(val_parts) if val_parts else np.empty(0, dtype=np.float64)
-    indptr = np.zeros(len(lens) + 1, dtype=np.int64)
-    np.cumsum(lens, out=indptr[1:])
-    try:
-        import scipy.sparse as ss
+def _make_csr_builder():
+    """Factory so the builder pickles BY VALUE into executor closures
+    (a plain module-level function would pickle by reference and require
+    this package on the executors' import path)."""
 
-        return ss.csr_matrix((values, indices, indptr), shape=(len(lens), n_features))
-    except ImportError:
-        # documented fallback: no scipy on executors → densify (reference
-        # could not run sparse without scipy either)
-        out = np.zeros((len(lens), n_features), dtype=np.float64)
-        for i in range(len(lens)):
-            out[i, indices[indptr[i]:indptr[i + 1]]] = values[indptr[i]:indptr[i + 1]]
-        return out
+    def _csr_from_unwrapped(fv_values, n_features: int):
+        """Assemble one CSR matrix (or dense ndarray fallback when scipy is
+        absent) from a pandas Series of unwrap_udt(VectorUDT) structs — dicts
+        with fields (type, size, indices, values); type 0 = sparse, 1 = dense.
+        Touches only array *headers* per row (lengths + one concatenate), never
+        individual elements in Python — the reference's CSR branch
+        (core.py:56-57) without densifying."""
+        ind_parts, val_parts, lens = [], [], []
+        dense_rows = False
+        for fv in fv_values:
+            if fv["type"] == 1:  # dense vector row
+                dense_rows = True
+                break
+        if dense_rows:
+            # mixed/dense vectors: build the dense matrix directly
+            out = np.empty((len(fv_values), n_features), dtype=np.float64)
+            for i, fv in enumerate(fv_values):
+                if fv["type"] == 1:
+                    out[i, :] = np.asarray(fv["values"], dtype=np.float64)
+                else:
+                    row = np.zeros(n_features, dtype=np.float64)
+                    idx = np.asarray(fv["indices"], dtype=np.int64)
+                    row[idx] = np.asarray(fv["values"], dtype=np.float64)
+                    out[i, :] = row
+            return out
+        for fv in fv_values:
+            idx = np.asarray(fv["indices"], dtype=np.int32)
+            ind_parts.append(idx)
+            val_parts.append(np.asarray(fv["values"], dtype=np.float64))
+            lens.append(len(idx))
+        indices = np.concatenate(ind_parts) if ind_parts else np.empty(0, dtype=np.int32)
+        values = np.concatenate(val_parts) if val_parts else np.empty(0, dtype=np.float64)
+        indptr = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=indptr[1:])
+        try:
+            import scipy.sparse as ss
+
+            return ss.csr_matrix((values, indices, indptr), shape=(len(lens), n_features))
+        except ImportError:
+            # documented fallback: no scipy on executors → densify (reference
+            # could not run sparse without scipy either)
+            out = np.zeros((len(lens), n_features), dtype=np.float64)
+            for i in range(len(lens)):
+                out[i, indices[indptr[i]:indptr[i + 1]]] = values[indptr[i]:indptr[i + 1]]
+            return out
+
+    return _csr_from_unwrapped
+
+
+_csr_from_unwrapped = _make_csr_builder()
 
 
 def train_lightgbm_barrier(

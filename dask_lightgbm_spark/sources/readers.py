@@ -71,3 +71,21 @@ def read_csv_glob(
     elif infer:
         reader = reader.option("inferSchema", "true")
     return reader.csv(path)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    multiline: bool = False,
+) -> DataFrame:
+    """JSON-lines scan (gzip + glob transparent, one object per line —
+    the interchange format LLM-data pipelines exchange corpora in).
+    Pass an explicit schema at scale: schema inference reads the data
+    twice."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if multiline:
+        reader = reader.option("multiLine", "true")
+    return reader.json(path)

@@ -224,3 +224,47 @@ def test_asof_join_forward_and_nonmonotone_value(spark):
     assert got_b == {
         t: (v if pd.notna(v) else None) for t, v in zip(exp_b["t"], exp_b["val"])
     }
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    """write_json → read_jsonl round-trip preserves rows and schema."""
+    import pandas as pd
+
+    from dask_lightgbm_spark.sources.readers import read_jsonl
+    from dask_lightgbm_spark.sources.writers import write_json
+
+    pdf = pd.DataFrame(
+        {"id": [1, 2, 3], "text": ["a", "b", None], "score": [0.5, 1.5, -2.0]}
+    )
+    df = spark.createDataFrame(pdf)
+    path = str(tmp_path / "jl")
+    write_json(df, path)
+    back = read_jsonl(spark, path, schema="id bigint, text string, score double")
+    got = back.orderBy("id").toPandas()
+    pd.testing.assert_frame_equal(got, pdf)
+
+
+def test_multimodal_features_feed_knn(spark):
+    """End-to-end multimodal composition: binary payload → stubbed
+    feature-extract kernel → embedding column → brute-force kNN. Proves the
+    mapInPandas plumbing emits a schema the similarity operators accept."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dask_lightgbm_spark.operators import similarity as sim
+    from dask_lightgbm_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_features,
+    )
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(8), "text": [f"payload {i} " + "x" * i for i in range(8)]}
+    )
+    df = attach_binary_payload(spark.createDataFrame(pdf), "text")
+    feats = extract_features(df, "doc_id", "payload", dim=8)
+    emb = feats.select("doc_id", F.col("feature").alias("embedding"))
+    out = sim.brute_force_knn(
+        emb, emb.filter(F.col("doc_id") == 0), id_col="doc_id", k=3
+    ).collect()
+    assert len(out) == 3 and all(r.qid == 0 for r in out)
+    assert all(-1.0 <= r.cos <= 1.0 for r in out)
