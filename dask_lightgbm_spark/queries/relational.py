@@ -1557,3 +1557,45 @@ def q51_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return long.groupBy("measure").agg(
         F.sum(F.round(F.col("val") * 100).cast("long")).cast("long").alias("total_cents")
     )
+
+
+# ---------------------------------------------------------------------------
+# q52 — Python UDTF via LATERAL join (the table-function surface of the UDF
+# API): split each order's total into 3 integer-cent installments. Python
+# row-at-a-time is the slow path by design — registered on a bounded subset;
+# the same lateral topology with a builtin generator (explode/sequence) is
+# the scale path (exactly what the oracle formulates).
+# ---------------------------------------------------------------------------
+
+_Q52_SQL = """
+SELECT o_orderkey, CAST(i AS INTEGER) AS installment,
+       CAST(CASE WHEN i <= cents % 3 THEN cents // 3 + 1 ELSE cents // 3 END AS BIGINT)
+         AS amount_cents
+FROM (SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey < 1000),
+     (SELECT unnest(generate_series(1, 3)) AS i)
+"""
+
+
+@query("q52_python_udtf_lateral", _Q52_SQL)
+def q52_python_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="installment int, amount_cents bigint")
+    class SplitInstallments:
+        def eval(self, total_cents: int, n: int):
+            base, rem = divmod(total_cents, n)
+            for i in range(n):
+                yield i + 1, base + (1 if i < rem else 0)
+
+    spark.udtf.register("split_installments", SplitInstallments)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    o.select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    ).createOrReplaceTempView("__q52_orders")
+    return spark.sql(
+        """
+        SELECT t.o_orderkey, s.installment, s.amount_cents
+        FROM __q52_orders t, LATERAL split_installments(cents, 3) s
+        """
+    )

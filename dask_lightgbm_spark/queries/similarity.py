@@ -365,7 +365,9 @@ def _sql_sqdist(a: str, b: str) -> str:
     )
 
 
-def _kmeans_oracle_sql(k: int, n_iters: int, dim: int) -> str:
+def _kmeans_cte_prefix(k: int, n_iters: int, dim: int) -> str:
+    """Shared chained-CTE k-means prefix ending at centroid table
+    ``c{n_iters}`` — s09 selects it, s10 searches with it."""
     parts = [
         "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),",
         f"""c0 AS (
@@ -392,10 +394,16 @@ c{i} AS (
     GROUP BY cid, pos
   ) GROUP BY cid
 )""")
-    parts.append(f"""
-SELECT cid, g - 1 AS pos, cv[g] AS val
-FROM c{n_iters}, (SELECT unnest(generate_series(1, {dim})) AS g)""")
     return "".join(parts)
+
+
+def _kmeans_oracle_sql(k: int, n_iters: int, dim: int) -> str:
+    return (
+        _kmeans_cte_prefix(k, n_iters, dim)
+        + f"""
+SELECT cid, g - 1 AS pos, cv[g] AS val
+FROM c{n_iters}, (SELECT unnest(generate_series(1, {dim})) AS g)"""
+    )
 
 
 @query("s09_kmeans_train", _kmeans_oracle_sql(_KM_K, _KM_ITERS, _KM_DIM))
@@ -405,4 +413,79 @@ def s09_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return kmeans_centroids_long(
         e, init_filter=F.col("vec_id") < _KM_K, n_iters=_KM_ITERS
+    )
+
+
+# ---------------------------------------------------------------------------
+# s10 — IVF search over LEARNED cells: the end-to-end "train your index,
+# then search it" pipeline. Centroids come from s09's k-means (collected to
+# the driver — k×dim doubles — and embedded as literals, so corpus cell
+# assignment is a zero-shuffle map); search is cosine top-3 within the
+# query's cell. Oracle chains the k-means CTEs with the assignment+search.
+# ---------------------------------------------------------------------------
+
+_S10_SQL = (
+    _kmeans_cte_prefix(_KM_K, _KM_ITERS, _KM_DIM)
+    + f""",
+af AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_sql_sqdist('e.v', 'c.cv')} ASC, c.cid ASC) AS rn
+    FROM e, c{_KM_ITERS} c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, v AS qv, cid FROM af WHERE vec_id < 10),
+scored AS (
+  SELECT q.qid, n.vec_id AS nid, {_sql_cos('q.qv', 'n.v')} AS cos
+  FROM q JOIN af n ON q.cid = n.cid AND n.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, nid, cos,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT qid, nid, rank, cos FROM ranked WHERE rank <= 3"""
+)
+
+
+@query("s10_ivf_learned_cells", _S10_SQL)
+def s10_ivf_learned_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from dask_lightgbm_spark.operators.kmeans import (
+        assign_to_literal_centroids,
+        kmeans_centroids,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents_df = kmeans_centroids(
+        e, init_filter=F.col("vec_id") < _KM_K, n_iters=_KM_ITERS
+    )
+    cents = [(r.cid, list(r.cv)) for r in cents_df.collect()]
+    corpus = e.select("vec_id", sim.to_double_array(F.col("embedding")).alias("v"))
+    assigned = assign_to_literal_centroids(corpus, cents)
+    q = assigned.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("cid")
+    )
+    n = assigned.select(
+        F.col("vec_id").alias("nid"), F.col("v").alias("nv"), F.col("cid")
+    )
+    scored = (
+        n.withColumn("nn", sim.norm(F.col("nv")))
+        .join(F.broadcast(q.withColumn("qn", sim.norm(F.col("qv")))), "cid")
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.try_divide(
+                sim.dot(F.col("qv"), F.col("nv")), F.col("qn") * F.col("nn")
+            ).alias("cos"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "nid", "rank", "cos")
     )

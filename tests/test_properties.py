@@ -108,3 +108,49 @@ def test_fingerprint_normalization_property(spark, a, pad):
     )
     fps = {r.doc_id: r.fp for r in fingerprint(df, "doc_id", "text").collect()}
     assert fps[0] == fps[1]
+
+
+def test_shingle_hash_unicode_cross_engine_parity(spark):
+    """The shingle rolling hash is defined on codepoints; both engines must
+    produce identical values for multibyte text (incl. astral-plane emoji)
+    and for control characters — pins the docstring claim."""
+    import duckdb
+
+    from dask_lightgbm_spark.functions.hashing import sql_poly_shingle_hash
+    from dask_lightgbm_spark.operators import dedup
+
+    docs = ["héllo wörld", "日本語のテキスト", "emoji 🙂 test", "mixed Ω≈ç√", "tab\tand\nnewline"]
+    pdf = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    k = 3
+    s = dedup.shingle_hash_array(
+        spark.createDataFrame(pdf), "doc_id", "text", k
+    ).orderBy("doc_id").toPandas()
+    o = duckdb.sql(
+        f"""
+        SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(length(text) - {k - 1}, 1)),
+          g -> {sql_poly_shingle_hash('text', 'g', k)})) AS hs
+        FROM pdf ORDER BY doc_id"""
+    ).df()
+    for i in range(len(docs)):
+        assert sorted(s.hs[i]) == sorted(o.hs[i]), docs[i]
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.text(min_size=0, max_size=40), st.integers(min_value=0, max_value=5))
+def test_lsh_always_finds_exact_duplicates(spark, text, n_extra):
+    """Identical documents have identical signatures, land in every band
+    bucket together, and pass Jaccard=1 verification — for ANY content,
+    including empty, short, and unicode text (post-ANSI-fix invariant)."""
+    from dask_lightgbm_spark.operators.dedup import minhash_lsh_neardup
+
+    rows = [(0, text), (1, text)] + [
+        (2 + i, f"unrelated filler document number {i} {'y' * (i + 7)}")
+        for i in range(n_extra)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_neardup(df, "doc_id", "text", threshold=0.99).collect()
+    }
+    assert pairs.get((0, 1)) == 1.0
