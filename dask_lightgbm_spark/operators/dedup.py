@@ -260,9 +260,11 @@ def minhash_lsh_neardup(
     if est_min_matches is None:
         est_min_matches = num_perm // 2
     # per-doc hash arrays feed both the signature and the verify stage —
-    # persist so the shingling projection runs once
+    # persist so the shingling projection runs once. The signature itself is
+    # NOT persisted: since the band views became a single explode, sig is
+    # consumed exactly once, and a cache write would be pure overhead.
     arr = shingle_hash_array(df, id_col, text_col, k_shingle).persist()
-    sig = signatures_from_array(arr, id_col, num_perm).persist()
+    sig = signatures_from_array(arr, id_col, num_perm)
     # band views carry the FULL signature as an array so the estimate filter
     # evaluates inline on the band join output — no extra signature joins
     sig_arr = F.array(*[F.col(f"mh{i}") for i in range(num_perm)])

@@ -100,6 +100,21 @@ def assign_cells(
         "__cid",
         F.try_divide(dot(F.col("__v"), F.col("__cv")), F.col("__vn") * F.col("__cn")).alias("__cs"),
     )
+    if nprobe == 1:
+        # argmax via struct-max aggregation instead of a row_number window:
+        # the groupBy gets a map-side partial combine (broadcast join keeps
+        # corpus partitioning, so all k candidate rows of a vector are
+        # already co-located) — the shuffle carries one row per corpus
+        # vector, not corpus × k sorted rows. Tie semantics identical:
+        # max(cs), then min cid via negated field.
+        best = F.max(
+            F.struct(F.col("__cs").alias("cs"), (-F.col("__cid")).alias("negcid"))
+        ).alias("__b")
+        return (
+            scored.groupBy(id_col)
+            .agg(best, F.first("__v").alias("v"))
+            .select(F.col(id_col), F.col("v"), (-F.col("__b.negcid")).alias("cell"))
+        )
     w = W.partitionBy(id_col).orderBy(F.desc("__cs"), F.asc("__cid"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))

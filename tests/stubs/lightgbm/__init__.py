@@ -28,6 +28,10 @@ class _Base:
 class LGBMClassifier(_Base):
     def fit(self, X, y, sample_weight=None, **kwargs):
         self.last_fit_kwargs_ = dict(kwargs)
+        if self.params.get("fail_marker"):
+            # test hook: lets the suite assert worker-side fit errors
+            # propagate to the driver (reference error path, core.py:108-110)
+            raise RuntimeError("injected worker failure")
         X = _densify(X)
         if len(np.asarray(y)) == 0:
             # real lightgbm (sklearn check_X_y) rejects 0-sample fit

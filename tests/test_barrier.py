@@ -87,6 +87,17 @@ dense_sum = float(sum(v.toArray().sum() for v, _ in rows))
 assert abs(ms.fitted_X_sum_ - dense_sum) < 1e-9, (ms.fitted_X_sum_, dense_sum)
 out_sp = clf_sp.transform(sdf)
 assert out_sp.select("prediction").count() == 80
+
+# ---- worker-side fit errors must propagate to the driver (reference
+# error path, core.py:108-110 / A14) --------------------------------------
+clf_err = SparkLGBMClassifier(
+    n_estimators=1, backend="lightgbm", num_workers=2, fail_marker=True
+)
+try:
+    clf_err.fit(df, feature_cols=["f0", "f1"], label_col="target")
+    raise SystemExit("expected worker failure to propagate")
+except Exception as e:
+    assert "injected worker failure" in str(e), str(e)[:500]
 print("BARRIER_OK")
 """
 
