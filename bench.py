@@ -90,12 +90,15 @@ def main():
         load_table(spark, sf_dir, t).count()
     qs["q05_top_orders"](spark, sf_dir).collect()
 
-    # min of 2 runs per query: first run pays plan-compile + page-cache
-    # warmup; min reflects steady-state throughput with far less jitter
+    # min of 3 runs per query: first run pays plan-compile + page-cache
+    # warmup; min reflects steady-state throughput. Three (not two) because
+    # this host's available CPU fluctuates between rounds by up to ~1.7×
+    # (identical code measured 10.7 s and 15.6 s an hour apart) — min-of-3
+    # rejects most of that noise.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best, n = None, 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             n = len(qs[name](spark, sf_dir).toPandas())
             dt = time.time() - t0

@@ -392,11 +392,14 @@ def predict_udf_for_vector(
     builder = _csr_from_unwrapped
 
     @F.pandas_udf(ret_type)
-    def _predict(fv: pd.Series) -> pd.Series:
+    def _predict(fv: pd.DataFrame) -> pd.Series:
+        # scalar pandas UDFs receive struct columns as a pd.DataFrame with
+        # one column per field (unlike mapInPandas, which yields a Series
+        # of dicts)
         m = bc.value if bc is not None else model
         if len(fv) == 0:  # empty-partition guard, reference core.py:147-148
             return pd.Series([], dtype=object if proba else np.float64)
-        X = builder(fv.tolist(), n_features)
+        X = builder(fv.to_dict("records"), n_features)
         if proba:
             out = np.asarray(m.predict_proba(X, **predict_kwargs), dtype=dtype)
             return pd.Series(list(out.astype(np.float64)))

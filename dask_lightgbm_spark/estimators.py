@@ -315,6 +315,8 @@ class _SparkLGBMBase:
             "feature_cols": self._feature_cols,
             "feature_mode": list(getattr(self, "_fit_feature_mode", ("col", "features"))),
             "params": self.get_params(),
+            "features_col": getattr(self, "_features_col", None),
+            "n_features": getattr(self, "_n_features", None),
             "extra_params": self.extra_params,
             # numpy scalars are not JSON-serializable — unwrap to python
             "classes": (
@@ -362,6 +364,8 @@ class _SparkLGBMBase:
         )
         inst._backend_used = meta["backend"]
         inst._feature_cols = meta["feature_cols"]
+        inst._features_col = meta.get("features_col")
+        inst._n_features = meta.get("n_features")
         inst.classes_ = meta.get("classes")
         mode, val = meta.get("feature_mode", ["col", "features"])
         inst._fit_feature_mode = (mode, val)

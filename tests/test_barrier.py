@@ -88,6 +88,17 @@ assert abs(ms.fitted_X_sum_ - dense_sum) < 1e-9, (ms.fitted_X_sum_, dense_sum)
 out_sp = clf_sp.transform(sdf)
 assert out_sp.select("prediction").count() == 80
 
+# ---- save/load round-trip for the sparse (features_col) lightgbm model --
+import tempfile
+with tempfile.TemporaryDirectory() as td:
+    clf_sp.save(td)
+    clf_sp2 = SparkLGBMClassifier.load(spark, td)
+    assert clf_sp2._features_col == "features" and clf_sp2._n_features == 50
+    p1 = clf_sp.transform(sdf).select("prediction").toPandas()
+    p2 = clf_sp2.transform(sdf).select("prediction").toPandas()
+    assert p1.equals(p2)
+    assert clf_sp2.classes_ == [0.0, 1.0]
+
 # ---- worker-side fit errors must propagate to the driver (reference
 # error path, core.py:108-110 / A14) --------------------------------------
 clf_err = SparkLGBMClassifier(

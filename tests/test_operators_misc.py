@@ -268,3 +268,39 @@ def test_multimodal_features_feed_knn(spark):
     ).collect()
     assert len(out) == 3 and all(r.qid == 0 for r in out)
     assert all(-1.0 <= r.cos <= 1.0 for r in out)
+
+
+def test_concat_scipy_csr_branch():
+    """concat must vstack scipy-style CSR parts (reference concat,
+    core.py:56-57) — exercised via the constructor-compatible scipy stub."""
+    import os
+    import sys
+
+    stubs = os.path.join(os.path.dirname(__file__), "stubs")
+    sys.path.insert(0, stubs)
+    try:
+        for m in [m for m in list(sys.modules) if m.startswith("scipy")]:
+            del sys.modules[m]
+        import numpy as np
+        import scipy.sparse as ss
+
+        from dask_lightgbm_spark.core import concat
+
+        a = ss.csr_matrix(
+            (np.array([1.0, 2.0]), np.array([0, 2]), np.array([0, 1, 2])), shape=(2, 3)
+        )
+        b = ss.csr_matrix(
+            (np.array([3.0]), np.array([1]), np.array([0, 1])), shape=(1, 3)
+        )
+        out = concat([a, b])
+        assert out.shape == (3, 3)
+        assert out.toarray().tolist() == [
+            [1.0, 0.0, 0.0],
+            [0.0, 0.0, 2.0],
+            [0.0, 3.0, 0.0],
+        ]
+        assert concat([]) is None
+    finally:
+        sys.path.remove(stubs)
+        for m in [m for m in list(sys.modules) if m.startswith("scipy")]:
+            del sys.modules[m]
