@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from dask_lightgbm_spark.functions.hashing import (
     MINHASH_COEF,
     MINHASH_PRIME,
+    sql_hash32,
     sql_hash60,
     sql_poly_shingle_hash,
 )
@@ -619,4 +620,51 @@ def t16_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 25)
         .crossJoin(F.broadcast(total))
         .select("token", "n", "rnk", (F.col("n") / F.col("total")).alias("freq"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# t17 — deterministic train/val/test split: bucket = md5-hash(doc_id) mod
+# 100 → 80/10/10. Hash-based (not rand()) so the split is reproducible
+# across engines, runs, and cluster sizes — the correct way to split a
+# 100 TB corpus (a seeded rand() is partition-order-dependent in Spark).
+# Oracle computes the identical buckets, so the gate checks membership
+# exactly, not just proportions.
+# ---------------------------------------------------------------------------
+
+_T17_SQL = f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         ({sql_hash32("CAST(doc_id AS VARCHAR)")}) % 100 AS bucket
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang,
+         CASE WHEN bucket < 80 THEN 'train'
+              WHEN bucket < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM b
+)
+SELECT split, lang, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM s GROUP BY split, lang
+"""
+
+
+@query("t17_deterministic_split", _T17_SQL)
+def t17_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_lightgbm_spark.functions.hashing import md5_hash32
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = md5_hash32(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select("doc_id", "lang", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
     )
