@@ -74,3 +74,27 @@ def x04_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_lightgbm_spark.streaming.events import stream_static_segment_totals
 
     return stream_static_segment_totals(spark, sf_dir)
+
+
+_X05_SQL = """
+WITH mx AS (SELECT MAX(ts) AS max_ts FROM events),
+w AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+  FROM events GROUP BY 1, 2
+)
+SELECT w.hour, w.event_type, w.n, w.sum_value
+FROM w, mx
+WHERE w.hour + INTERVAL 1 HOUR <= mx.max_ts - INTERVAL 30 MINUTE
+"""
+
+
+@query("x05_stream_append_watermark", _X05_SQL)
+def x05_stream_append_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode watermarked windowed agg (each closed window emitted
+    exactly once); the bounded drain pins the final watermark at
+    max(ts) - 30 min, so emitted windows = the batch oracle's set."""
+    from dask_lightgbm_spark.streaming.events import stream_windowed_append
+
+    return stream_windowed_append(spark, sf_dir)

@@ -118,3 +118,45 @@ def stream_static_segment_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+def stream_windowed_append(
+    spark: SparkSession, sf_dir: str, delay: str = "30 minutes"
+) -> DataFrame:
+    """APPEND-mode hourly windowed aggregation with a watermark — the
+    production streaming mode (complete mode can't scale unbounded key
+    domains; append emits each window exactly once when the watermark
+    passes its end).
+
+    On a bounded drain the final watermark is max(ts) - delay (no-data
+    micro-batches flush every closed window), so the emitted set is exactly
+    the windows with end <= max(ts) - delay — which is what the batch
+    oracle computes. Windows still open at drain time are withheld by
+    design; at scale they'd emit when later data advances the watermark."""
+    src = read_events_stream(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", delay)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / F.lit(100.0)
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("hour"), "event_type", "n", "sum_value"
+        )
+    )
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
