@@ -668,3 +668,45 @@ def t17_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t18 — PII-ish pattern scan (emails / URLs): the redaction-stage statistic
+# of a training-data pipeline. Patterns stay within the regex subset Java
+# and RE2 interpret identically (character classes, alternation, bounded
+# repetition — no lookaround/backrefs), probed cross-engine in CI.
+# Row-local regexp scan → one tiny aggregation; scales linearly.
+# ---------------------------------------------------------------------------
+
+_EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RX = r"https?://[^ ]+"
+
+_T18_SQL = f"""
+WITH scanned AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{_EMAIL_RX}')) AS n_emails,
+         len(regexp_extract_all(text, '{_URL_RX}')) AS n_urls
+  FROM documents
+)
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+       CAST(SUM(n_urls) AS BIGINT) AS total_urls,
+       CAST(SUM(CASE WHEN n_emails + n_urls > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_flagged
+FROM scanned
+"""
+
+
+@query("t18_pii_scan", _T18_SQL)
+def t18_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_emails = F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RX), F.lit(0)))
+    n_urls = F.size(F.regexp_extract_all("text", F.lit(_URL_RX), F.lit(0)))
+    scanned = d.select(
+        n_emails.alias("n_emails"), n_urls.alias("n_urls")
+    )
+    return scanned.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_emails").cast("long").alias("total_emails"),
+        F.sum("n_urls").cast("long").alias("total_urls"),
+        F.sum(((F.col("n_emails") + F.col("n_urls")) > 0).cast("long")).cast("long").alias("docs_flagged"),
+    )
