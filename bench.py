@@ -7,6 +7,14 @@ Query set spans the engine's surface: columnar scan+agg, broadcast joins,
 windows, sessionization, as-of join, MinHash-LSH dedup, SimHash, KNN.
 Timings are end-to-end per query (plan build + execution to toPandas),
 session warm.
+
+Self-normalizing vs host-CPU drift: this host's effective CPU swings up to
+~1.7x between measurement windows (identical code measured 9.4 s and
+15.7 s hours apart), so a ratio against a baseline captured in a *different*
+window is noise. Each invocation therefore times the DuckDB oracle SQL for
+the same queries in the SAME process/window (min-of-3, like Spark) and
+emits ``vs_duckdb_live`` next to the pinned-baseline ratio; ``--enforce``
+gates on the same-window number.
 """
 
 from __future__ import annotations
@@ -18,7 +26,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from dask_lightgbm_spark.queries import all_queries  # noqa: E402
+from dask_lightgbm_spark.queries import all_oracles, all_queries  # noqa: E402
 from dask_lightgbm_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
@@ -38,9 +46,9 @@ HEADLINE = [
     "s02_knn_ivf",
 ]
 
-# DuckDB single-node baseline at sf0.1 (tools/bench_oracle.py, min-of-2,
-# recorded in BASELINE.md) — the reference publishes no timings, so this is
-# what "within 2×" is measured against.
+# DuckDB single-node baseline at sf0.1 (tools/bench_oracle.py, recorded in
+# BASELINE.md) — pinned for cross-round comparability; the same-window
+# numbers below are what the gate actually uses.
 DUCKDB_BASELINE = {
     "q01_pricing_summary": 0.119,
     "q04_join_nation_revenue": 0.081,
@@ -58,7 +66,9 @@ DUCKDB_BASELINE = {
     "s02_knn_ivf": 0.725,
 }
 
-# previous round's Spark timings (BENCH_r01.json) — regression fence
+# regression fence: per-query min of the r01 and r02 recorded timings —
+# both measured identical code paths, so the min is the best available
+# estimate of true cost with window noise rejected.
 PREV_ROUND = {
     "q01_pricing_summary": 0.80,
     "q04_join_nation_revenue": 0.89,
@@ -76,10 +86,47 @@ PREV_ROUND = {
     "s02_knn_ivf": 2.10,
 }
 
+RUNS = 3  # min-of-3 rejects most window noise for BOTH engines
+
+
+def time_duckdb(sf_dir: str, names: list[str], runs: int = RUNS) -> dict[str, float | None]:
+    """Time the DuckDB oracle SQL for ``names`` on the parquet under
+    ``sf_dir`` (min-of-``runs``). Shared by bench.py (same-window ratio)
+    and tools/bench_oracle.py (standalone baseline capture)."""
+    import duckdb
+
+    from dask_lightgbm_spark.sources.readers import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracles = all_oracles()
+    timings: dict[str, float | None] = {}
+    for name in names:
+        sql = oracles.get(name)
+        if sql is None:
+            timings[name] = None
+            continue
+        best = None
+        for _ in range(runs):
+            t0 = time.time()
+            con.sql(sql).df()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        print(f"# duckdb {name}: {best:.2f}s", file=sys.stderr)
+    con.close()
+    return timings
+
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+    # DuckDB first (same window, before the JVM spins up) — it is the
+    # denominator of the gate ratio, so it must see the same host CPU.
+    duck = time_duckdb(sf_dir, HEADLINE)
+
     spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
     qs = all_queries()
 
@@ -91,14 +138,11 @@ def main():
     qs["q05_top_orders"](spark, sf_dir).collect()
 
     # min of 3 runs per query: first run pays plan-compile + page-cache
-    # warmup; min reflects steady-state throughput. Three (not two) because
-    # this host's available CPU fluctuates between rounds by up to ~1.7×
-    # (identical code measured 10.7 s and 15.6 s an hour apart) — min-of-3
-    # rejects most of that noise.
+    # warmup; min reflects steady-state throughput.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best, n = None, 0
-        for _ in range(3):
+        for _ in range(RUNS):
             t0 = time.time()
             n = len(qs[name](spark, sf_dir).toPandas())
             dt = time.time() - t0
@@ -108,33 +152,52 @@ def main():
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
+    duck_total = round(sum(v for v in duck.values() if v), 3)
     at_sf01 = abs(float(sf) - 0.1) < 1e-9 if sf.replace(".", "").isdigit() else False
-    vs_duckdb = (
-        {n: round(timings[n] / DUCKDB_BASELINE[n], 2) for n in timings if n in DUCKDB_BASELINE}
-        if at_sf01
-        else {}
-    )
-    regressions = (
-        [n for n in timings if n in PREV_ROUND and timings[n] > 2 * PREV_ROUND[n]]
-        if at_sf01
-        else []
-    )
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # same-window DuckDB numbers — the authoritative comparison
+        "duckdb_live": duck,
+        "duckdb_live_total": duck_total,
+        "vs_duckdb_live": {
+            n: round(timings[n] / duck[n], 2) for n in timings if duck.get(n)
+        },
+        "vs_duckdb_live_total": round(total / duck_total, 2) if duck_total else None,
     }
+    regressions = []
     if at_sf01:
+        # pinned-baseline ratios kept for cross-round comparability only
         out["vs_duckdb_total"] = round(total / sum(DUCKDB_BASELINE.values()), 2)
-        out["vs_duckdb"] = vs_duckdb
+        out["vs_duckdb"] = {
+            n: round(timings[n] / DUCKDB_BASELINE[n], 2)
+            for n in timings
+            if n in DUCKDB_BASELINE
+        }
         out["vs_prev_round_total"] = round(total / sum(PREV_ROUND.values()), 2)
+        # a query only counts as regressed if it is slow relative to BOTH
+        # the previous round and the same-window DuckDB scale factor —
+        # guards against flagging pure window noise as a code regression
+        window_scale = (
+            duck_total / sum(DUCKDB_BASELINE.values()) if duck_total else 1.0
+        )
+        regressions = [
+            n
+            for n in timings
+            if n in PREV_ROUND and timings[n] > 2 * PREV_ROUND[n] * max(window_scale, 1.0)
+        ]
         out["regressions_vs_prev"] = regressions
     print(json.dumps(out))
     if "--enforce" in sys.argv and at_sf01:
-        if total > 2 * sum(PREV_ROUND.values()) or regressions:
-            print(f"REGRESSION: total={total}s regressions={regressions}", file=sys.stderr)
+        live = out["vs_duckdb_live_total"]
+        if (live is not None and live > 2.0) or regressions:
+            print(
+                f"GATE FAIL: vs_duckdb_live_total={live} regressions={regressions}",
+                file=sys.stderr,
+            )
             sys.exit(1)
 
 
