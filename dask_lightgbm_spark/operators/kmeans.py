@@ -97,6 +97,8 @@ def kmeans_centroids(
     ``init_filter``; cid = rank of id within that set) and a FIXED number
     of iterations. Output: (cid, cv array<double>) — lazy (the final
     update stage has not run when this returns)."""
+    if n_iters < 1:
+        raise ValueError(f"n_iters must be >= 1, got {n_iters}")
     e = df.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
     init = e.filter(init_filter)
     # the init set is k rows — a global window over it is k rows, not corpus
@@ -105,6 +107,8 @@ def kmeans_centroids(
         F.col("v").alias("cv"),
     )
     cents = [(r.cid, list(r.cv)) for r in init_df.collect()]
+    if not cents:
+        raise ValueError("init_filter matched no rows — k-means needs k >= 1 seeds")
     centroids = None
     for i in range(n_iters):
         assigned = assign_to_literal_centroids(e, cents)

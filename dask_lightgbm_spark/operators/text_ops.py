@@ -13,7 +13,10 @@ from pyspark.sql import functions as F
 
 
 def _tokens(text: Column) -> Column:
-    return F.filter(F.split(F.trim(text), r"\s+"), lambda x: x != "")
+    # explicit whitespace class, NOT \s: Java's \s matches \x0B (vertical
+    # tab) while DuckDB/RE2's does not, so \s-tokenization silently breaks
+    # cross-engine bit-parity on any document containing \x0B
+    return F.filter(F.split(F.trim(text), r"[ \t\n\f\r]+"), lambda x: x != "")
 
 
 def token_count(text: Column) -> Column:
@@ -103,5 +106,5 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     formatting noise."""
     # collapse runs FIRST, then trim: trim() strips only spaces, so a
     # leading/trailing tab would otherwise survive as a residual space
-    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"[ \t\n\f\r]+", " ")))
     return df.select(F.col(id_col), F.md5(norm).alias("fp"))

@@ -201,7 +201,7 @@ _SQL_TOKHASH_ARR = rf"""
 tharr AS (
   SELECT doc_id,
          list_transform(
-           list_distinct(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')),
+           list_distinct(list_filter(string_split_regex(trim(text), '[ \t\n\f\r]+'), x -> x <> '')),
            t -> {sql_hash60('t')}) AS th
   FROM documents
 )"""
@@ -260,7 +260,7 @@ def t07_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_marker_count(markers: list[str]) -> str:
     conds = " OR ".join(f"x = '{m}'" for m in markers)
     return (
-        r"len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), "
+        r"len(list_filter(list_filter(string_split_regex(trim(text), '[ \t\n\f\r]+'), x -> x <> ''), "
         f"x -> {conds}))"
     )
 
@@ -305,9 +305,9 @@ _T09_SQL = rf"""
 WITH base AS (
   SELECT doc_id,
          CAST(length(text) AS BIGINT) AS n_chars,
-         CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split_regex(trim(text), '[ \t\n\f\r]+'), x -> x <> '')) AS BIGINT) AS n_tokens,
          CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_nonspace,
-         CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> {_stop_cond})) AS BIGINT) AS stop_toks
+         CAST(len(list_filter(list_filter(string_split_regex(trim(text), '[ \t\n\f\r]+'), x -> x <> ''), x -> {_stop_cond})) AS BIGINT) AS stop_toks
   FROM documents
 )
 SELECT doc_id, n_chars, n_tokens,
@@ -331,7 +331,7 @@ def t09_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _T10_SQL = r"""
 WITH base AS (
   SELECT source,
-         CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+         CAST(len(list_filter(string_split_regex(trim(text), '[ \t\n\f\r]+'), x -> x <> '')) AS BIGINT) AS n_tokens
   FROM documents
 )
 SELECT source, COUNT(*) AS n_docs,
@@ -363,7 +363,7 @@ def t10_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _T11_SQL = r"""
-SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+SELECT doc_id, md5(lower(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g')))) AS fp
 FROM documents
 """
 
@@ -408,7 +408,7 @@ def t12_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 _T13_SQL = r"""
 WITH tok AS (
   SELECT doc_id, t AS term FROM (
-    SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS t
+    SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '[ \t\n\f\r]+'), x -> x <> '')) AS t
     FROM documents
   )
 ),
@@ -524,7 +524,7 @@ def t14_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 _T15_SQL = r"""
 WITH toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+         list_filter(string_split_regex(trim(text), '[ \t\n\f\r]+'), x -> x <> '') AS ws
   FROM documents
 ),
 grams AS (
@@ -586,7 +586,7 @@ def t15_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 _T16_SQL = r"""
 WITH tok AS (
   SELECT t AS token FROM (
-    SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS t
+    SELECT unnest(list_filter(string_split_regex(trim(text), '[ \t\n\f\r]+'), x -> x <> '')) AS t
     FROM documents
   )
 ),

@@ -144,3 +144,35 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # hour-0 window closed when the watermark passed 01:00 → emitted WITHOUT
     # the late 00:03 event (it would have made s=103.0, n=3)
     assert rows.get(0) == (3.0, 2), rows
+
+
+def test_append_watermark_boundary_window_end_on_watermark(spark, tmp_path):
+    """x05 oracle edge case (r2 advisor): when max(ts) puts the final
+    watermark EXACTLY on a window end (max_ts - 30min == window.end), the
+    window must emit — Spark's eviction predicate is window.end <= watermark,
+    which is what the batch oracle's `end <= max_ts - delay` assumes. A
+    strict-< eviction would silently break bit-parity on such fixtures."""
+    from dask_lightgbm_spark.streaming.events import stream_windowed_append
+
+    d = str(tmp_path / "fix")
+    os.makedirs(d)
+    pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:15:00", "2024-01-01 10:45:00",
+                 "2024-01-01 11:30:00"]  # max ts → watermark = 11:00:00 exactly
+            ),
+            "user_id": [1, 2, 3],
+            "event_type": ["a", "a", "b"],
+            "value": [1.0, 2.0, 4.0],
+            "props": ["{}", "{}", "{}"],
+        }
+    ).to_parquet(d + "/events.parquet", index=False)
+    got = stream_windowed_append(spark, d).toPandas()
+    # window [10:00,11:00) has end == watermark → emitted; [11:00,12:00) is
+    # still open (end 12:00 > 11:00) → withheld
+    assert len(got) == 1, got
+    r = got.iloc[0]
+    assert r["hour"] == pd.Timestamp("2024-01-01 10:00:00")
+    assert r["event_type"] == "a" and r["n"] == 2 and r["sum_value"] == 3.0

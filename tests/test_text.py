@@ -106,3 +106,20 @@ def test_lang_id_works_without_lang_column(spark):
     )
     out = {r.doc_id: r.pred_lang for r in text_ops.lang_id(df, "doc_id", "text").collect()}
     assert out == {0: "en", 1: "de"}
+
+
+def test_vertical_tab_is_not_a_token_separator(spark):
+    """Cross-engine tokenizer parity (r2 advisor): Java's \\s matches \\x0B
+    but DuckDB/RE2's does not, so the tokenizer uses an explicit class
+    [ \\t\\n\\f\\r] in BOTH engines — a \\x0B joins its neighbors into one
+    token, identically on each side."""
+    import duckdb
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": ["a\x0bb c"]}))
+    n = df.select(text_ops.token_count(F.col("text")).alias("n")).collect()[0].n
+    duck_n = duckdb.sql(
+        r"""SELECT len(list_filter(string_split_regex(trim('a' || chr(11) || 'b c'),
+            '[ \t\n\f\r]+'), x -> x <> ''))"""
+    ).fetchone()[0]
+    assert n == duck_n == 2
