@@ -302,11 +302,30 @@ def minhash_lsh_neardup(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_rows: int | None = 10_000,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard via inverted-index join. Quadratic in
-    docs per hot shingle — use on bounded sets (or as the verify stage of
-    minhash_lsh_neardup at scale)."""
+    docs per hot shingle — a bounded-set / verify-stage operator, NOT a
+    corpus-scale dedup (that is :func:`minhash_lsh_neardup`, whose banded
+    equi-join never forms all pairs).
+
+    ``max_rows`` (default 10k) refuses larger inputs so the quadratic plan
+    cannot be pointed at a full corpus by accident; pass ``max_rows=None``
+    to opt out explicitly after reading this."""
+    if max_rows is not None:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"ngram_jaccard_pairs is exact all-pairs (quadratic per hot "
+                f"shingle); input has {n} rows > max_rows={max_rows}. Use "
+                "minhash_lsh_neardup for corpus-scale near-dup detection, "
+                "or pass max_rows=None to run it anyway on a bounded set."
+            )
     sh = char_shingles(df, id_col, text_col, k)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")

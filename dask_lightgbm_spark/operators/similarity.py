@@ -169,10 +169,25 @@ def cosine_neardup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int | None = 10_000,
 ) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ threshold, id_a < id_b.
-    Brute all-pairs — bounded inputs only; at scale, run it per-IVF-cell
-    (assign_cells + self-join on cell) to avoid the cross product."""
+    Brute all-pairs (O(n²) cross product) — a bounded-set / verify-stage
+    operator; the corpus-scale path is per-IVF-cell search
+    (:func:`assign_cells` + in-cell self-join, registered as s06).
+
+    ``max_rows`` (default 10k) refuses larger inputs so the O(n²) plan
+    cannot be pointed at a full corpus by accident; pass ``max_rows=None``
+    to opt out explicitly after reading this."""
+    if max_rows is not None:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"cosine_neardup_pairs is exact all-pairs (O(n^2) join); "
+                f"input has {n} rows > max_rows={max_rows}. Use the "
+                "per-IVF-cell path (assign_cells + in-cell self-join, s06) "
+                "at corpus scale, or pass max_rows=None to run it anyway."
+            )
     a = df.select(
         F.col(id_col).alias("id_a"), to_double_array(F.col(vec_col)).alias("va")
     ).withColumn("na", norm(F.col("va")))

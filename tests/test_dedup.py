@@ -137,3 +137,21 @@ def test_short_and_empty_docs_ansi_safe_and_oracle_parity(spark):
         sdf, "doc_id", "text", k_shingle=k, num_perm=8, band_size=2, threshold=0.9
     ).collect()
     assert isinstance(out, list)
+
+
+def test_ngram_jaccard_guard_refuses_unbounded_input(spark):
+    """The exact all-pairs operator refuses corpus-sized inputs (quadratic
+    per hot shingle) unless max_rows is explicitly disabled — a 100 TB user
+    cannot invoke the O(n^2) plan without reading the warning."""
+    import pandas as pd
+    import pytest
+
+    from dask_lightgbm_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(30), "text": ["abcabc"] * 30})
+    )
+    with pytest.raises(ValueError, match="minhash_lsh_neardup"):
+        ngram_jaccard_pairs(df, "doc_id", "text", max_rows=10)
+    # explicit opt-out still works on bounded sets
+    assert ngram_jaccard_pairs(df, "doc_id", "text", max_rows=None).count() > 0

@@ -162,3 +162,17 @@ def test_kmeans_sse_decreases_and_is_deterministic(clustered):
     again = [(r.cid, list(r.cv)) for r in km.kmeans_centroids(
         clustered, F.col("vec_id") < 6, n_iters=3).collect()]
     assert again == cents3
+
+
+def test_cosine_neardup_guard_refuses_unbounded_input(spark):
+    import pandas as pd
+    import pytest
+
+    from dask_lightgbm_spark.operators.similarity import cosine_neardup_pairs
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(20), "embedding": [[1.0, 0.0]] * 20})
+    )
+    with pytest.raises(ValueError, match="IVF-cell"):
+        cosine_neardup_pairs(df, 0.9, max_rows=5)
+    assert cosine_neardup_pairs(df, 0.9, max_rows=None).count() > 0
