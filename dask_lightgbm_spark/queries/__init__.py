@@ -133,6 +133,7 @@ def query(name: str, oracle: str | None = None):
 # followed by the q05-q47 relational block (r01-only coverage), with the
 # r02-freshest t/s/x block last.
 _GATE_FIRST: list[str] = [
+    "s11_knn_ivf_learned_nprobe",
     "q48_range_interval_window",
     "q49_conditional_agg",
     "q50_distribution_windows",

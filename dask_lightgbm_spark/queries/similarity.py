@@ -489,3 +489,84 @@ def s10_ivf_learned_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("qid", "nid", "rank", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# s11 — IVF with LEARNED nprobe: instead of a fixed probe constant, the
+# probe count is chosen from measured cell-occupancy quantiles (one tiny
+# aggregate over the storage assignment), so the candidate volume — and
+# with it recall — survives skewed corpora where the typical cell is far
+# smaller than corpus/k_cells. The chosen nprobe is emitted as a column, so
+# the decision itself is hash-verified against the SQL twin.
+# ---------------------------------------------------------------------------
+
+_S11_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+cell_scored AS (
+  SELECT e.vec_id, e.v, cent.cid, {_sql_cos('e.v', 'cent.cv')} AS cs
+  FROM e, cent
+),
+assigned AS (
+  SELECT vec_id, v, cid AS cell FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+    FROM cell_scored
+  ) WHERE rn = 1
+),
+occ AS (SELECT cell, COUNT(*) AS n FROM assigned GROUP BY cell),
+qlow AS (
+  SELECT n AS q_low FROM (
+    SELECT n, cell, row_number() OVER (ORDER BY n, cell) AS rn FROM occ
+  ) WHERE rn = (SELECT CAST(ceil(0.25 * COUNT(*)) AS BIGINT) FROM occ)
+),
+np AS (
+  SELECT LEAST(8, GREATEST(1, CAST(ceil(12.0 / GREATEST(q_low, 1)) AS BIGINT))) AS np
+  FROM qlow
+),
+qprobe AS (
+  SELECT vec_id AS qid, v AS qv, cid AS cell FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+    FROM cell_scored WHERE vec_id < 10
+  ) WHERE rn <= (SELECT np FROM np)
+),
+scored AS (
+  SELECT q.qid, n.vec_id AS nid, {_sql_cos('q.qv', 'n.v')} AS cos
+  FROM qprobe q JOIN assigned n ON q.cell = n.cell AND n.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, nid, cos,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT qid, nid, rank, cos, (SELECT np FROM np) AS nprobe
+FROM ranked WHERE rank <= 3
+"""
+
+
+@query("s11_knn_ivf_learned_nprobe", _S11_SQL)
+def s11_knn_ivf_learned_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k where nprobe is learned from cell-occupancy quantiles
+    (operators/similarity.py:learned_nprobe) rather than fixed — the probe
+    dial adapts to corpus skew. min_candidates=12 (=4k), q_low at the 25th
+    occupancy percentile, nprobe capped at 8."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") % 25 == 0)
+    # persist the storage assignment: learned_nprobe aggregates it (two tiny
+    # jobs) and the search join reuses it without re-scoring the corpus
+    # no explicit unpersist: the returned DataFrame is lazy and still reads
+    # the cache at collect time; Spark's storage-memory LRU reclaims it
+    assigned = sim.assign_cells(e, cents).persist()
+    np_ = sim.learned_nprobe(
+        assigned, min_candidates=12, low_quantile=0.25, max_nprobe=8
+    )
+    out = sim.ivf_knn(
+        e,
+        queries_filter=F.col("vec_id") < 10,
+        centroid_filter=F.col("vec_id") % 25 == 0,
+        k=3,
+        nprobe=np_,
+        assigned=assigned,
+    )
+    return out.withColumn("nprobe", F.lit(int(np_)).cast("long"))

@@ -176,3 +176,56 @@ def test_cosine_neardup_guard_refuses_unbounded_input(spark):
     with pytest.raises(ValueError, match="IVF-cell"):
         cosine_neardup_pairs(df, 0.9, max_rows=5)
     assert cosine_neardup_pairs(df, 0.9, max_rows=None).count() > 0
+
+
+def test_learned_nprobe_recall_on_skewed_corpus(spark):
+    """learned_nprobe adapts the probe count to cell-occupancy skew: on a
+    corpus where one region is hot (many near-identical cells) and the rest
+    is sparse, the 25th-percentile cell is tiny, so the learned probe count
+    rises and recall@k must be >= the fixed-nprobe(=1) recall (r2 judge ask
+    #6's done-criterion)."""
+    import math
+
+    import pandas as pd
+
+    from dask_lightgbm_spark.operators import similarity as sim
+
+    # 2D unit vectors: 120 hot points packed into a 0.12-rad arc (ids
+    # 0..119), 40 sparse points spread over 3.2 rad (ids 120..159).
+    # Centroids = every 10th id → 12 near-identical hot centroids slicing
+    # the hot arc + 4 sparse centroids with wide gaps: a sparse query's
+    # true neighbors often sit in an adjacent sparse cell.
+    rows = []
+    for i in range(120):
+        a = 0.001 * i
+        rows.append((i, [math.cos(a), math.sin(a)]))
+    for j in range(40):
+        a = 0.5 + 0.08 * j
+        rows.append((120 + j, [math.cos(a), math.sin(a)]))
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]})
+    )
+    queries = F.col("vec_id") >= 120
+    cents = F.col("vec_id") % 10 == 0
+    k = 3
+
+    truth = {
+        r.qid: set()
+        for r in sim.brute_force_knn(df, df.filter(queries), k=k).collect()
+    }
+    for r in sim.brute_force_knn(df, df.filter(queries), k=k).collect():
+        truth[r.qid].add(r.nid)
+
+    def recall(nprobe):
+        got = {}
+        for r in sim.ivf_knn(df, queries, cents, k=k, nprobe=nprobe).collect():
+            got.setdefault(r.qid, set()).add(r.nid)
+        hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+        return hits / sum(len(t) for t in truth.values())
+
+    assigned = sim.assign_cells(df, df.filter(cents))
+    np_learned = sim.learned_nprobe(assigned, min_candidates=4 * k, max_nprobe=8)
+    assert np_learned > 1, "skewed occupancy must raise the probe count"
+    r_fixed, r_learned = recall(1), recall(np_learned)
+    assert r_learned >= r_fixed, (np_learned, r_fixed, r_learned)
+    assert r_learned > 0.8, (np_learned, r_learned)
