@@ -52,6 +52,7 @@ class _SparkLGBMBase:
         num_workers: int | None = None,
         num_classes: int | None = None,
         seed: int = 42,
+        ingest: str = "matrix",
         **extra_params,
     ):
         self.n_estimators = n_estimators
@@ -69,6 +70,9 @@ class _SparkLGBMBase:
         self.num_workers = num_workers
         self.num_classes = num_classes
         self.seed = seed
+        # 'matrix' (sklearn fit on a preallocated copy, ≈1.5× peak) or
+        # 'sequence' (stream blocks into lightgbm.Dataset, ≈1.0× peak)
+        self.ingest = ingest
         self.extra_params = extra_params
         self._model = None  # fitted driver-local model (lightgbm or mllib)
         self._backend_used = None
@@ -170,6 +174,7 @@ class _SparkLGBMBase:
                 num_workers=self.num_workers,
                 local_listen_port=self.local_listen_port,
                 time_out=self.time_out,
+                ingest=self.ingest,
                 **fit_kwargs,
             )
             if self._is_classifier:
@@ -208,6 +213,16 @@ class _SparkLGBMBase:
             p["objective"] = self.objective
             if self.objective == "quantile":
                 p["alpha"] = self.alpha
+        if (
+            self.ingest == "sequence"
+            and self.num_classes is not None
+            and self.num_classes > 2
+        ):
+            # the sequence-ingest path (native lightgbm.train) needs the
+            # class count up front — no single task sees every label; the
+            # sklearn matrix path must NOT receive num_class (the wrapper
+            # manages it internally)
+            p.setdefault("num_class", self.num_classes)
         return p
 
     def transform(

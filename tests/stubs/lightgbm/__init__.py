@@ -78,3 +78,85 @@ class LGBMRegressor(_Base):
         if kwargs.get("raw_score"):
             return np.full(n, -1.5)
         return np.full(n, self._mean)
+
+
+# ---------------------------------------------------------------------------
+# Native-API surface for the sequence-ingest path (real library: Sequence /
+# Dataset / train / Booster). The stub Dataset pulls data through the
+# Sequence protocol EXACTLY the way the real binner does — batch_size-row
+# slices — and records the pull pattern so tests can assert the engine
+# never materialized a full matrix copy.
+# ---------------------------------------------------------------------------
+
+
+class Sequence:
+    """Abstract base (mirrors lightgbm.Sequence): subclasses provide
+    __len__, __getitem__ (int or slice → numpy rows) and batch_size."""
+
+    batch_size = 4096
+
+
+class Dataset:
+    def __init__(self, data, label=None, weight=None, params=None):
+        self.label = None if label is None else np.asarray(label)
+        self.weight = None if weight is None else np.asarray(weight)
+        self.params = dict(params or {})
+        self.received_sequences = isinstance(data, (list, tuple)) and all(
+            isinstance(s, Sequence) for s in data
+        )
+        self.pull_sizes = []  # rows per __getitem__ pull, in order
+        if self.received_sequences:
+            chunks = []
+            for seq in data:
+                bs = int(getattr(seq, "batch_size", Sequence.batch_size)) or 1
+                for start in range(0, len(seq), bs):
+                    c = np.asarray(seq[start : start + bs])
+                    self.pull_sizes.append(len(c))
+                    chunks.append(c)
+            self._X = np.concatenate(chunks) if chunks else np.empty((0, 0))
+        else:
+            self._X = _densify(data)
+
+    def num_data(self):
+        return len(self._X)
+
+
+class Booster:
+    """Prior predictor over the Dataset labels — same spirit as the sklearn
+    stubs: asserts orchestration, not learning quality."""
+
+    def __init__(self, params, train_set, num_boost_round):
+        self.params = dict(params)
+        self.num_boost_round = int(num_boost_round)
+        self.trained_rows_ = int(train_set.num_data())
+        self.fitted_X_sum_ = float(np.asarray(train_set._X).sum())
+        # ingest-pattern evidence for peak-RAM assertions (stays on the
+        # booster because the Dataset never leaves the worker)
+        self.received_sequences_ = train_set.received_sequences
+        self.pull_sizes_ = list(train_set.pull_sizes)
+        y = train_set.label if train_set.label is not None else np.zeros(1)
+        obj = self.params.get("objective", "regression")
+        self._n_class = int(self.params.get("num_class", 2))
+        self._objective = obj
+        if obj == "binary":
+            self._prior = float(np.mean(y))
+        elif obj == "multiclass":
+            self._prior = np.bincount(
+                y.astype(np.int64), minlength=self._n_class
+            ) / max(len(y), 1)
+        else:
+            self._prior = float(np.mean(y))
+
+    def predict(self, X, **kwargs):
+        n = len(_densify(X))
+        if self._objective == "binary":
+            return np.full(n, self._prior)
+        if self._objective == "multiclass":
+            return np.tile(self._prior, (n, 1))
+        return np.full(n, self._prior)
+
+
+def train(params, train_set, num_boost_round=100):
+    if train_set.num_data() == 0:
+        raise ValueError("Found array with 0 sample(s) while a minimum of 1 is required")
+    return Booster(params, train_set, num_boost_round)
