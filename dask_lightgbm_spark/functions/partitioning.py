@@ -9,7 +9,7 @@ partials per key — a second, tiny shuffle. Only algebraic aggregates
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -56,4 +56,5 @@ def repartition_for_join(df: DataFrame, keys: list[str], n: int | None = None) -
     """Hash-partition on the join keys ahead of multiple joins/aggs on the
     same keys so the exchange is reused across stages (bucketing-without-
     tables for ephemeral pipelines)."""
-    return df.repartition(n, *[F.col(k) for k in keys]) if n else df.repartition(*[F.col(k) for k in keys])
+    cols = [F.col(k) for k in keys]
+    return df.repartition(n, *cols) if n else df.repartition(*cols)

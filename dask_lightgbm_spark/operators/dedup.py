@@ -228,8 +228,14 @@ def estimate_filter_pairs(
     keep pairs with ≥ min_matches of num_perm equal minhashes. Cheap (two
     broadcast-able joins on the small signature table) and kills the bulk
     of false LSH candidates before the expensive exact verify."""
-    sa = sig.select(F.col(id_col).alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_perm)])
-    sb = sig.select(F.col(id_col).alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_perm)])
+    sa = sig.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_perm)],
+    )
+    sb = sig.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_perm)],
+    )
     matches = functools.reduce(
         operator.add,
         [(F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(num_perm)],

@@ -43,7 +43,8 @@ def scan_columns(df: DataFrame) -> list[list[str]]:
 
 
 def has_broadcast_join(df: DataFrame) -> bool:
-    return "BroadcastHashJoin" in formatted_plan(df) or "BroadcastNestedLoopJoin" in formatted_plan(df)
+    plan = formatted_plan(df)
+    return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
 def whole_stage_codegen_ids(df: DataFrame) -> int:

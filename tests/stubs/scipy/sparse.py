@@ -14,7 +14,11 @@ class csr_matrix(spmatrix):
         self.data = np.asarray(data, dtype=np.float64)
         self.indices = np.asarray(indices, dtype=np.int32)
         self.indptr = np.asarray(indptr, dtype=np.int64)
-        self.shape = shape if shape is not None else (len(self.indptr) - 1, int(self.indices.max()) + 1)
+        self.shape = (
+            shape
+            if shape is not None
+            else (len(self.indptr) - 1, int(self.indices.max()) + 1)
+        )
 
     def toarray(self):
         out = np.zeros(self.shape, dtype=np.float64)

@@ -2,7 +2,6 @@
 
 import pandas as pd
 import pytest
-from pyspark.sql import functions as F
 
 from dask_lightgbm_spark.operators import dedup
 

@@ -1,6 +1,5 @@
 """As-of join, sources, streaming, multimodal plumbing."""
 
-import glob
 import gzip
 import os
 import tempfile

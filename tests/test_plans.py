@@ -1,7 +1,6 @@
 """Plan-quality assertions: pushdown, pruning, broadcast — the properties
 that decide whether these plans survive a 1000-executor / 100 TB scale-up."""
 
-from pyspark.sql import functions as F
 
 from dask_lightgbm_spark.plans import (
     has_broadcast_join,

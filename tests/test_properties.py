@@ -2,7 +2,6 @@
 (SURVEY.md §5 notes it had none): randomized inputs exercise operator
 invariants that fixed fixtures can't."""
 
-import numpy as np
 import pandas as pd
 from hypothesis import given, settings, strategies as st
 

@@ -63,7 +63,9 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
                 problems.append(f"values[{c}] maxdiff={diff!r}")
         else:
             an, bn = av.isna(), bv.isna()
-            if not ((an == bn).all() and (av[~an].reset_index(drop=True) == bv[~bn].reset_index(drop=True)).all()):
+            a_vals = av[~an].reset_index(drop=True)
+            b_vals = bv[~bn].reset_index(drop=True)
+            if not ((an == bn).all() and (a_vals == b_vals).all()):
                 problems.append(f"values[{c}] mismatch (non-float)")
     return problems
 

@@ -38,7 +38,8 @@ def main():
     for name in sorted(qs):
         o = "yes" if name in ors else "rows-only"
         out += f"| {name} | {o} | {summary(qs[name])} |\n"
-    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs", "CATALOG.md")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "docs", "CATALOG.md")
     with open(path, "w") as f:
         f.write(out)
     n_oracle = sum(1 for n in qs if n in ors)
