@@ -123,6 +123,43 @@ def assign_cells(
     )
 
 
+def ivf_range_search(
+    corpus: DataFrame,
+    queries_filter: Column,
+    centroid_filter: Column,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Radius (range) search: ALL corpus vectors with cosine ≥ ``threshold``
+    of each query, probing the query's ``nprobe`` nearest IVF cells — the
+    fixed-radius companion to :func:`ivf_knn` (same equi-join-on-cell scale
+    shape, no cross product; result size is data-dependent rather than k).
+    Output: (qid, nid, cos), ordered within qid by descending cosine."""
+    centroids = corpus.filter(centroid_filter)
+    assigned = assign_cells(corpus, centroids, id_col, vec_col)
+    q = assign_cells(
+        corpus.filter(queries_filter), centroids, id_col, vec_col, nprobe=nprobe
+    ).select(F.col(id_col).alias("qid"), F.col("v").alias("qv"), F.col("cell"))
+    n = assigned.select(
+        F.col(id_col).alias("nid"), F.col("v").alias("nv"), F.col("cell")
+    )
+    return (
+        n.withColumn("nn", norm(F.col("nv")))
+        .join(F.broadcast(q.withColumn("qn", norm(F.col("qv")))), "cell")
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.try_divide(
+                dot(F.col("qv"), F.col("nv")), F.col("qn") * F.col("nn")
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def learned_nprobe(
     assigned: DataFrame,
     min_candidates: int,

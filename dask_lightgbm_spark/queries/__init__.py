@@ -133,7 +133,11 @@ def query(name: str, oracle: str | None = None):
 # followed by the q05-q47 relational block (r01-only coverage), with the
 # r02-freshest t/s/x block last.
 _GATE_FIRST: list[str] = [
+    "t19_decontamination",
+    "x06_stream_session_window",
+    "q53_salted_skew_agg",
     "s11_knn_ivf_learned_nprobe",
+    "s12_range_search_ivf",
     "q48_range_interval_window",
     "q49_conditional_agg",
     "q50_distribution_windows",
@@ -182,6 +186,12 @@ def _load_all():
     # 50 of 72, leaving t04+/s/x/ml driver-unverified, so those now register
     # FIRST — across rounds the union covers the whole catalog even if the
     # gate caps again.
-    from dask_lightgbm_spark.queries import text, similarity, streaming_q, ml, relational  # noqa: F401
+    from dask_lightgbm_spark.queries import (  # noqa: F401
+        ml,
+        relational,
+        similarity,
+        streaming_q,
+        text,
+    )
 
     _LOADED = True

@@ -74,8 +74,13 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (F.sum(qty_c).cast("double") / F.lit(100.0)).alias("sum_qty"),
             (F.sum(ep_c).cast("double") / F.lit(100.0)).alias("sum_base_price"),
-            (F.sum(ep_c * (F.lit(100) - disc_c)).cast("double") / F.lit(10000.0)).alias("sum_disc_price"),
-            (F.sum(ep_c * (F.lit(100) - disc_c) * (F.lit(100) + tax_c)).cast("double") / F.lit(1000000.0)).alias("sum_charge"),
+            (F.sum(ep_c * (F.lit(100) - disc_c)).cast("double") / F.lit(10000.0)).alias(
+                "sum_disc_price"
+            ),
+            (
+                F.sum(ep_c * (F.lit(100) - disc_c) * (F.lit(100) + tax_c)).cast("double")
+                / F.lit(1000000.0)
+            ).alias("sum_charge"),
             (F.sum(qty_c).cast("double") / F.lit(100.0) / cnt).alias("avg_qty"),
             (F.sum(ep_c).cast("double") / F.lit(100.0) / cnt).alias("avg_price"),
             (F.sum(disc_c).cast("double") / F.lit(100.0) / cnt).alias("avg_disc"),
@@ -140,7 +145,9 @@ def q03_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.agg(
         cnt.alias("n_rows"),
         (F.sum(_cents(F.col("l_quantity"))).cast("double") / F.lit(100.0)).alias("sum_qty"),
-        (F.sum(_cents(F.col("l_extendedprice"))).cast("double") / F.lit(100.0) / cnt).alias("avg_price"),
+        (F.sum(_cents(F.col("l_extendedprice"))).cast("double") / F.lit(100.0) / cnt).alias(
+            "avg_price"
+        ),
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
         F.countDistinct("l_partkey").alias("n_parts"),
@@ -392,7 +399,9 @@ def q13_date_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            (F.sum(_cents(F.col("o_totalprice"))).cast("double") / F.lit(100.0)).alias("total_price"),
+            (F.sum(_cents(F.col("o_totalprice"))).cast("double") / F.lit(100.0)).alias(
+                "total_price"
+            ),
         )
         .orderBy("o_year", "o_month")
     )
@@ -500,7 +509,9 @@ JOIN (SELECT o_custkey, MAX(o_totalprice) AS max_price FROM orders GROUP BY o_cu
 @query("q17_customer_max_order", _Q17_SQL)
 def q17_customer_max_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    m = o.groupBy(F.col("o_custkey").alias("m_custkey")).agg(F.max("o_totalprice").alias("max_price"))
+    m = o.groupBy(F.col("o_custkey").alias("m_custkey")).agg(
+        F.max("o_totalprice").alias("max_price")
+    )
     return o.join(
         m, (o.o_custkey == m.m_custkey) & (o.o_totalprice == m.max_price)
     ).select("o_custkey", "o_orderkey", "o_totalprice")
@@ -574,7 +585,9 @@ def q19_case_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = F.count(F.lit(1))
     return o.groupBy(bucket.alias("prio_bucket")).agg(
         cnt.alias("n_orders"),
-        (F.sum(_cents(F.col("o_totalprice"))).cast("double") / F.lit(100.0) / cnt).alias("avg_price"),
+        (F.sum(_cents(F.col("o_totalprice"))).cast("double") / F.lit(100.0) / cnt).alias(
+            "avg_price"
+        ),
     )
 
 
@@ -914,7 +927,9 @@ def q30_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cond)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            (F.sum(_cents(F.col("l_extendedprice"))).cast("double") / F.lit(100.0)).alias("revenue"),
+            (F.sum(_cents(F.col("l_extendedprice"))).cast("double") / F.lit(100.0)).alias(
+                "revenue"
+            ),
         )
     )
 
@@ -1453,7 +1468,10 @@ def q48_range_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
-        F.sum(F.round(F.col("value") * 100).cast("long")).over(w).cast("long").alias("sum_cents_1h"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .over(w)
+        .cast("long")
+        .alias("sum_cents_1h"),
     )
 
 
@@ -1599,3 +1617,40 @@ def q52_python_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __q52_orders t, LATERAL split_installments(cents, 3) s
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q53 — two-phase SALTED aggregation over a skewed key (event_type has a few
+# hot values): phase 1 reduces (key, salt) groups so no single reducer owns
+# a hot key, phase 2 merges the <= n_salt partials per key. Exact-integer
+# inputs (cents) make the result bit-identical to a direct groupBy — the
+# salt only reshapes the shuffle, which is the point at 100 TB: a hot key
+# that would pin one reducer becomes n_salt parallel partials.
+# ---------------------------------------------------------------------------
+
+_Q53_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+       COUNT(*) AS n_rows
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("q53_salted_skew_agg", _Q53_SQL)
+def q53_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof sum/count per event_type via two-phase salted aggregation
+    (functions/partitioning.py:salted_sum_count); oracle is the plain
+    groupBy — identical results, reshaped shuffle."""
+    from dask_lightgbm_spark.functions.partitioning import salted_sum_count
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    out = salted_sum_count(e, ["event_type"], "cents", n_salt=16)
+    return out.select(
+        "event_type",
+        F.col("sum_cents").cast("long").alias("sum_value_cents"),
+        F.col("n_rows"),
+    ).orderBy("event_type")

@@ -570,3 +570,50 @@ def s11_knn_ivf_learned_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned=assigned,
     )
     return out.withColumn("nprobe", F.lit(int(np_)).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# s12 — IVF radius search: all vectors within a cosine radius of each query
+# (fixed-radius companion to top-k; result size is data-dependent). Same
+# cell equi-join scale shape as s02/s07.
+# ---------------------------------------------------------------------------
+
+_S12_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+cell_scored AS (
+  SELECT e.vec_id, e.v, cent.cid, {_sql_cos('e.v', 'cent.cv')} AS cs
+  FROM e, cent
+),
+assigned AS (
+  SELECT vec_id, v, cid AS cell FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+    FROM cell_scored
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS qid, v AS qv, cid AS cell FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+    FROM cell_scored WHERE vec_id < 10
+  ) WHERE rn <= 2
+)
+SELECT q.qid, n.vec_id AS nid, {_sql_cos('q.qv', 'n.v')} AS cos
+FROM qprobe q JOIN assigned n ON q.cell = n.cell AND n.vec_id <> q.qid
+WHERE {_sql_cos('q.qv', 'n.v')} >= 0.4
+"""
+
+
+@query("s12_range_search_ivf", _S12_SQL)
+def s12_range_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All corpus vectors with cosine >= 0.4 of each query (vec_id < 10),
+    probing 2 IVF cells (operators/similarity.py:ivf_range_search)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.ivf_range_search(
+        e,
+        queries_filter=F.col("vec_id") < 10,
+        centroid_filter=F.col("vec_id") % 25 == 0,
+        threshold=0.4,
+        nprobe=2,
+    )

@@ -98,3 +98,39 @@ def x05_stream_append_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_lightgbm_spark.streaming.events import stream_windowed_append
 
     return stream_windowed_append(spark, sf_dir)
+
+
+_X06_SQL = """
+WITH mx AS (SELECT MAX(ts) AS max_ts FROM events),
+flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), sess AS (
+  SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_ts,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT s.session_start, s.user_id, s.n_events, s.sum_value
+FROM sess s, mx
+WHERE s.last_ts + INTERVAL 30 MINUTE <= mx.max_ts - INTERVAL 30 MINUTE
+"""
+
+
+@query("x06_stream_session_window", _X06_SQL)
+def x06_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-user session windows (30-min gap) in append mode with
+    a 30-min watermark; emitted sessions equal the batch gaps-and-islands
+    oracle restricted to sessions closed by the final watermark."""
+    from dask_lightgbm_spark.streaming.events import stream_session_window
+
+    return stream_session_window(spark, sf_dir)

@@ -207,7 +207,8 @@ tharr AS (
 )"""
 
 _bitsums = ",\n         ".join(
-    f"CAST(list_sum(list_transform(th, h -> CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END)) AS BIGINT) AS b{j}"
+    f"CAST(list_sum(list_transform(th, h -> CASE WHEN (h >> {j}) & 1 = 1 "
+    f"THEN 1 ELSE -1 END)) AS BIGINT) AS b{j}"
     for j in range(SIMHASH_BITS)
 )
 _simexpr = " + ".join(
@@ -260,7 +261,8 @@ def t07_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_marker_count(markers: list[str]) -> str:
     conds = " OR ".join(f"x = '{m}'" for m in markers)
     return (
-        r"len(list_filter(list_filter(string_split_regex(trim(text), '[ \t\n\f\r]+'), x -> x <> ''), "
+        r"len(list_filter(list_filter("
+        r"string_split_regex(trim(text), '[ \t\n\f\r]+'), x -> x <> ''), "
         f"x -> {conds}))"
     )
 
@@ -708,5 +710,78 @@ def t18_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_emails").cast("long").alias("total_emails"),
         F.sum("n_urls").cast("long").alias("total_urls"),
-        F.sum(((F.col("n_emails") + F.col("n_urls")) > 0).cast("long")).cast("long").alias("docs_flagged"),
+        F.sum(((F.col("n_emails") + F.col("n_urls")) > 0).cast("long"))
+        .cast("long")
+        .alias("docs_flagged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t19 — cross-corpus decontamination: scan the TRAIN corpus for character
+# k-gram overlap with a (small) EVAL set — the standard train/test
+# contamination check in LLM data pipelines. Scale shape: the eval shingle
+# set is distinct'd and BROADCAST (eval sets are small by nature), the train
+# side streams through a map-side hash join, and the only shuffle carries
+# matched (doc, shingle) rows into a per-doc count. No all-pairs anywhere;
+# train volume can be 100 TB.
+# ---------------------------------------------------------------------------
+
+_t19_shingles = f"""
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(length(text) - {K_SHINGLE - 1}, 1)),
+           g -> {sql_poly_shingle_hash('text', 'g', K_SHINGLE)})) AS hs
+  FROM documents
+"""
+
+_T19_SQL = f"""
+WITH tarr AS ({_t19_shingles} WHERE doc_id % 20 <> 0),
+earr AS ({_t19_shingles} WHERE doc_id % 20 = 0),
+ev AS (SELECT DISTINCT unnest(hs) AS h FROM earr),
+tsh AS (SELECT doc_id, unnest(hs) AS h FROM tarr),
+ov AS (
+  SELECT doc_id, COUNT(*) AS n_overlap FROM tsh JOIN ev USING (h) GROUP BY doc_id
+),
+sz AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_shingles FROM tarr)
+SELECT sz.doc_id, sz.n_shingles,
+       CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       COALESCE(ov.n_overlap, 0) * 5 >= sz.n_shingles AS contaminated
+FROM sz LEFT JOIN ov ON sz.doc_id = ov.doc_id
+ORDER BY sz.doc_id
+"""
+
+
+@query("t19_decontamination", _T19_SQL)
+def t19_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: per train doc, the count of its distinct
+    char 5-gram shingles that also appear anywhere in the eval split
+    (doc_id % 20 == 0), plus a >=20% overlap flag (integer-exact compare).
+    Eval shingle set is broadcast; train side never self-joins."""
+    d = load_table(spark, sf_dir, "documents")
+    tr = d.filter(F.col("doc_id") % 20 != 0)
+    ev = d.filter(F.col("doc_id") % 20 == 0)
+    tr_arr = dedup.shingle_hash_array(tr, "doc_id", "text", K_SHINGLE)
+    ev_sh = (
+        dedup.shingle_hash_array(ev, "doc_id", "text", K_SHINGLE)
+        .select(F.explode("hs").alias("h"))
+        .distinct()
+    )
+    tr_sh = tr_arr.select("doc_id", F.explode("hs").alias("h"))
+    overlap = (
+        tr_sh.join(F.broadcast(ev_sh), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__ov"))
+    )
+    sizes = tr_arr.select("doc_id", F.size("hs").cast("long").alias("n_shingles"))
+    return (
+        sizes.join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("__ov"), F.lit(0)).cast("long").alias("n_overlap"),
+            (
+                F.coalesce(F.col("__ov"), F.lit(0)) * F.lit(5) >= F.col("n_shingles")
+            ).alias("contaminated"),
+        )
+        .orderBy("doc_id")
     )

@@ -160,3 +160,45 @@ def stream_windowed_append(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def stream_session_window(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "30 minutes",
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """APPEND-mode per-user SESSION-window aggregation with a watermark —
+    dynamic-gap sessionization as a native streaming operator (batch twin:
+    q28's gaps-and-islands). A session closes when the watermark passes its
+    end (last event + gap); on a bounded drain the final watermark is
+    max(ts) - delay, so the emitted set is exactly the sessions with
+    last_ts + gap <= max(ts) - delay — what the batch oracle computes.
+    Sessions still open at drain time are withheld by design."""
+    src = read_events_stream(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", delay)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / F.lit(100.0)
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"), "user_id", "n_events", "sum_value"
+        )
+    )
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
