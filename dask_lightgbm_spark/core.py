@@ -279,7 +279,11 @@ def train_lightgbm_barrier(
     Feature supply is either ``feature_cols`` (numeric columns → dense
     float64 matrix) or ``features_col`` (an MLlib VectorUDT column —
     SparseVectors become one scipy CSR per task *without densifying*,
-    matching the reference's sparse containers, core.py:56-59).
+    matching the reference's sparse containers, core.py:56-59). The
+    reference additionally accepts pydata/sparse ``COO`` containers
+    (reference core.py:16-19,58-59); Spark's native sparse carrier is the
+    MLlib SparseVector, which covers the same use case — convert COO-style
+    inputs to a vector column upstream (no dedicated COO path by design).
 
     Empty partitions (possible when rows < num_workers after round-robin
     repartition) are excluded from the socket ring: tasks exchange row

@@ -134,6 +134,8 @@ def query(name: str, oracle: str | None = None):
 # r02-freshest t/s/x block last.
 _GATE_FIRST: list[str] = [
     "t19_decontamination",
+    "t20_cleaning_pipeline",
+    "s13_label_centroids",
     "x06_stream_session_window",
     "q53_salted_skew_agg",
     "s11_knn_ivf_learned_nprobe",

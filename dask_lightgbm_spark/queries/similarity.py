@@ -617,3 +617,48 @@ def s12_range_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.4,
         nprobe=2,
     )
+
+
+# ---------------------------------------------------------------------------
+# s13 — per-label embedding centroids (cluster summaries): posexplode to
+# (label, dim) → fixed-point mean per dimension. One narrow shuffle keyed on
+# (label, pos); partial aggregation map-side — linear at any corpus size.
+# ---------------------------------------------------------------------------
+
+_S13_SQL = """
+WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+x AS (
+  SELECT label, g.i AS pos, v[g.i] AS val
+  FROM e, generate_series(1, 64) AS g(i) WHERE g.i <= len(v)
+)
+SELECT label, pos, COUNT(*) AS n,
+       CAST(SUM(CAST(round(val*1000000) AS BIGINT)) AS DOUBLE)/1000000.0/COUNT(*)
+         AS centroid_val
+FROM x GROUP BY label, pos
+ORDER BY label, pos
+"""
+
+
+@query("s13_label_centroids", _S13_SQL)
+def s13_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean embedding per (label, dimension) in exact µ-unit fixed point —
+    the cluster-summary op (e.g. class prototypes for retrieval or
+    diversity sampling)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "label",
+        F.posexplode(sim.to_double_array(F.col("embedding"))).alias("pos0", "val"),
+    )
+    cnt = F.count(F.lit(1))
+    return (
+        x.groupBy("label", (F.col("pos0") + 1).cast("long").alias("pos"))
+        .agg(
+            cnt.alias("n"),
+            (
+                F.sum(F.round(F.col("val") * 1000000).cast("long")).cast("double")
+                / F.lit(1000000.0)
+                / cnt
+            ).alias("centroid_val"),
+        )
+        .orderBy("label", "pos")
+    )

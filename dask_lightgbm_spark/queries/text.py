@@ -785,3 +785,65 @@ def t19_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# t20 — corpus-cleaning composite: the canonical training-data pipeline
+# (exact dedup keep-list ∘ token-count quality floor) with per-source
+# retention accounting. Each stage is one shuffle (dedup groupBy, keep-list
+# join, final per-source agg); nothing quadratic, nothing driver-side.
+# ---------------------------------------------------------------------------
+
+_T20_SQL = r"""
+WITH k AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+u AS (SELECT d.* FROM documents d JOIN k USING (doc_id)),
+q AS (
+  SELECT * FROM u
+  WHERE len(list_filter(string_split_regex(trim(text), '[ \t\n\f\r]+'),
+            x -> x <> '')) >= 30
+),
+t AS (SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source),
+uu AS (SELECT source, COUNT(*) AS n_unique FROM u GROUP BY source),
+qq AS (SELECT source, COUNT(*) AS n_kept FROM q GROUP BY source)
+SELECT t.source, t.n_total,
+       CAST(COALESCE(uu.n_unique, 0) AS BIGINT) AS n_unique,
+       CAST(COALESCE(qq.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(qq.n_kept, 0) AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+         AS retention
+FROM t LEFT JOIN uu ON t.source = uu.source LEFT JOIN qq ON t.source = qq.source
+ORDER BY t.source
+"""
+
+
+@query("t20_cleaning_pipeline", _T20_SQL)
+def t20_cleaning_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source retention through the cleaning pipeline: exact-dedup
+    survivors (min doc_id per content hash) filtered by a >=30-token
+    quality floor; retention = kept/total (single IEEE division, identical
+    operands both engines)."""
+    from dask_lightgbm_spark.operators import text_ops
+
+    d = load_table(spark, sf_dir, "documents")
+    keep = dedup.exact_dedup_groups(d, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    u = d.join(keep, "doc_id")
+    q = u.filter(text_ops.token_count(F.col("text")) >= 30)
+    t = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    uu = u.groupBy("source").agg(F.count(F.lit(1)).alias("__nu"))
+    qq = q.groupBy("source").agg(F.count(F.lit(1)).alias("__nk"))
+    return (
+        t.join(uu, "source", "left")
+        .join(qq, "source", "left")
+        .select(
+            "source",
+            "n_total",
+            F.coalesce("__nu", F.lit(0)).cast("long").alias("n_unique"),
+            F.coalesce("__nk", F.lit(0)).cast("long").alias("n_kept"),
+            (
+                F.coalesce("__nk", F.lit(0)).cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("retention"),
+        )
+        .orderBy("source")
+    )
