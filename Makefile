@@ -20,7 +20,7 @@ check:
 # driver-side line coverage; threshold calibrated to the measured baseline
 # (executor-side code excluded by construction — see tools/coverage.py)
 coverage:
-	python tools/coverage.py --fail-under 70 --with-catalog
+	python tools/coverage.py --fail-under 75 --with-catalog
 
 bench:
 	python bench.py

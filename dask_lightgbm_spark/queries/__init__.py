@@ -138,6 +138,7 @@ _GATE_FIRST: list[str] = [
     "s13_label_centroids",
     "x06_stream_session_window",
     "q53_salted_skew_agg",
+    "q54_recursive_date_spine",
     "s11_knn_ivf_learned_nprobe",
     "s12_range_search_ivf",
     "q48_range_interval_window",

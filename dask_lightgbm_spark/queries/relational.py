@@ -1654,3 +1654,43 @@ def q53_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_cents").cast("long").alias("sum_value_cents"),
         F.col("n_rows"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q54 — RECURSIVE CTE (Spark 4 WITH RECURSIVE): dense monthly date spine
+# generated by recursion, left-joined to sparse monthly revenue — the
+# gap-filling reporting pattern. Recursion depth = month count (bounded,
+# driver-independent); the heavy side stays one groupBy shuffle.
+# ---------------------------------------------------------------------------
+
+_Q54_BODY = """
+WITH RECURSIVE months(m) AS (
+  SELECT (SELECT date_trunc('month', MIN(o_orderdate)) FROM {orders})
+  UNION ALL
+  SELECT m + INTERVAL '1' MONTH FROM months
+  WHERE m < (SELECT date_trunc('month', MAX(o_orderdate)) FROM {orders})
+),
+rev AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM {orders} GROUP BY 1
+)
+SELECT months.m AS month,
+       CAST(COALESCE(rev.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(rev.rev_cents, 0) AS BIGINT) AS rev_cents
+FROM months LEFT JOIN rev ON months.m = rev.m
+ORDER BY months.m
+"""
+
+_Q54_SQL = _Q54_BODY.format(orders="orders")
+
+
+@query("q54_recursive_date_spine", _Q54_SQL)
+def q54_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE month spine joined to monthly order revenue (identical
+    WITH RECURSIVE text runs on both engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__q54_orders")
+    return spark.sql(_Q54_BODY.format(orders="__q54_orders"))
