@@ -135,6 +135,9 @@ def query(name: str, oracle: str | None = None):
 _GATE_FIRST: list[str] = [
     "t19_decontamination",
     "t20_cleaning_pipeline",
+    "t21_boilerplate_ngrams",
+    "t22_mixture_allocation",
+    "ml03_pipeline_api",
     "s13_label_centroids",
     "x06_stream_session_window",
     "q53_salted_skew_agg",

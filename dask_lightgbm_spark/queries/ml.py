@@ -103,3 +103,55 @@ def ml02_regressor_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.sum(target_c).cast("double") / F.lit(100.0) / cnt
         ).alias("rmse_lt_mean"),
     )
+
+
+_ML03_SQL = """
+SELECT COUNT(*) AS n,
+       CAST(SUM(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       TRUE AS acc_ge_095
+FROM lineitem
+"""
+
+
+@query("ml03_pipeline_api", _ML03_SQL)
+def ml03_pipeline_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib Pipeline-API surface driver-verified: VectorAssembler →
+    LGBMClassifierEstimator (pyspark.ml.Pipeline stages, ml_pipeline.py) on
+    a separable target (discount ≥ 0.05 is a function of a feature, so the
+    tree must learn a single split; in-sample accuracy ~1.0 vs the 0.95
+    gate). Data-exact columns: row count and true-label positives."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import VectorAssembler
+
+    from dask_lightgbm_spark.ml_pipeline import LGBMClassifierEstimator
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity",
+        "l_discount",
+        "l_tax",
+        (F.col("l_discount") >= 0.05).cast("double").alias("label"),
+    )
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(
+                inputCols=["l_quantity", "l_discount", "l_tax"],
+                outputCol="features",
+            ),
+            LGBMClassifierEstimator(
+                featuresCol="features", labelCol="label",
+                nEstimators=10, maxDepth=5, backend="mllib",
+            ),
+        ]
+    )
+    pred = pipe.fit(l).transform(l)
+    stats = pred.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("label") == 1.0).cast("long")).alias("n_pos"),
+    )
+    gate = pred.agg(
+        (
+            F.avg((F.col("prediction") == F.col("label")).cast("double"))
+            >= F.lit(0.95)
+        ).alias("acc_ge_095")
+    )
+    return stats.crossJoin(F.broadcast(gate))

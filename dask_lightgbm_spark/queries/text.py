@@ -847,3 +847,139 @@ def t20_cleaning_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# t21 — cross-document boilerplate n-grams (CCNet-style): token 3-grams
+# appearing in >= 2 distinct docs of the same source — the discovery stage
+# of boilerplate stripping (headers, footers, templates). Per-doc distinct
+# grams are built row-locally (one projection, no shuffle); the only
+# shuffle is the (source, gram) count. Linear in corpus size.
+# ---------------------------------------------------------------------------
+
+_T21_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(trim(text), '[ \t\n\f\r]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(CASE WHEN len(t) >= 3 THEN
+           list_transform(generate_series(1, len(t) - 2),
+                          i -> array_to_string(list_slice(t, i, i + 2), ' '))
+           ELSE [] END)) AS gram
+  FROM toks
+)
+SELECT source, gram, COUNT(*) AS n_docs
+FROM grams GROUP BY source, gram
+HAVING COUNT(*) >= 2
+ORDER BY source, gram
+"""
+
+
+@query("t21_boilerplate_ngrams", _T21_SQL)
+def t21_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token 3-grams shared by >= 2 docs within a source (boilerplate
+    discovery). Distinct-per-doc grams keep the count = distinct docs
+    without a COUNT(DISTINCT) shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"[ \t\n\f\r]+"), lambda x: x != "")
+    grams = F.when(
+        F.size(toks) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: F.array_join(F.slice(toks, i, 3), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select("doc_id", "source", F.explode(grams).alias("gram"))
+        .groupBy("source", "gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("source", "gram")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t22 — training-mixture allocation: split a fixed token budget across
+# sources proportionally to their token counts using the largest-remainder
+# method — entirely int64 arithmetic (floor-division shares + remainder
+# ranking), so the allocation is bit-identical across engines and runs.
+# The heavy stage is one per-source token-count agg; the allocation itself
+# is a 20-row window. This is the "mix ratios" step of corpus assembly.
+# ---------------------------------------------------------------------------
+
+_T22_BUDGET = 100_000
+
+_T22_SQL = rf"""
+WITH tok AS (
+  SELECT source,
+         CAST(SUM(CAST(len(list_filter(string_split_regex(trim(text), '[ \t\n\f\r]+'),
+                 x -> x <> '')) AS BIGINT)) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM tok),
+base AS (
+  SELECT source, n_tokens,
+         ({_T22_BUDGET} * n_tokens) // total AS base_alloc,
+         ({_T22_BUDGET} * n_tokens) % total AS rem
+  FROM tok, tot
+),
+ranked AS (
+  SELECT source, n_tokens, base_alloc,
+         row_number() OVER (ORDER BY rem DESC, source) AS rk,
+         {_T22_BUDGET} - SUM(base_alloc) OVER () AS leftover
+  FROM base
+)
+SELECT source, n_tokens,
+       CAST(base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc_tokens
+FROM ranked
+ORDER BY source
+"""
+
+
+@query("t22_mixture_allocation", _T22_SQL)
+def t22_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder allocation of a 100k-token budget across sources,
+    proportional to measured token mass — exact integer arithmetic; the
+    allocations sum to the budget by construction."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"[ \t\n\f\r]+"), lambda x: x != "")
+    tok = d.select("source", F.size(toks).cast("long").alias("__nt")).groupBy(
+        "source"
+    ).agg(F.sum("__nt").alias("n_tokens"))
+    wall = W.partitionBy()
+    b = F.lit(_T22_BUDGET).cast("long")
+    total = F.sum("n_tokens").over(wall)
+    base = tok.select(
+        "source",
+        "n_tokens",
+        F.expr(f"({_T22_BUDGET} * n_tokens) div sum(n_tokens) over ()").alias(
+            "base_alloc"
+        ),
+        ((b * F.col("n_tokens")) % total).alias("rem"),
+    )
+    ranked = base.select(
+        "source",
+        "n_tokens",
+        "base_alloc",
+        F.row_number().over(W.orderBy(F.desc("rem"), F.asc("source"))).alias("rk"),
+        (b - F.sum("base_alloc").over(wall)).alias("leftover"),
+    )
+    return ranked.select(
+        "source",
+        "n_tokens",
+        (
+            F.col("base_alloc")
+            + F.when(F.col("rk") <= F.col("leftover"), F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("alloc_tokens"),
+    ).orderBy("source")
