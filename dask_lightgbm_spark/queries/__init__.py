@@ -137,7 +137,9 @@ _GATE_FIRST: list[str] = [
     "t20_cleaning_pipeline",
     "t21_boilerplate_ngrams",
     "t22_mixture_allocation",
+    "t23_hash_sample_per_source",
     "ml03_pipeline_api",
+    "x07_stream_dedup_within_watermark",
     "s13_label_centroids",
     "x06_stream_session_window",
     "q53_salted_skew_agg",

@@ -134,3 +134,18 @@ def x06_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_lightgbm_spark.streaming.events import stream_session_window
 
     return stream_session_window(spark, sf_dir)
+
+
+_X07_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+@query("x07_stream_dedup_within_watermark", _X07_SQL)
+def x07_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-bounded streaming dedup (dropDuplicatesWithinWatermark) +
+    count per type; equals the batch COUNT(DISTINCT) on a bounded drain."""
+    from dask_lightgbm_spark.streaming.events import stream_dedup_within_watermark
+
+    return stream_dedup_within_watermark(spark, sf_dir)

@@ -983,3 +983,40 @@ def t22_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alloc_tokens"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# t23 — deterministic per-group sampling: k docs per source chosen by hash
+# order (md5 of the id) — reproducible subsampling with no RNG state, the
+# standard way to cut a stable dev subset from a moving corpus. One window
+# per source partition; no global sort.
+# ---------------------------------------------------------------------------
+
+_T23_SQL = """
+SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 5
+ORDER BY source, doc_id
+"""
+
+
+@query("t23_hash_sample_per_source", _T23_SQL)
+def t23_hash_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5 docs per source in md5(doc_id) order — deterministic, seedless,
+    stable under corpus growth for unchanged ids."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    )

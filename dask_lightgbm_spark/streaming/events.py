@@ -202,3 +202,32 @@ def stream_session_window(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with BOUNDED state: ``dropDuplicatesWithinWatermark``
+    evicts dedup state once the watermark passes an event's time — the
+    production form of x03's unbounded dropDuplicates (whose state grows
+    with key cardinality forever). On a bounded single-batch drain the
+    watermark is still at its initial value while the batch processes, so
+    every row is inside the window and the result equals exact global
+    dedup — which is what the oracle checks."""
+    src = read_events_stream(spark, sf_dir).select("ts", "user_id", "event_type")
+    counts = (
+        src.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

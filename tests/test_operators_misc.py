@@ -303,3 +303,38 @@ def test_concat_scipy_csr_branch():
         sys.path.remove(stubs)
         for m in [m for m in list(sys.modules) if m.startswith("scipy")]:
             del sys.modules[m]
+
+
+def test_restore_confs_round_trip(spark, sf_dir):
+    """Catalog queries pin session confs (timezone/AQE/shuffle partitions)
+    but must remember originals so a library caller can undo the
+    reconfiguration (r2 advisor)."""
+    from dask_lightgbm_spark.queries import all_queries, restore_confs
+
+    orig_tz = spark.conf.get("spark.sql.session.timeZone")
+    orig_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    restore_confs(spark)  # clear any snapshot a previous test's query took
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        all_queries()["q03_global_agg"](spark, sf_dir).collect()
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"  # pinned
+        restore_confs(spark)
+        assert spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
+        # calling again is a no-op (originals consumed)
+        restore_confs(spark)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", orig_tz)
+        spark.conf.set("spark.sql.shuffle.partitions", orig_parts)
+
+
+def test_mixture_allocation_sums_to_budget(spark, sf_dir):
+    """t22's largest-remainder allocation must hand out EXACTLY the budget
+    (the defining property of the method) with every source getting at
+    least its floor share."""
+    from dask_lightgbm_spark.queries import all_queries
+
+    df = all_queries()["t22_mixture_allocation"](spark, sf_dir).toPandas()
+    assert int(df.alloc_tokens.sum()) == 100_000
+    total = int(df.n_tokens.sum())
+    for _, r in df.iterrows():
+        assert int(r.alloc_tokens) >= (100_000 * int(r.n_tokens)) // total
