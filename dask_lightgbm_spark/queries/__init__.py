@@ -138,6 +138,8 @@ _GATE_FIRST: list[str] = [
     "t21_boilerplate_ngrams",
     "t22_mixture_allocation",
     "t23_hash_sample_per_source",
+    "t24_multimodal_features",
+    "t25_frame_sampling",
     "ml03_pipeline_api",
     "x07_stream_dedup_within_watermark",
     "s13_label_centroids",

@@ -1020,3 +1020,96 @@ def t23_hash_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id")
         .orderBy("source", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# t24 — multimodal feature-extraction path, driver-verified: the REAL
+# mapInPandas Arrow kernel (operators/multimodal.py:extract_features, the
+# stub "decoder" = deterministic byte histogram) runs on binary payloads
+# attached from text, and its per-bucket shares are converted back to exact
+# integer byte counts, which DuckDB recomputes character-by-character. This
+# puts the Pandas-UDF multimodal plumbing itself under the bit-exact gate
+# (previously pytest-only). Fixture text is pure ASCII, so UTF-8 bytes ==
+# codepoints and ascii() is the byte value on both engines.
+# ---------------------------------------------------------------------------
+
+_T24_SQL = """
+WITH codes AS (
+  SELECT doc_id, length(text) AS n_bytes,
+         list_transform(generate_series(1, length(text)),
+                        i -> ascii(substr(text, i, 1)) % 8) AS m
+  FROM documents
+)
+SELECT doc_id, g.j AS bucket,
+       CAST(len(list_filter(m, x -> x = g.j)) AS BIGINT) AS cnt,
+       CAST(n_bytes AS BIGINT) AS n_bytes
+FROM codes, generate_series(0, 7) AS g(j)
+ORDER BY doc_id, bucket
+"""
+
+
+@query("t24_multimodal_features", _T24_SQL)
+def t24_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-histogram features over binary payloads via the multimodal
+    mapInPandas kernel; shares × n_bytes rounds back to exact integer
+    counts (float32 rel-error ~1e-7 × counts ≪ 0.5 at document sizes)."""
+    from dask_lightgbm_spark.operators import multimodal as mm
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    p = mm.attach_binary_payload(d, "text")
+    f = mm.extract_features(p, dim=8)
+    return (
+        f.select(
+            "doc_id",
+            "n_bytes",
+            F.posexplode("feature").alias("bucket0", "share"),
+        )
+        .select(
+            "doc_id",
+            F.col("bucket0").cast("long").alias("bucket"),
+            F.round(F.col("share").cast("double") * F.col("n_bytes"))
+            .cast("long")
+            .alias("cnt"),
+            F.col("n_bytes"),
+        )
+        .orderBy("doc_id", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t25 — multimodal frame sampling, driver-verified: the row-expanding
+# mapInPandas kernel (operators/multimodal.py:sample_frames; stub decoder =
+# evenly-spaced 16-byte windows) emits 4 frames per payload; each frame's
+# md5 is recomputed by DuckDB from the same substring arithmetic. Verifies
+# the 1→N Arrow kernel shape a real video decoder needs. (Fixture docs are
+# all ≥ 44 bytes, so the zero-padding branch never fires and frames are
+# pure substrings on both engines.)
+# ---------------------------------------------------------------------------
+
+_T25_SQL = """
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+f AS (
+  SELECT doc_id, g.i AS frame_idx,
+         least(g.i * greatest(n // 4, 1), greatest(n - 16, 0)) AS start0,
+         text, n
+  FROM d, generate_series(0, 3) AS g(i)
+)
+SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       md5(substr(text, CAST(start0 + 1 AS BIGINT), 16)) AS frame_md5
+FROM f
+ORDER BY doc_id, frame_idx
+"""
+
+
+@query("t25_frame_sampling", _T25_SQL)
+def t25_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4 evenly-spaced 16-byte frames per payload through the real
+    mapInPandas sampling kernel; md5 per frame hash-checked cross-engine."""
+    from dask_lightgbm_spark.operators import multimodal as mm
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    p = mm.attach_binary_payload(d, "text")
+    frames = mm.sample_frames(p, n_frames=4, frame_bytes=16)
+    return frames.select(
+        "doc_id", "frame_idx", F.md5(F.col("frame")).alias("frame_md5")
+    ).orderBy("doc_id", "frame_idx")
