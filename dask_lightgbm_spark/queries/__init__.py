@@ -59,7 +59,13 @@ _PINNED_CONFS = (
     "spark.sql.adaptive.enabled",
     "spark.sql.adaptive.coalescePartitions.enabled",
     "spark.sql.shuffle.partitions",
+    "spark.sql.optimizer.excludedRules",
 )
+
+# redundant-filter inference under Generate re-inlines derived-array
+# expressions without CSE — O(len²) per row on shingle/n-gram explodes
+# (266 s → 1.9 s at sf0.1 when excluded; see session.py for the full note)
+_EXCLUDED_RULE = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
 
 
 def _pin_confs(spark: SparkSession) -> None:
@@ -79,6 +85,13 @@ def _pin_confs(spark: SparkSession) -> None:
             spark.conf.set("spark.sql.shuffle.partitions", "32")
     except Exception:
         pass
+    try:
+        current = spark.conf.get("spark.sql.optimizer.excludedRules") or ""
+    except Exception:
+        current = ""
+    if _EXCLUDED_RULE not in current:
+        merged = f"{current},{_EXCLUDED_RULE}" if current else _EXCLUDED_RULE
+        spark.conf.set("spark.sql.optimizer.excludedRules", merged)
 
 
 def restore_confs(spark: SparkSession) -> None:
@@ -146,6 +159,8 @@ _GATE_FIRST: list[str] = [
     "x06_stream_session_window",
     "q53_salted_skew_agg",
     "q54_recursive_date_spine",
+    "q55_join_strategy_hints",
+    "t26_resize_payloads",
     "s11_knn_ivf_learned_nprobe",
     "s12_range_search_ivf",
     "q48_range_interval_window",

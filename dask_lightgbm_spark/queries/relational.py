@@ -1694,3 +1694,51 @@ def q54_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     o.createOrReplaceTempView("__q54_orders")
     return spark.sql(_Q54_BODY.format(orders="__q54_orders"))
+
+
+# ---------------------------------------------------------------------------
+# q55 — explicit physical join strategies via hints: the same
+# orders⋈customer aggregation computed twice, once forcing SHUFFLE_HASH and
+# once forcing MERGE (sort-merge), results unioned with a strategy tag.
+# Identical values under both strategies (and to the hint-free oracle) —
+# the point is that plan strategy is a per-join dial, not an engine-wide
+# accident; at 100 TB you pick hash when one side fits per-partition memory
+# and merge when both sides are huge or pre-sorted.
+# ---------------------------------------------------------------------------
+
+_Q55_SQL = """
+WITH agg AS (
+  SELECT c.c_mktsegment,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment
+)
+SELECT 'hash' AS strategy, * FROM agg
+UNION ALL
+SELECT 'merge' AS strategy, * FROM agg
+ORDER BY strategy, c_mktsegment
+"""
+
+
+@query("q55_join_strategy_hints", _Q55_SQL)
+def q55_join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def agg(strategy: str, hint: str) -> DataFrame:
+        joined = o.join(c.hint(hint), o.o_custkey == c.c_custkey)
+        return joined.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        ).select(F.lit(strategy).alias("strategy"), "c_mktsegment", "n_orders",
+                 "total_cents")
+
+    return (
+        agg("hash", "SHUFFLE_HASH")
+        .unionAll(agg("merge", "MERGE"))
+        .orderBy("strategy", "c_mktsegment")
+    )

@@ -1113,3 +1113,33 @@ def t25_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "doc_id", "frame_idx", F.md5(F.col("frame")).alias("frame_md5")
     ).orderBy("doc_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# t26 — multimodal resize kernel, driver-verified: the stub "resize"
+# truncates the payload to width·height bytes (6×6=36 ≤ the 44-byte minimum
+# doc, so the zero-pad branch never fires); md5 of each resized payload is
+# recomputed by DuckDB from substr. Completes gate coverage of all three
+# multimodal kernel shapes (1→1 features, 1→N frames, 1→1 resize).
+# ---------------------------------------------------------------------------
+
+_T26_SQL = """
+SELECT doc_id, 6 AS width, 6 AS height, md5(substr(text, 1, 36)) AS payload_md5
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("t26_resize_payloads", _T26_SQL)
+def t26_resize_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_lightgbm_spark.operators import multimodal as mm
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    p = mm.attach_binary_payload(d, "text")
+    r = mm.resize_images(p, width=6, height=6)
+    return r.select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.md5(F.col("payload")).alias("payload_md5"),
+    ).orderBy("doc_id")

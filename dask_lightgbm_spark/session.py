@@ -42,6 +42,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # InferFiltersFromGenerate adds a redundant `size(arr) > 0` filter
+        # under every explode and pushes it below exchanges with the array
+        # expression fully re-inlined (no subexpression elimination in
+        # filters) — for explodes of derived arrays like shingle hashes
+        # this re-evaluates an O(len) inner array per element_at tap,
+        # turning an O(len) projection into O(len²) per row: measured 266 s
+        # → 1.9 s on the sf0.1 shingle explode. explode() already drops
+        # empty arrays, so excluding the rule cannot change results.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
@@ -60,4 +72,8 @@ def apply_session_defaults(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
     return spark

@@ -40,3 +40,39 @@ def test_topk_is_take_ordered(spark, sf_dir):
 
     df = all_queries()["q05_top_orders"](spark, sf_dir)
     assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_join_hints_control_physical_strategy(spark, sf_dir):
+    """q55's hints must actually flip the physical operator: SHUFFLE_HASH →
+    ShuffledHashJoin, MERGE → SortMergeJoin (not both silently broadcast)."""
+    from dask_lightgbm_spark.plans.explain import formatted_plan
+    from dask_lightgbm_spark.queries import all_queries
+
+    plan = formatted_plan(all_queries()["q55_join_strategy_hints"](spark, sf_dir))
+    assert "ShuffledHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" in plan, plan[:2000]
+
+
+def test_no_inferred_size_filter_under_explode(spark, sf_dir):
+    """Regression fence for the O(len²) explode pathology: Catalyst's
+    InferFiltersFromGenerate pushes a redundant size(arr) > 0 filter below
+    exchanges with the derived-array expression fully re-inlined (no CSE in
+    filters), re-evaluating an O(len) inner array per element tap — t19's
+    shingle explode went 266 s → 1.9 s at sf0.1 with the rule excluded.
+    The session factory and the catalog conf pin must both keep it off."""
+    from dask_lightgbm_spark.plans.explain import formatted_plan
+    from dask_lightgbm_spark.queries import all_queries
+
+    assert "InferFiltersFromGenerate" in spark.conf.get(
+        "spark.sql.optimizer.excludedRules"
+    )
+    plan = formatted_plan(all_queries()["t19_decontamination"](spark, sf_dir))
+    # size(hs) appears legitimately as the n_shingles projection; the
+    # pathology is the same expression inside a FILTER (the inferred
+    # size(...) > 0 pre-filter)
+    bad = [
+        line
+        for line in plan.splitlines()
+        if "Filter" in line and "size(array_distinct" in line
+    ]
+    assert not bad, bad[:2]
