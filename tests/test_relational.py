@@ -54,3 +54,21 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert "sum_qty" in df.columns
+
+
+def test_gate_order_puts_newest_queries_first():
+    """The external driver's correctness gate caps at ~50 queries per round
+    and runs them in all_queries() order — the rotation contract is that
+    every never-driver-verified name in _GATE_FIRST leads, followed by the
+    relational block (r01-only coverage), with r02-verified t/s/x last."""
+    from dask_lightgbm_spark.queries import _GATE_FIRST, all_oracles, all_queries
+
+    names = list(all_queries())
+    assert names[: len(_GATE_FIRST)] == _GATE_FIRST
+    rest = names[len(_GATE_FIRST):]
+    kinds = [n[0] for n in rest]
+    # q-block before t/s/x blocks
+    assert kinds.index("t") > max(i for i, k in enumerate(kinds) if k == "q")
+    # oracle map is ordered the same way
+    ok = [n for n in all_oracles() if n in set(_GATE_FIRST)]
+    assert ok == [n for n in _GATE_FIRST if n in all_oracles()]
