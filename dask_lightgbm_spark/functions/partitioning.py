@@ -58,3 +58,46 @@ def repartition_for_join(df: DataFrame, keys: list[str], n: int | None = None) -
     tables for ephemeral pipelines)."""
     cols = [F.col(k) for k in keys]
     return df.repartition(n, *cols) if n else df.repartition(*cols)
+
+
+def largest_remainder_allocation(
+    df: DataFrame, key_col: str, weight_col: str, budget: int
+) -> DataFrame:
+    """Split an integer ``budget`` across keys proportionally to integer
+    ``weight_col`` using the largest-remainder method — pure int64
+    arithmetic (floor-division base shares, leftover units to the largest
+    remainders, ties by key), so results are exact and reproducible on any
+    engine. Allocations sum to the budget by construction; every key
+    receives at least its floor share. Raises if total weight is 0
+    (allocation undefined). The per-key frame is assumed small (it is an
+    aggregate over keys); the windows here are over keys, not rows."""
+    from pyspark.sql import Window as W
+
+    total_w = df.agg(F.sum(weight_col)).collect()[0][0]
+    if not total_w:
+        raise ValueError("largest_remainder_allocation: total weight is 0")
+    b = F.lit(int(budget)).cast("long")
+    wall = W.partitionBy()
+    base = df.select(
+        key_col,
+        F.col(weight_col).cast("long").alias("__w"),
+        F.expr(f"({int(budget)} * {weight_col}) div {int(total_w)}").alias("__base"),
+        ((b * F.col(weight_col).cast("long")) % F.lit(int(total_w))).alias("__rem"),
+    )
+    ranked = base.select(
+        key_col,
+        "__w",
+        "__base",
+        F.row_number().over(W.orderBy(F.desc("__rem"), F.asc(key_col))).alias("__rk"),
+        (b - F.sum("__base").over(wall)).alias("__left"),
+    )
+    return ranked.select(
+        key_col,
+        F.col("__w").alias(weight_col),
+        (
+            F.col("__base")
+            + F.when(F.col("__rk") <= F.col("__left"), F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("allocation"),
+    )

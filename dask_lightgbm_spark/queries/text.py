@@ -948,40 +948,18 @@ def t22_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Largest-remainder allocation of a 100k-token budget across sources,
     proportional to measured token mass — exact integer arithmetic; the
     allocations sum to the budget by construction."""
-    from pyspark.sql import Window as W
+    from dask_lightgbm_spark.functions.partitioning import (
+        largest_remainder_allocation,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.trim(F.col("text")), r"[ \t\n\f\r]+"), lambda x: x != "")
     tok = d.select("source", F.size(toks).cast("long").alias("__nt")).groupBy(
         "source"
     ).agg(F.sum("__nt").alias("n_tokens"))
-    wall = W.partitionBy()
-    b = F.lit(_T22_BUDGET).cast("long")
-    total = F.sum("n_tokens").over(wall)
-    base = tok.select(
-        "source",
-        "n_tokens",
-        F.expr(f"({_T22_BUDGET} * n_tokens) div sum(n_tokens) over ()").alias(
-            "base_alloc"
-        ),
-        ((b * F.col("n_tokens")) % total).alias("rem"),
-    )
-    ranked = base.select(
-        "source",
-        "n_tokens",
-        "base_alloc",
-        F.row_number().over(W.orderBy(F.desc("rem"), F.asc("source"))).alias("rk"),
-        (b - F.sum("base_alloc").over(wall)).alias("leftover"),
-    )
-    return ranked.select(
-        "source",
-        "n_tokens",
-        (
-            F.col("base_alloc")
-            + F.when(F.col("rk") <= F.col("leftover"), F.lit(1)).otherwise(F.lit(0))
-        )
-        .cast("long")
-        .alias("alloc_tokens"),
+    out = largest_remainder_allocation(tok, "source", "n_tokens", _T22_BUDGET)
+    return out.select(
+        "source", "n_tokens", F.col("allocation").alias("alloc_tokens")
     ).orderBy("source")
 
 

@@ -153,3 +153,37 @@ def test_lsh_always_finds_exact_duplicates(spark, text, n_extra):
         for r in minhash_lsh_neardup(df, "doc_id", "text", threshold=0.99).collect()
     }
     assert pairs.get((0, 1)) == 1.0
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=12),
+    st.integers(min_value=1, max_value=1_000_000),
+)
+@settings(max_examples=12, deadline=None)
+def test_largest_remainder_allocation_invariants(weights, budget):
+    """Property: allocations are non-negative, each key gets >= its floor
+    share, and the total hands out EXACTLY the budget — for any weights
+    (including zero-weight keys) with positive total."""
+    import pandas as pd
+
+    from dask_lightgbm_spark.functions.partitioning import (
+        largest_remainder_allocation,
+    )
+    from dask_lightgbm_spark.session import get_spark
+
+    spark = get_spark("tests", cpus=4, shuffle_partitions=4)
+    total = sum(weights)
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": [f"s{i}" for i in range(len(weights))], "w": weights})
+    )
+    if total == 0:
+        import pytest
+
+        with pytest.raises(ValueError, match="total weight is 0"):
+            largest_remainder_allocation(df, "k", "w", budget)
+        return
+    out = largest_remainder_allocation(df, "k", "w", budget).toPandas()
+    assert int(out.allocation.sum()) == budget
+    for _, r in out.iterrows():
+        assert r.allocation >= (budget * int(r.w)) // total
+        assert r.allocation >= 0
