@@ -114,14 +114,18 @@ def time_duckdb(sf_dir: str, names: list[str], runs: int = RUNS) -> dict[str, fl
         if sql is None:
             timings[name] = None
             continue
-        best = None
-        for _ in range(runs):
-            t0 = time.time()
-            con.sql(sql).df()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        print(f"# duckdb {name}: {best:.2f}s", file=sys.stderr)
+        try:
+            best = None
+            for _ in range(runs):
+                t0 = time.time()
+                con.sql(sql).df()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+            print(f"# duckdb {name}: {best:.2f}s", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 — bench must degrade, not crash
+            timings[name] = None
+            print(f"# duckdb {name}: ERROR {exc}", file=sys.stderr)
     con.close()
     return timings
 
@@ -141,21 +145,34 @@ def main():
     from dask_lightgbm_spark.sources.readers import TABLES, load_table
 
     for t in TABLES:
-        load_table(spark, sf_dir, t).count()
-    qs["q05_top_orders"](spark, sf_dir).collect()
+        try:
+            load_table(spark, sf_dir, t).count()
+        except Exception as exc:  # noqa: BLE001
+            print(f"# warmup {t}: ERROR {exc}", file=sys.stderr)
+    try:
+        qs["q05_top_orders"](spark, sf_dir).collect()
+    except Exception as exc:  # noqa: BLE001
+        print(f"# warmup q05: ERROR {exc}", file=sys.stderr)
 
     # min of 3 runs per query: first run pays plan-compile + page-cache
-    # warmup; min reflects steady-state throughput.
+    # warmup; min reflects steady-state throughput. One query erroring
+    # must not take down the run — record the error and keep timing the
+    # rest (a bench harness degrades, it doesn't crash).
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        best, n = None, 0
-        for _ in range(RUNS):
-            t0 = time.time()
-            n = len(qs[name](spark, sf_dir).toPandas())
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+        try:
+            best, n = None, 0
+            for _ in range(RUNS):
+                t0 = time.time()
+                n = len(qs[name](spark, sf_dir).toPandas())
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+            print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 — bench must degrade, not crash
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {type(exc).__name__}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
@@ -174,6 +191,7 @@ def main():
             n: round(timings[n] / duck[n], 2) for n in timings if duck.get(n)
         },
         "vs_duckdb_live_total": round(total / duck_total, 2) if duck_total else None,
+        "errors": errors,
     }
     regressions = []
     if at_sf01:
@@ -229,9 +247,10 @@ def main():
     print(json.dumps(out))
     if "--enforce" in sys.argv and at_sf01:
         live = out["vs_duckdb_live_total"]
-        if (live is not None and live > 2.0) or regressions:
+        if (live is not None and live > 2.0) or regressions or errors:
             print(
-                f"GATE FAIL: vs_duckdb_live_total={live} regressions={regressions}",
+                f"GATE FAIL: vs_duckdb_live_total={live} regressions={regressions}"
+                f" errors={sorted(errors)}",
                 file=sys.stderr,
             )
             sys.exit(1)

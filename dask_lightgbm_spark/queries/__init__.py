@@ -137,43 +137,26 @@ def query(name: str, oracle: str | None = None):
 
 # The driver's correctness gate runs queries in the order all_queries()
 # yields them and caps at ~50 per round, so ordering is rotated each round:
-# names listed here gate FIRST (this round's never-driver-verified queries),
-# then the rest follow in _GATE_REST_PREFIX-module order. Across rounds the
-# union of gate runs then converges on the whole catalog: r01 covered the
-# early relational block, r02 covered t/s/x/ml + early relational, r03 puts
-# q48-q52 (registered too late for the r02 cap — judge-verified only),
-# ml01/ml02 (newly oracled this round), and every r03 addition up front,
-# followed by the q05-q47 relational block (r01-only coverage), with the
-# r02-freshest t/s/x block last.
+# names listed here gate FIRST, then the rest follow in
+# _GATE_REST_PREFIX-module order. Across rounds the union of gate runs
+# converges on the whole catalog (r01: early relational; r02: t/s/x/ml;
+# r03: q48+ additions; r04: re-ran the r03 order). r05 leads with the six
+# timestamp-family queries broken by the r4 fixture drift (events.ts became
+# TIMESTAMP_NTZ; fixed at the read boundary in sources/readers.py
+# normalize_event_time) — four failed the r4 gate and two (q40, x05) were
+# latent outside the sample — followed by every r05 addition, then the
+# q27-q47 relational block (absent from the r4 sample).
 _GATE_FIRST: list[str] = [
-    "t19_decontamination",
-    "t20_cleaning_pipeline",
-    "t21_boilerplate_ngrams",
-    "t22_mixture_allocation",
-    "t23_hash_sample_per_source",
-    "t24_multimodal_features",
-    "t25_frame_sampling",
-    "ml03_pipeline_api",
-    "x07_stream_dedup_within_watermark",
-    "s13_label_centroids",
-    "x06_stream_session_window",
-    "q53_salted_skew_agg",
-    "q54_recursive_date_spine",
-    "q55_join_strategy_hints",
-    "t26_resize_payloads",
-    "s11_knn_ivf_learned_nprobe",
-    "s12_range_search_ivf",
+    "q15_sessionize",
+    "q40_funnel",
     "q48_range_interval_window",
-    "q49_conditional_agg",
-    "q50_distribution_windows",
-    "q51_unpivot_measures",
-    "q52_python_udtf_lateral",
-    "ml01_classifier_embeddings",
-    "ml02_regressor_lineitem",
+    "x05_stream_append_watermark",
+    "x06_stream_session_window",
+    "x07_stream_dedup_within_watermark",
 ]
 
-# module-name order for everything not in _GATE_FIRST (r03: relational
-# before text/similarity/streaming — the latter were all gated in r02)
+# module-name order for everything not in _GATE_FIRST (relational first —
+# q27-q47 were outside the r4 sample; t/s blocks were r4-verified)
 _GATE_REST_PREFIX = ["q", "ml", "t", "s", "x"]
 
 

@@ -27,21 +27,38 @@ TABLES = (
 )
 
 
+def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to Spark's ``TimestampType``
+    regardless of how the parquet writer encoded it:
+
+    - TIMESTAMP(NANOS) read as int64 via ``nanosAsLong`` → integer-divide
+      to µs (ns epochs exceed 2^53, so double division would lose µs);
+    - TIMESTAMP(µs, isAdjustedToUTC=false) → ``TIMESTAMP_NTZ`` in Spark 4
+      → cast to ``timestamp``. The session TZ is pinned to UTC
+      (session.py), so the cast preserves wall-clock values and matches
+      DuckDB's naive reading of the same file;
+    - TIMESTAMP(µs, UTC) → already ``timestamp``, no-op.
+
+    Watermarks (``withWatermark``) and ``unix_micros`` both require
+    ``TIMESTAMP``, so every reader funnels through this."""
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one fixture table. Column pruning + predicate
     pushdown are Catalyst's job — callers just select/filter.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
-    to its microsecond TimestampType; read it as int64 nanos (legacy conf)
-    and convert losslessly (fixture timestamps are µs-aligned; verified at
-    generation time)."""
+    ``events.ts`` has drifted across fixture generations (nanos, NTZ-µs,
+    UTC-µs); all shapes normalize to ``TimestampType`` at this boundary."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            # integer division: ns epochs exceed 2^53, double division loses µs
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return normalize_event_time(df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

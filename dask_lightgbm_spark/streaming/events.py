@@ -18,8 +18,11 @@ from pyspark.sql import functions as F
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet (TIMESTAMP(NANOS) handled the same
-    way as the batch reader: int64-nanos + integer-division conversion)."""
+    """readStream over the events parquet. All fixture timestamp shapes
+    (int64 nanos, NTZ-µs, UTC-µs) normalize to ``TimestampType`` before any
+    watermark — ``withWatermark`` rejects ``TIMESTAMP_NTZ``."""
+    from dask_lightgbm_spark.sources.readers import normalize_event_time
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     src = (
@@ -27,9 +30,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(src.dtypes).get("ts") == "bigint":
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return src
+    return normalize_event_time(src)
 
 
 def stream_hourly_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:

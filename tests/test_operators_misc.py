@@ -73,13 +73,43 @@ def test_read_csv_gzip_glob(spark):
         assert total == 3 * sum(i * 2 for i in range(10))
 
 
-def test_events_nanos_load(spark, sf_dir):
+def test_events_ts_normalized(spark, sf_dir):
     from dask_lightgbm_spark.sources.readers import load_table
 
     e = load_table(spark, sf_dir, "events")
     assert dict(e.dtypes)["ts"] == "timestamp"
     lo, hi = e.agg(F.min("ts"), F.max("ts")).first()
     assert lo.year == 2024 and hi.year == 2024
+
+
+@pytest.mark.parametrize("shape", ["nanos", "ntz_micros", "utc_micros"])
+def test_events_ts_shapes(spark, shape):
+    """Fixture drift canary: every parquet timestamp encoding the fixture
+    generator has produced (TIMESTAMP(NANOS), TIMESTAMP(µs) naive → NTZ,
+    TIMESTAMP(µs) UTC) must normalize to TimestampType with identical
+    wall-clock values through load_table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dask_lightgbm_spark.sources.readers import load_table
+
+    micros = [1_704_067_200_000_000, 1_704_070_800_500_000]  # 2024-01-01 UTC
+    unit, tz = {
+        "nanos": ("ns", None),
+        "ntz_micros": ("us", None),
+        "utc_micros": ("us", "UTC"),
+    }[shape]
+    vals = [m * 1000 for m in micros] if unit == "ns" else micros
+    tbl = pa.table({"ts": pa.array(vals, type=pa.timestamp(unit, tz=tz))})
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(tbl, os.path.join(d, "events.parquet"))
+        e = load_table(spark, d, "events")
+        assert dict(e.dtypes)["ts"] == "timestamp"
+        got = sorted(r[0] for r in e.select("ts").collect())
+        assert [t.replace(tzinfo=None).isoformat() for t in got] == [
+            "2024-01-01T00:00:00",
+            "2024-01-01T01:00:00.500000",
+        ]
 
 
 def test_streaming_equals_batch(spark, sf_dir):

@@ -74,6 +74,18 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     spark = get_spark("check")
+    # fixture-drift canary: print each table's raw parquet schema types so a
+    # silent fixture regeneration (e.g. ts nanos → NTZ-µs in r4) is visible
+    # in the artifact instead of surfacing as a cryptic query failure.
+    try:
+        import pyarrow.parquet as pq
+
+        for t in TABLES:
+            s = pq.read_schema(f"{sf_dir}/{t}.parquet")
+            cols = ", ".join(f"{f.name}:{f.type}" for f in s)
+            print(f"# fixture {t}: {cols}")
+    except Exception as exc:  # noqa: BLE001 — canary only, never gate
+        print(f"# fixture canary failed: {exc}")
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
