@@ -153,6 +153,10 @@ _GATE_FIRST: list[str] = [
     "x05_stream_append_watermark",
     "x06_stream_session_window",
     "x07_stream_dedup_within_watermark",
+    # r05 additions (never driver-verified)
+    "s14_knn_quantized",
+    "x08_stream_stream_interval_join",
+    "t27_unigram_lm_familiarity",
 ]
 
 # module-name order for everything not in _GATE_FIRST (relational first —

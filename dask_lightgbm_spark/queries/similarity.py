@@ -662,3 +662,43 @@ def s13_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# s14 — int8-quantized brute-force ANN: symmetric scalar quantization
+# (scale = 127/max|x|, floor) then exact int64 dot-product scoring. The
+# 100 TB path: 8x smaller vectors in the scan, integer multiply-adds in the
+# fold, broadcast query side — same topology as s01 at 1/8th the bytes.
+# ---------------------------------------------------------------------------
+
+_S14_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+mx AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM e),
+qz AS (
+  SELECT vec_id,
+         CASE WHEN m = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(v, x -> CAST(floor(x * (127.0 / m)) AS BIGINT))
+         END AS qv
+  FROM mx
+),
+q AS (SELECT vec_id AS qid, qv AS qq FROM qz WHERE vec_id < 10),
+scored AS (
+  SELECT q.qid, n.vec_id AS nid,
+         list_reduce(list_transform(generate_series(1, len(q.qq)),
+                                    i -> q.qq[i] * n.qv[i]),
+                     (x, y) -> x + y) AS qscore
+  FROM q, qz n WHERE n.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, nid, qscore,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY qscore DESC, nid) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT qid, nid, rank, qscore FROM ranked WHERE rank <= 5
+"""
+
+
+@query("s14_knn_quantized", _S14_SQL)
+def s14_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.quantized_knn(e, e.filter(F.col("vec_id") < 10), k=5)

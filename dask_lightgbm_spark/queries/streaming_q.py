@@ -149,3 +149,25 @@ def x07_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataF
     from dask_lightgbm_spark.streaming.events import stream_dedup_within_watermark
 
     return stream_dedup_within_watermark(spark, sf_dir)
+
+
+_X08_SQL = """
+SELECT v.user_id, v.view_id, p.purchase_id, v.view_ts, p.purchase_ts
+FROM (SELECT user_id, event_id AS view_id, ts AS view_ts
+      FROM events WHERE event_type = 'view') v
+JOIN (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND p.purchase_ts >= v.view_ts
+ AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR
+"""
+
+
+@query("x08_stream_stream_interval_join", _X08_SQL)
+def x08_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (view -> purchase attribution within 1h):
+    two watermarked unbounded sources, state bounded by the interval
+    condition; drained pairs equal the batch interval-join oracle."""
+    from dask_lightgbm_spark.streaming.events import stream_stream_interval_join
+
+    return stream_stream_interval_join(spark, sf_dir)

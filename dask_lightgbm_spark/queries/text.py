@@ -1121,3 +1121,65 @@ def t26_resize_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("height").cast("int").alias("height"),
         F.md5(F.col("payload")).alias("payload_md5"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# t27 — unigram-LM familiarity scoring (the CCNet/KenLM quality-filter
+# shape, integer-exact): build corpus unigram counts, then score each doc
+# by the sum of its tokens' corpus frequencies. Docs of common words score
+# high; gibberish scores low. Integer sums keep the oracle bit-exact (a
+# log-prob sum would be a float fold with engine-dependent ordering).
+#
+# Scale: tokens→freq is one shuffle on token (AQE skew-join absorbs the
+# stopword head); the freq lookup join broadcasts when the vocabulary fits
+# (typical after frequency trimming), else it's a shuffled hash join on the
+# same key — both standard at 100 TB corpus size.
+# ---------------------------------------------------------------------------
+
+_T27_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(text), '[ \t\n\f\r]+'),
+                            x -> x <> '')) AS t
+  FROM documents
+),
+freq AS (SELECT t, COUNT(*) AS cnt FROM toks GROUP BY t),
+per_doc AS (
+  SELECT toks.doc_id,
+         CAST(SUM(freq.cnt) AS BIGINT) AS fam_sum,
+         COUNT(*) AS n_tokens
+  FROM toks JOIN freq USING (t)
+  GROUP BY toks.doc_id
+)
+SELECT doc_id, fam_sum, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((fam_sum * 100) // n_tokens AS BIGINT) AS fam_per_token_x100
+FROM per_doc
+"""
+
+
+@query("t27_unigram_lm_familiarity", _T27_SQL)
+def t27_unigram_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+            ).alias("t"),
+        )
+    )
+    freq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = (
+        toks.join(freq, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("fam_sum"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "fam_sum",
+        "n_tokens",
+        F.expr("fam_sum * 100 div n_tokens").alias("fam_per_token_x100"),
+    )

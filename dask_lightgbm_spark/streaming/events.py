@@ -232,3 +232,61 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         q.stop()
     return spark.table(name)
+
+
+def stream_stream_interval_join(
+    spark: SparkSession, sf_dir: str, horizon: str = "1 hour"
+) -> DataFrame:
+    """STREAM-STREAM inner join with an event-time interval condition:
+    view events joined to purchase events by the same user within
+    ``horizon`` after the view — the attribution-join topology (two
+    unbounded sources, watermark-bounded state on both sides).
+
+    Watermarks bound how long each side's rows are retained for late
+    matches; the interval condition lets Spark derive state-eviction
+    thresholds on both sides. On the bounded fixture drain the file source
+    delivers everything in one micro-batch, so no state is evicted before
+    matching and the emitted pairs equal the batch interval join — which is
+    what the oracle computes."""
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", horizon)
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", horizon)
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            f"""
+            user_id = p_user_id
+            AND purchase_ts >= view_ts
+            AND purchase_ts <= view_ts + INTERVAL {horizon}
+            """
+        ),
+    ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

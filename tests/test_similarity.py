@@ -229,3 +229,24 @@ def test_learned_nprobe_recall_on_skewed_corpus(spark):
     r_fixed, r_learned = recall(1), recall(np_learned)
     assert r_learned >= r_fixed, (np_learned, r_fixed, r_learned)
     assert r_learned > 0.8, (np_learned, r_learned)
+
+
+def test_quantize_int8_zero_vector_and_range(spark):
+    from dask_lightgbm_spark.operators.similarity import int_dot, quantize_int8, to_double_array
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]), (1, [1.0, -0.5, 0.25]), (2, [-2.0, 2.0, 0.0])],
+        ["id", "v"],
+    ).select("id", quantize_int8(to_double_array(F.col("v"))).alias("q"))
+    rows = {r["id"]: r["q"] for r in df.collect()}
+    assert rows[0] == [0, 0, 0]  # zero vector guard, no division by zero
+    # scale = 127/1.0; floor semantics: floor(-0.5*127) = -64
+    assert rows[1] == [127, -64, 31]
+    assert all(-128 <= x <= 127 for q in rows.values() for x in q)
+    # integer dot is exact int64
+    d = (
+        spark.createDataFrame([([127, -64, 31], [127, -64, 31])], ["a", "b"])
+        .select(int_dot(F.col("a"), F.col("b")).alias("d"))
+        .first()["d"]
+    )
+    assert d == 127 * 127 + 64 * 64 + 31 * 31
