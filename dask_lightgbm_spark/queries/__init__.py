@@ -157,6 +157,8 @@ _GATE_FIRST: list[str] = [
     "s14_knn_quantized",
     "x08_stream_stream_interval_join",
     "t27_unigram_lm_familiarity",
+    "q56_binned_range_join",
+    "t28_bpe_token_topk",
 ]
 
 # module-name order for everything not in _GATE_FIRST (relational first —

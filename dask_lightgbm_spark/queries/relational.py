@@ -1742,3 +1742,43 @@ def q55_join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(agg("merge", "MERGE"))
         .orderBy("strategy", "c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# q56 — pure range join (NO equi key) via the binned-interval rewrite:
+# each error event opens a 5-minute window; find every purchase (any user)
+# inside it. Naively this is a BroadcastNestedLoopJoin (O(n*m) — the
+# 100 TB scale-killer); operators/range_join.py turns it into an equi hash
+# join on a time bin with the exact bounds re-checked, each pair produced
+# exactly once. DuckDB's oracle uses its native IEJoin for the same
+# predicate.
+# ---------------------------------------------------------------------------
+
+_Q56_SQL = """
+SELECT e.event_id AS error_id, p.event_id AS purchase_id,
+       e.ts AS error_ts, p.ts AS purchase_ts
+FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') e
+JOIN (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+  ON p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 5 MINUTE
+"""
+
+
+@query("q56_binned_range_join", _Q56_SQL)
+def q56_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_lightgbm_spark.operators.range_join import binned_interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTE")).alias("win_end"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    joined = binned_interval_join(
+        errors, purchases,
+        start_col="error_ts", end_col="win_end", t_col="purchase_ts",
+        bin_width_sec=300,
+    )
+    return joined.select("error_id", "purchase_id", "error_ts", "purchase_ts")

@@ -1183,3 +1183,52 @@ def t27_unigram_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.expr("fam_sum * 100 div n_tokens").alias("fam_per_token_x100"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t28 — BPE-style regex tokenization (letter runs / digit runs / single
+# punctuation — the GPT-2 pre-tokenizer shape without the unicode classes)
+# + top-10 tokens per language. Alternatives match disjoint character
+# classes, so Java (Spark) and RE2 (DuckDB) regex engines produce identical
+# token streams; counts are ints, ranking deterministically tie-broken.
+# Scale: regexp_extract_all is JVM codegen (no Python boundary); the count
+# is one shuffle on (lang, token); top-10 is a tiny per-lang window.
+# ---------------------------------------------------------------------------
+
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]"
+
+_T28_SQL = f"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_extract_all(text, '{_BPE_PATTERN}')) AS token
+  FROM documents
+),
+counts AS (SELECT lang, token, COUNT(*) AS n FROM toks GROUP BY lang, token),
+ranked AS (
+  SELECT lang, token, n,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS INTEGER) AS rank
+  FROM counts
+)
+SELECT lang, token, n, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@query("t28_bpe_token_topk", _T28_SQL)
+def t28_bpe_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            F.explode(
+                F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0)
+            ).alias("token"),
+        )
+    )
+    counts = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select("lang", "token", "n", "rank")
+    )

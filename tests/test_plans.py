@@ -76,3 +76,15 @@ def test_no_inferred_size_filter_under_explode(spark, sf_dir):
         if "Filter" in line and "size(array_distinct" in line
     ]
     assert not bad, bad[:2]
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark, sf_dir):
+    """The binned-interval rewrite must plan as an equi join on the bin id;
+    a BroadcastNestedLoopJoin here means the rewrite regressed to the
+    O(n*m) naive range join."""
+    from dask_lightgbm_spark.plans.explain import formatted_plan
+
+    df = all_queries()["q56_binned_range_join"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "NestedLoop" not in plan, plan
+    assert "Join" in plan
