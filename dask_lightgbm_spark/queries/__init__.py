@@ -159,6 +159,8 @@ _GATE_FIRST: list[str] = [
     "t27_unigram_lm_familiarity",
     "q56_binned_range_join",
     "t28_bpe_token_topk",
+    "x09_stream_foreachbatch_sink",
+    "q57_forward_fill",
 ]
 
 # module-name order for everything not in _GATE_FIRST (relational first —

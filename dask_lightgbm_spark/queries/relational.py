@@ -1782,3 +1782,41 @@ def q56_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         bin_width_sec=300,
     )
     return joined.select("error_id", "purchase_id", "error_ts", "purchase_ts")
+
+
+# ---------------------------------------------------------------------------
+# q57 — forward-fill (gap-fill): carry each user's last observed purchase
+# value forward onto every subsequent event — the standard time-series
+# imputation operator (last_value IGNORE NULLS over an unbounded-preceding
+# frame). Values pass through unchanged (no float arithmetic), ordering is
+# total (ts, event_id), so the oracle is bit-exact. One shuffle on user_id;
+# the window is a per-partition linear scan — scales as sort-within-user.
+# ---------------------------------------------------------------------------
+
+_Q57_SQL = """
+SELECT user_id, event_id, ts,
+       last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS last_purchase_value
+FROM events
+"""
+
+
+@query("q57_forward_fill", _Q57_SQL)
+def q57_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    marked = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.last(marked, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )

@@ -171,3 +171,18 @@ def x08_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFra
     from dask_lightgbm_spark.streaming.events import stream_stream_interval_join
 
     return stream_stream_interval_join(spark, sf_dir)
+
+
+# same aggregate as x01 — the point of x09 is the sink topology
+_X09_SQL = _X01_SQL
+
+
+@query("x09_stream_foreachbatch_sink", _X09_SQL)
+def x09_stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch parquet sink (idempotent overwrite per micro-batch);
+    the landed table read back must equal the batch oracle."""
+    from dask_lightgbm_spark.streaming.events import (
+        stream_foreachbatch_parquet_sink,
+    )
+
+    return stream_foreachbatch_parquet_sink(spark, sf_dir)

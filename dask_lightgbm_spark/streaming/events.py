@@ -290,3 +290,40 @@ def stream_stream_interval_join(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def stream_foreachbatch_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``foreachBatch`` parquet sink: the production topology for landing a
+    streaming aggregation in a warehouse table without a streaming-native
+    sink. Each micro-batch receives the updated complete-mode aggregate and
+    idempotently overwrites the target (same batch re-delivered after a
+    failure rewrites identical files — exactly-once by idempotence, the
+    standard foreachBatch contract). The drained table is read back as a
+    batch DataFrame, so the result equals the batch oracle."""
+    import tempfile
+
+    src = read_events_stream(spark, sf_dir)
+    agg = src.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+            / F.lit(100.0)
+        ).alias("sum_value"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="dls_stream_sink_")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_dir + "/agg")
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir + "/agg")
