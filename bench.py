@@ -47,6 +47,12 @@ HEADLINE = [
     "s01_knn_bruteforce",
     "s02_knn_ivf",
     "s11_knn_ivf_learned_nprobe",
+    # r5 additions (DuckDB baseline comes from the same-window timing)
+    "q56_binned_range_join",
+    "q57_forward_fill",
+    "t27_unigram_lm_familiarity",
+    "t28_bpe_token_topk",
+    "s14_knn_quantized",
 ]
 
 # DuckDB single-node baseline at sf0.1 (tools/bench_oracle.py, recorded in
