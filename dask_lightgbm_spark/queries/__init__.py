@@ -161,6 +161,7 @@ _GATE_FIRST: list[str] = [
     "t28_bpe_token_topk",
     "x09_stream_foreachbatch_sink",
     "q57_forward_fill",
+    "x10_stream_stream_left_outer",
 ]
 
 # module-name order for everything not in _GATE_FIRST (relational first —

@@ -186,3 +186,43 @@ def x09_stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return stream_foreachbatch_parquet_sink(spark, sf_dir)
+
+
+_X10_SQL = """
+WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+           FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'),
+wm AS (SELECT LEAST((SELECT MAX(view_ts) FROM v),
+                    (SELECT MAX(purchase_ts) FROM p))
+              - INTERVAL 1 HOUR AS w),
+matched AS (
+  SELECT v.user_id, v.view_id, p.purchase_id, v.view_ts, p.purchase_ts
+  FROM v JOIN p
+    ON v.user_id = p.user_id
+   AND p.purchase_ts >= v.view_ts
+   AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR
+),
+unmatched AS (
+  SELECT v.user_id, v.view_id, NULL::BIGINT AS purchase_id,
+         v.view_ts, NULL::TIMESTAMP AS purchase_ts
+  FROM v, wm
+  WHERE NOT EXISTS (
+    SELECT 1 FROM p
+    WHERE p.user_id = v.user_id
+      AND p.purchase_ts >= v.view_ts
+      AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR)
+    AND v.view_ts + INTERVAL 1 HOUR < wm.w
+)
+SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+"""
+
+
+@query("x10_stream_stream_left_outer", _X10_SQL)
+def x10_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join: null rows emit only on left-state
+    eviction (match window fully below the final min-watermark) — the
+    oracle reproduces the eviction predicate exactly."""
+    from dask_lightgbm_spark.streaming.events import stream_stream_left_outer_join
+
+    return stream_stream_left_outer_join(spark, sf_dir)

@@ -327,3 +327,65 @@ def stream_foreachbatch_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFr
     finally:
         q.stop()
     return spark.read.parquet(out_dir + "/agg")
+
+
+def stream_stream_left_outer_join(
+    spark: SparkSession, sf_dir: str, horizon: str = "1 hour"
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: every view, with its attributed
+    purchases within ``horizon`` — or NULLs if none arrived. The outer
+    side's null rows can only emit when the watermark proves no future
+    match is possible (left state eviction), which is the semantic knife
+    edge of streaming outer joins.
+
+    On the bounded drain the final global watermark is
+    min(max view_ts, max purchase_ts) - delay (multiple-watermark policy
+    'min'); a view emits null-extended iff it is unmatched AND its match
+    window [view_ts, view_ts + horizon] is fully below that watermark.
+    Unmatched views younger than that are withheld by design (at scale
+    they'd emit as the watermark advances). The oracle reproduces exactly
+    this: matched pairs plus unmatched views with
+    view_ts + horizon < min(max view_ts, max purchase_ts) - delay."""
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", horizon)
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", horizon)
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            f"""
+            user_id = p_user_id
+            AND purchase_ts >= view_ts
+            AND purchase_ts <= view_ts + INTERVAL {horizon}
+            """
+        ),
+        "left_outer",
+    ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
