@@ -187,3 +187,63 @@ def test_largest_remainder_allocation_invariants(weights, budget):
     for _, r in out.iterrows():
         assert r.allocation >= (budget * int(r.w)) // total
         assert r.allocation >= 0
+
+
+@st.composite
+def interval_point_frames(draw):
+    n_i = draw(st.integers(1, 25))
+    n_p = draw(st.integers(1, 40))
+    # epoch-second offsets; widths chosen so intervals span 0..several bins
+    base = 1_700_000_000
+    start = st.integers(0, 5000)
+    width = st.integers(0, 2000)
+    intervals = pd.DataFrame(
+        {
+            "iid": range(n_i),
+            "s": [base + draw(start) for _ in range(n_i)],
+        }
+    )
+    intervals["e"] = [s + draw(width) for s in intervals["s"]]
+    points = pd.DataFrame(
+        {
+            "pid": range(n_p),
+            "t": [base + draw(st.integers(0, 7000)) for _ in range(n_p)],
+        }
+    )
+    bin_width = draw(st.sampled_from([1, 7, 60, 300, 1800]))
+    return intervals, points, bin_width
+
+
+@settings(max_examples=6, deadline=None)
+@given(interval_point_frames())
+def test_binned_interval_join_matches_naive(spark, frames):
+    """binned_interval_join must equal the naive O(n*m) range join for any
+    bin width — including bin edges exactly on interval bounds and
+    intervals spanning 0, 1, or many bins — and emit each pair once."""
+    from pyspark.sql import functions as F
+
+    from dask_lightgbm_spark.operators.range_join import binned_interval_join
+
+    intervals, points, bin_width = frames
+    idf = spark.createDataFrame(intervals).select(
+        "iid",
+        F.timestamp_seconds("s").alias("start_ts"),
+        F.timestamp_seconds("e").alias("end_ts"),
+    )
+    pdf = spark.createDataFrame(points).select(
+        "pid", F.timestamp_seconds("t").alias("t_ts")
+    )
+    got = (
+        binned_interval_join(idf, pdf, "start_ts", "end_ts", "t_ts", bin_width)
+        .select("iid", "pid")
+        .toPandas()
+        .sort_values(["iid", "pid"])
+        .reset_index(drop=True)
+    )
+    naive = (
+        intervals.merge(points, how="cross")
+        .query("s <= t <= e")[["iid", "pid"]]
+        .sort_values(["iid", "pid"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), naive.astype("int64"))
