@@ -162,6 +162,8 @@ _GATE_FIRST: list[str] = [
     "x09_stream_foreachbatch_sink",
     "q57_forward_fill",
     "x10_stream_stream_left_outer",
+    "q58_tpch_q5_local_supplier",
+    "q59_tpch_q4_priority_check",
 ]
 
 # module-name order for everything not in _GATE_FIRST (relational first —

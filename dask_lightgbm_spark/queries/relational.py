@@ -1820,3 +1820,103 @@ def q57_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.last(marked, ignorenulls=True).over(w).alias("last_purchase_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q58 — TPC-H Q5 shape (local-supplier volume): the 6-table join whose
+# order Catalyst must get right — region/nation broadcast, the
+# customer=supplier nation equality threaded through, lineitem scanned
+# once with the date filter pushed to orders. The classic join-reordering
+# benchmark query, fixed-point revenue per the determinism contract.
+# ---------------------------------------------------------------------------
+
+_Q58_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0
+         AS revenue,
+       COUNT(*) AS n_items
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+@query("q58_tpch_q5_local_supplier", _Q58_SQL)
+def q58_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = _cents(F.col("l_extendedprice")) * (
+        F.lit(100) - _pct(F.col("l_discount"))
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            (F.sum(rev).cast("double") / F.lit(10000.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q59 — TPC-H Q4 shape (order-priority check): EXISTS decorrelated into a
+# semi join — orders in a date window with at least one "late" line
+# (shipped > 60 days after order date; the fixture has no
+# commit/receiptdate). Exercises the correlated-EXISTS → LeftSemi rewrite.
+# ---------------------------------------------------------------------------
+
+_Q59_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("q59_tpch_q4_priority_check", _Q59_SQL)
+def q59_tpch_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        l,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
