@@ -164,6 +164,8 @@ _GATE_FIRST: list[str] = [
     "x10_stream_stream_left_outer",
     "q58_tpch_q5_local_supplier",
     "q59_tpch_q4_priority_check",
+    "q60_pagerank_int",
+    "s15_ivf_persisted_index",
 ]
 
 # module-name order for everything not in _GATE_FIRST (relational first —

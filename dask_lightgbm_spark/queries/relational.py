@@ -1920,3 +1920,63 @@ def q59_tpch_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("order_count"))
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q60 — integer-exact PageRank (3 iterations) over the customer-supplier
+# bipartite graph (edge = customer ordered from supplier, symmetrized).
+# The canonical iterative algorithm as driver-iterated joins
+# (operators/pagerank.py); pure int64 arithmetic makes the per-iteration
+# state bit-reproducible, so the DuckDB oracle (same iterations as chained
+# CTEs) hash-matches — impossible for float PageRank, where summation
+# order changes the result.
+# ---------------------------------------------------------------------------
+
+def _q60_oracle() -> str:
+    head = """
+WITH eo AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+edges AS (SELECT src, dst FROM eo UNION ALL SELECT dst, src FROM eo),
+deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+nodes AS (SELECT src AS node FROM deg),
+r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg)"""
+    iters = []
+    for i in range(1, 4):
+        iters.append(f"""
+c{i} AS (
+  SELECT e.dst AS node, SUM(r.pr // d.out_deg) AS sc
+  FROM edges e JOIN r{i-1} r ON e.src = r.node JOIN deg d ON e.src = d.src
+  GROUP BY e.dst),
+r{i} AS (
+  SELECT n.node,
+         CAST(150000 + (85 * COALESCE(c{i}.sc, 0)) // 100 AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN c{i} ON n.node = c{i}.node)""")
+    return (
+        head + "," + ",".join(iters)
+        + "\nSELECT node, pr FROM r3 ORDER BY pr DESC, node LIMIT 20"
+    )
+
+
+@query("q60_pagerank_int", _q60_oracle())
+def q60_pagerank_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_lightgbm_spark.operators.pagerank import pagerank_int
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    eo = (
+        o.join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = eo.unionAll(eo.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank_int(edges, n_iters=3)
+    return (
+        ranks.select("node", F.col("rank").alias("pr"))
+        .orderBy(F.desc("pr"), F.asc("node"))
+        .limit(20)
+    )

@@ -702,3 +702,40 @@ SELECT qid, nid, rank, qscore FROM ranked WHERE rank <= 5
 def s14_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return sim.quantized_knn(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+# ---------------------------------------------------------------------------
+# s15 — persisted-IVF-index lifecycle: build the cell assignment ONCE,
+# persist it as a parquet index table (vec_id, cell — ids only, vectors
+# stay in the base table), reload, and serve the s02 query from the loaded
+# index. The production ANN topology: index built by a batch job, queries
+# served from the persisted assignment without re-scoring the corpus
+# against centroids. Result is identical to s02 (same centroid scheme), so
+# the oracle is s02's SQL — which also proves the persist/load round-trip
+# is lossless.
+# ---------------------------------------------------------------------------
+
+
+@query("s15_ivf_persisted_index", _S02_SQL)
+def s15_ivf_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") % 25 == 0)
+    built = sim.assign_cells(e, centroids)  # (vec_id, v, cell)
+    idx_dir = tempfile.mkdtemp(prefix="dls_ivf_idx_") + "/assignment"
+    built.select("vec_id", "cell").write.mode("overwrite").parquet(idx_dir)
+
+    # serve path: load index, join vectors back from the base table
+    loaded = (
+        spark.read.parquet(idx_dir)
+        .join(e.select("vec_id", "embedding"), "vec_id")
+        .select("vec_id", sim.to_double_array(F.col("embedding")).alias("v"), "cell")
+    )
+    return sim.ivf_knn(
+        e,
+        queries_filter=F.col("vec_id") < 10,
+        centroid_filter=F.col("vec_id") % 25 == 0,
+        k=3,
+        assigned=loaded,
+    )

@@ -72,3 +72,32 @@ def test_gate_order_puts_newest_queries_first():
     # oracle map is ordered the same way
     ok = [n for n in all_oracles() if n in set(_GATE_FIRST)]
     assert ok == [n for n in _GATE_FIRST if n in all_oracles()]
+
+
+def test_pagerank_int_hand_computed(spark):
+    """2-node cycle is a fixed point (rank stays 1e6); 3-node star
+    concentrates mass in the hub by hand-computable integer amounts."""
+    from pyspark.sql import functions as F
+
+    from dask_lightgbm_spark.operators.pagerank import pagerank_int
+
+    cycle = spark.createDataFrame([("a", "b"), ("b", "a")], ["src", "dst"])
+    got = {r["node"]: r["rank"] for r in pagerank_int(cycle, 3).collect()}
+    assert got == {"a": 1_000_000, "b": 1_000_000}
+
+    # hub h <-> leaves x,y: deg(h)=2, deg(x)=deg(y)=1
+    star = spark.createDataFrame(
+        [("h", "x"), ("h", "y"), ("x", "h"), ("y", "h")], ["src", "dst"]
+    )
+    r1 = {r["node"]: r["rank"] for r in pagerank_int(star, 1).collect()}
+    # h: 150000 + 85*(1e6 + 1e6)//100 ; x,y: 150000 + 85*(1e6//2)//100
+    assert r1 == {"h": 1_850_000, "x": 575_000, "y": 575_000}
+    r2 = {r["node"]: r["rank"] for r in pagerank_int(star, 2).collect()}
+    assert r2 == {
+        "h": 150_000 + (85 * (575_000 + 575_000)) // 100,
+        "x": 150_000 + (85 * (1_850_000 // 2)) // 100,
+        "y": 150_000 + (85 * (1_850_000 // 2)) // 100,
+    }
+
+    with pytest.raises(ValueError):
+        pagerank_int(cycle, 0)
