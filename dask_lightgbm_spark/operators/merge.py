@@ -38,3 +38,20 @@ def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
         for c in target.columns
     ]
     return t.join(u, F.col(f"t.{key}") == F.col(f"u.{key}"), "full_outer").select(*cols)
+
+
+def merge_cdc(
+    target: DataFrame, changes: DataFrame, key: str, op_col: str = "op"
+) -> DataFrame:
+    """Full CDC MERGE: apply a change feed with upserts AND deletes.
+    ``changes`` carries ``op_col`` ∈ {'U' (update-or-insert), 'D' (delete,
+    data columns ignored)}. Delete = left-anti join on the tombstone keys
+    (one shuffle), then the upserts go through :func:`merge_upsert`'s
+    full-outer COALESCE. Same inherited contracts as merge_upsert, plus:
+    a key appearing with both 'D' and 'U' applies delete-then-upsert
+    (i.e. the 'U' row inserts fresh), matching MERGE's matched-clause
+    ordering WHEN MATCHED AND op='D' THEN DELETE before UPDATE."""
+    dels = changes.filter(F.col(op_col) == "D").select(key)
+    ups = changes.filter(F.col(op_col) != "D").drop(op_col)
+    kept = target.join(dels, key, "left_anti")
+    return merge_upsert(kept, ups, key)

@@ -166,6 +166,7 @@ _GATE_FIRST: list[str] = [
     "q59_tpch_q4_priority_check",
     "q60_pagerank_int",
     "s15_ivf_persisted_index",
+    "q61_merge_cdc_deletes",
 ]
 
 # module-name order for everything not in _GATE_FIRST (relational first —

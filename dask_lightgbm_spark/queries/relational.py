@@ -1980,3 +1980,66 @@ def q60_pagerank_int(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pr"), F.asc("node"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q61 — CDC MERGE with deletes (tombstones): the change feed deletes every
+# customer with key % 10 == 0, updates the account balance (+1000.0) for
+# key % 10 == 1, and inserts clones shifted by +10M for key % 10 == 2.
+# Delete = left-anti on tombstone keys; upsert = full-outer COALESCE
+# (operators/merge.py merge_cdc) — two key-shuffles total, bucketing makes
+# both co-located at scale.
+# ---------------------------------------------------------------------------
+
+_Q61_SQL = """
+WITH dels AS (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0),
+ups AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000.0 AS c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 1
+  UNION ALL
+  SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 2
+),
+kept AS (
+  SELECT * FROM customer
+  WHERE c_custkey NOT IN (SELECT c_custkey FROM dels)
+),
+merged AS (
+  SELECT COALESCE(u.c_custkey, t.c_custkey) AS c_custkey,
+         COALESCE(u.c_name, t.c_name) AS c_name,
+         COALESCE(u.c_nationkey, t.c_nationkey) AS c_nationkey,
+         COALESCE(u.c_acctbal, t.c_acctbal) AS c_acctbal,
+         COALESCE(u.c_mktsegment, t.c_mktsegment) AS c_mktsegment
+  FROM kept t FULL OUTER JOIN ups u ON t.c_custkey = u.c_custkey
+)
+SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment FROM merged
+"""
+
+
+@query("q61_merge_cdc_deletes", _Q61_SQL)
+def q61_merge_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_lightgbm_spark.operators.merge import merge_cdc
+
+    c = load_table(spark, sf_dir, "customer")
+    dels = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("int").alias("c_nationkey"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        F.lit("D").alias("op"),
+    )
+    upd = c.filter(F.col("c_custkey") % 10 == 1).select(
+        "c_custkey", "c_name", "c_nationkey",
+        (F.col("c_acctbal") + F.lit(1000.0)).alias("c_acctbal"),
+        "c_mktsegment", F.lit("U").alias("op"),
+    )
+    ins = c.filter(F.col("c_custkey") % 10 == 2).select(
+        (F.col("c_custkey") + F.lit(10000000)).alias("c_custkey"),
+        "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+        F.lit("U").alias("op"),
+    )
+    changes = dels.unionAll(upd).unionAll(ins)
+    merged = merge_cdc(c, changes, "c_custkey")
+    return merged.select("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
