@@ -176,3 +176,28 @@ def test_append_watermark_boundary_window_end_on_watermark(spark, tmp_path):
     r = got.iloc[0]
     assert r["hour"] == pd.Timestamp("2024-01-01 10:00:00")
     assert r["event_type"] == "a" and r["n"] == 2 and r["sum_value"] == 3.0
+
+
+def test_merge_cdc_delete_update_insert(spark):
+    """merge_cdc contract: D removes, U updates matched / inserts new, and
+    a key carrying both D and U applies delete-then-upsert (fresh insert)."""
+    from dask_lightgbm_spark.operators.merge import merge_cdc
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "name", "v"]
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, None, None, "D"),          # delete
+            (3, None, 99.0, "U"),          # update one column, keep name
+            (4, "d", 40.0, "U"),           # insert
+            (1, None, None, "D"),          # delete ...
+            (1, "a2", 11.0, "U"),          # ... then re-insert fresh
+        ],
+        "k long, name string, v double, op string",
+    )
+    got = {
+        r["k"]: (r["name"], r["v"])
+        for r in merge_cdc(target, changes, "k").collect()
+    }
+    assert got == {1: ("a2", 11.0), 3: ("c", 99.0), 4: ("d", 40.0)}
