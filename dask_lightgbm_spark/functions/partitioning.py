@@ -101,3 +101,33 @@ def largest_remainder_allocation(
         .cast("long")
         .alias("allocation"),
     )
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    n_salt: int = 16,
+    salt_cols: list[str] | None = None,
+) -> DataFrame:
+    """Skew-proof inner equi-join: salt the skewed (fact) side into
+    ``n_salt`` sub-streams per key and REPLICATE the other (dim) side once
+    per salt value, joining on (key, salt) — no single reducer owns a hot
+    key's entire row set. Semantically identical to
+    ``skewed.join(other, key)``; the salt only reshapes the shuffle.
+
+    This is the manual form of what AQE's skew-join does adaptively at
+    runtime; it exists for engines/paths where AQE can't see the skew
+    (e.g. skew created mid-stage) and as the deterministic baseline the
+    q62 oracle checks. Cost: the ``other`` side is duplicated n_salt× —
+    use only when that side is small (it usually is: dim vs fact).
+
+    ``salt_cols`` picks the skewed-side columns whose hash assigns the
+    salt (default: all non-key columns — deterministic under retries,
+    unlike F.rand)."""
+    salt_cols = salt_cols or [c for c in skewed.columns if c != key]
+    s = with_salt(skewed, n_salt, salt_cols)
+    replicated = other.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    return s.join(replicated, [key, "__salt"]).drop("__salt")

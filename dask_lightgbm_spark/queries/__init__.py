@@ -167,6 +167,7 @@ _GATE_FIRST: list[str] = [
     "q60_pagerank_int",
     "s15_ivf_persisted_index",
     "q61_merge_cdc_deletes",
+    "q62_salted_skew_join",
 ]
 
 # module-name order for everything not in _GATE_FIRST (relational first —

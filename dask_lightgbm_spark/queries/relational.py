@@ -2043,3 +2043,44 @@ def q61_merge_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = dels.unionAll(upd).unionAll(ins)
     merged = merge_cdc(c, changes, "c_custkey")
     return merged.select("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# q62 — salted skew JOIN (the join-side companion to q53's salted agg):
+# the events fact stream joined to the customer dim through an explicit
+# (key, salt) equi-join — dim replicated n_salt times, fact salted by
+# row-hash — so a pathologically hot user_id spreads across n_salt
+# reducers. Semantically identical to the plain join, which is exactly
+# what the oracle checks.
+# ---------------------------------------------------------------------------
+
+_Q62_SQL = """
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(e.value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+@query("q62_salted_skew_join", _Q62_SQL)
+def q62_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_lightgbm_spark.functions.partitioning import salted_join
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("c_custkey"), "value", "event_id"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(e, c, "c_custkey", n_salt=8)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / F.lit(100.0)
+            ).alias("sum_value"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -77,8 +77,6 @@ def test_gate_order_puts_newest_queries_first():
 def test_pagerank_int_hand_computed(spark):
     """2-node cycle is a fixed point (rank stays 1e6); 3-node star
     concentrates mass in the hub by hand-computable integer amounts."""
-    from pyspark.sql import functions as F
-
     from dask_lightgbm_spark.operators.pagerank import pagerank_int
 
     cycle = spark.createDataFrame([("a", "b"), ("b", "a")], ["src", "dst"])

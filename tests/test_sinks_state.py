@@ -201,3 +201,51 @@ def test_merge_cdc_delete_update_insert(spark):
         for r in merge_cdc(target, changes, "k").collect()
     }
     assert got == {1: ("a2", 11.0), 3: ("c", 99.0), 4: ("d", 40.0)}
+
+
+def test_streaming_checkpoint_resume_exactly_once(spark, tmp_path):
+    """Checkpointed streaming resume: a file-source query processes two
+    files, stops, a third file arrives, and a RESTARTED query with the
+    same checkpoint processes ONLY the new file — every event lands in the
+    sink exactly once (offsets from the checkpoint, idempotent file sink)."""
+    import pandas as pd
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def write_batch(name: str, ids: range) -> None:
+        pd.DataFrame({"event_id": list(ids), "v": [i * 2 for i in ids]}).to_parquet(
+            f"{src}/{name}.parquet", index=False
+        )
+
+    schema = "event_id long, v long"
+
+    def run_stream() -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    write_batch("a", range(0, 50))
+    write_batch("b", range(50, 80))
+    run_stream()
+    first = spark.read.parquet(sink)
+    assert first.count() == 80
+
+    write_batch("c", range(80, 100))
+    run_stream()  # resume from checkpoint — must pick up ONLY file c
+    final = spark.read.parquet(sink).toPandas().sort_values("event_id")
+    assert len(final) == 100  # no re-processing of a/b (exactly once)
+    assert final["event_id"].tolist() == list(range(100))
+    assert (final["v"] == final["event_id"] * 2).all()
