@@ -119,8 +119,10 @@ def salted_join(
     This is the manual form of what AQE's skew-join does adaptively at
     runtime; it exists for engines/paths where AQE can't see the skew
     (e.g. skew created mid-stage) and as the deterministic baseline the
-    q62 oracle checks. Cost: the ``other`` side is duplicated n_salt× —
-    use only when that side is small (it usually is: dim vs fact).
+    q62 oracle checks. Applicability window: if ``other`` fits a broadcast
+    there is no shuffle to skew — just broadcast-join; salting pays off
+    when ``other`` is too big to broadcast yet n_salt copies of it are
+    still far smaller than the hot key's row set on one reducer.
 
     ``salt_cols`` picks the skewed-side columns whose hash assigns the
     salt (default: all non-key columns — deterministic under retries,
