@@ -168,6 +168,8 @@ _GATE_FIRST: list[str] = [
     "s15_ivf_persisted_index",
     "q61_merge_cdc_deletes",
     "q62_salted_skew_join",
+    "t29_weighted_sampling",
+    "q63_scd2_history",
 ]
 
 # module-name order for everything not in _GATE_FIRST (relational first —

@@ -2084,3 +2084,41 @@ def q62_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# q63 — SCD2 history build: turn a change log (each order = a new version
+# of its customer's state) into a slowly-changing-dimension type-2 table
+# with validity intervals — valid_from = version date, valid_to = next
+# version's date (NULL = current). One shuffle on the key, then a linear
+# per-partition lead() scan; total order (date, orderkey) makes the
+# intervals deterministic under date ties.
+# ---------------------------------------------------------------------------
+
+_Q63_SQL = """
+SELECT o_custkey, o_orderkey AS version_id, o_orderdate AS valid_from,
+       lead(o_orderdate) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS valid_to,
+       (lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) IS NULL)
+         AS is_current,
+       o_totalprice
+FROM orders
+"""
+
+
+@query("q63_scd2_history", _Q63_SQL)
+def q63_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("version_id"),
+        F.col("o_orderdate").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        "o_totalprice",
+    )

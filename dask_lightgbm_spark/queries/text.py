@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from dask_lightgbm_spark.functions.hashing import (
     MINHASH_COEF,
     MINHASH_PRIME,
+    md5_hash32,
     sql_hash32,
     sql_hash60,
     sql_poly_shingle_hash,
@@ -1231,4 +1232,59 @@ def t28_bpe_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= 10)
         .select("lang", "token", "n", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t29 — deterministic WEIGHTED sampling (importance sampling for data
+# mixing): each doc's inclusion probability is proportional to a quality
+# weight (here a length-based tier: longer docs sampled harder, the
+# standard up-weight-good-data move). Inclusion = md5-hash(doc_id) mod 1M
+# < weight_ppm — reproducible across engines, runs, and cluster sizes
+# (seeded rand() is partition-order-dependent in Spark, so hash-threshold
+# is the only correct form at scale). Companion to t23's uniform
+# per-source rate; zero shuffle until the tiny per-tier audit agg.
+# ---------------------------------------------------------------------------
+
+_T29_SQL = f"""
+WITH w AS (
+  SELECT doc_id, lang,
+         CASE WHEN n_chars >= 200 THEN 750000
+              WHEN n_chars >= 100 THEN 500000
+              ELSE 250000 END AS weight_ppm
+  FROM documents
+),
+kept AS (
+  SELECT * FROM w
+  WHERE ({sql_hash32("CAST(doc_id AS VARCHAR)")}) % 1000000 < weight_ppm
+)
+SELECT weight_ppm, lang, COUNT(*) AS n_kept,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM kept GROUP BY weight_ppm, lang
+ORDER BY weight_ppm, lang
+"""
+
+
+@query("t29_weighted_sampling", _T29_SQL)
+def t29_weighted_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.when(F.col("n_chars") >= 200, 750000)
+        .when(F.col("n_chars") >= 100, 500000)
+        .otherwise(250000)
+        .alias("weight_ppm"),
+    )
+    kept = d.filter(
+        F.pmod(md5_hash32(F.col("doc_id").cast("string")), F.lit(1000000))
+        < F.col("weight_ppm")
+    )
+    return (
+        kept.groupBy("weight_ppm", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("weight_ppm", "lang")
     )
