@@ -170,6 +170,25 @@ _GATE_FIRST: list[str] = [
     "q62_salted_skew_join",
     "t29_weighted_sampling",
     "q63_scd2_history",
+    # least-recently-verified block: q30-q47 were in the r1 sample only
+    # (r4 re-ran q01-q26); they outrank the r4-verified names below the cap
+    "q30_disjunctive_predicates",
+    "q31_not_in_subquery",
+    "q32_scalar_subquery",
+    "q33_percentiles",
+    "q34_array_regexp_funcs",
+    "q35_approx_stats",
+    "q36_merge_upsert",
+    "q37_union_except",
+    "q38_posexplode",
+    "q39_moving_window_frame",
+    "q41_map_funcs",
+    "q42_having",
+    "q43_date_arithmetic",
+    "q44_intersect_all",
+    "q45_window_functions",
+    "q46_string_agg",
+    "q47_correlated_scalar_subquery",
 ]
 
 # module-name order for everything not in _GATE_FIRST (relational first —
