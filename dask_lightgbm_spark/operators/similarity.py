@@ -418,3 +418,67 @@ def quantized_knn(
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "rank", "qscore")
     )
+
+
+def mmr_rerank(
+    cands: DataFrame,
+    pair_sims: DataFrame,
+    k: int = 3,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking (diversified top-k — the
+    standard de-redundancy step in retrieval pipelines): greedily pick the
+    candidate maximizing ``lam*rel - (1-lam)*max(sim to already-picked)``.
+
+    ``cands``: (qid, nid, rel); ``pair_sims``: (qid, a, b, sim) for every
+    unordered candidate pair (both orientations present). The greedy loop
+    is inherently sequential per query, so it runs in a COGROUPED
+    applyInPandas kernel (candidate lists are top-N per query — tiny);
+    all float inputs (rel, sim) are precomputed Spark-side with the
+    engine's sequential folds, and the kernel only does scalar
+    mult/sub/compare on them — IEEE-identical in any engine, which is what
+    lets a SQL oracle reproduce the selection bit-exactly. Ties break on
+    lowest nid. Output: (qid, nid, mmr_rank)."""
+    import pandas as pd
+
+    kk, ll = int(k), float(lam)
+
+    def kernel(c: pd.DataFrame, p: pd.DataFrame) -> pd.DataFrame:
+        if c.empty:
+            return pd.DataFrame({"qid": [], "nid": [], "mmr_rank": []}).astype(
+                {"qid": "int64", "nid": "int64", "mmr_rank": "int32"}
+            )
+        qid = int(c["qid"].iloc[0])
+        rel = dict(zip(c["nid"].astype(int), c["rel"].astype(float)))
+        sim = {
+            (int(a), int(b)): float(s)
+            for a, b, s in zip(p["a"], p["b"], p["sim"])
+        }
+        picked: list[int] = []
+        while len(picked) < kk and len(picked) < len(rel):
+            best = None
+            for n, r in rel.items():
+                if n in picked:
+                    continue
+                if picked:
+                    m = max(sim.get((n, s), 0.0) for s in picked)
+                    score = ll * r - (1.0 - ll) * m
+                else:
+                    score = r
+                key = (-score, n)
+                if best is None or key < best:
+                    best = key
+            picked.append(best[1])
+        return pd.DataFrame(
+            {
+                "qid": [qid] * len(picked),
+                "nid": picked,
+                "mmr_rank": range(1, len(picked) + 1),
+            }
+        ).astype({"qid": "int64", "nid": "int64", "mmr_rank": "int32"})
+
+    return (
+        cands.groupBy("qid")
+        .cogroup(pair_sims.groupBy("qid"))
+        .applyInPandas(kernel, "qid long, nid long, mmr_rank int")
+    )

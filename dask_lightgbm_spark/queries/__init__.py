@@ -170,6 +170,7 @@ _GATE_FIRST: list[str] = [
     "q62_salted_skew_join",
     "t29_weighted_sampling",
     "q63_scd2_history",
+    "s16_mmr_diversified_topk",
     # least-recently-verified block: q30-q47 were in the r1 sample only
     # (r4 re-ran q01-q26); they outrank the r4-verified names below the cap
     "q30_disjunctive_predicates",

@@ -739,3 +739,99 @@ def s15_ivf_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         assigned=loaded,
     )
+
+
+# ---------------------------------------------------------------------------
+# s16 — MMR diversified top-3 (the retrieval de-redundancy step): greedy
+# maximal-marginal-relevance over each query's top-10 cosine candidates,
+# run in a COGROUPED applyInPandas kernel (the greedy loop is inherently
+# sequential per query; groups are tiny). All float inputs are computed
+# Spark-side with the engine's sequential folds; the kernel does only
+# scalar mult/sub/compare, so the unrolled 3-step SQL oracle reproduces
+# the selection bit-exactly. lam=0.7; the oracle writes (1.0 - 0.7), the
+# kernel computes 1.0 - lam — the same IEEE double.
+# ---------------------------------------------------------------------------
+
+_S16_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT q.qid, e.vec_id AS nid, {_sql_cos('q.qv', 'e.v')} AS cos
+  FROM q, e WHERE e.vec_id <> q.qid
+),
+cands AS (
+  SELECT qid, nid, cos AS rel FROM (
+    SELECT qid, nid, cos,
+           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+    FROM scored) WHERE rn <= 10
+),
+pairs AS (
+  SELECT c1.qid, c1.nid AS a, c2.nid AS b, {_sql_cos('ea.v', 'eb.v')} AS sim
+  FROM cands c1 JOIN cands c2 ON c1.qid = c2.qid AND c1.nid <> c2.nid
+  JOIN e ea ON ea.vec_id = c1.nid JOIN e eb ON eb.vec_id = c2.nid
+),
+s1 AS (
+  SELECT qid, nid, rel FROM (
+    SELECT qid, nid, rel,
+           row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rn
+    FROM cands) WHERE rn = 1
+),
+sc2 AS (
+  SELECT c.qid, c.nid, 0.7 * c.rel - (1.0 - 0.7) * p.sim AS score
+  FROM cands c
+  JOIN s1 ON c.qid = s1.qid AND c.nid <> s1.nid
+  JOIN pairs p ON p.qid = c.qid AND p.a = c.nid AND p.b = s1.nid
+),
+s2 AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+    FROM sc2) WHERE rn = 1
+),
+sc3 AS (
+  SELECT c.qid, c.nid,
+         0.7 * c.rel - (1.0 - 0.7) * greatest(p1.sim, p2.sim) AS score
+  FROM cands c
+  JOIN s1 ON c.qid = s1.qid AND c.nid <> s1.nid
+  JOIN s2 ON c.qid = s2.qid AND c.nid <> s2.nid
+  JOIN pairs p1 ON p1.qid = c.qid AND p1.a = c.nid AND p1.b = s1.nid
+  JOIN pairs p2 ON p2.qid = c.qid AND p2.a = c.nid AND p2.b = s2.nid
+),
+s3 AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+    FROM sc3) WHERE rn = 1
+)
+SELECT qid, nid, CAST(1 AS INTEGER) AS mmr_rank FROM s1
+UNION ALL SELECT qid, nid, CAST(2 AS INTEGER) FROM s2
+UNION ALL SELECT qid, nid, CAST(3 AS INTEGER) FROM s3
+"""
+
+
+@query("s16_mmr_diversified_topk", _S16_SQL)
+def s16_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cands = sim.brute_force_knn(e, e.filter(F.col("vec_id") < 10), k=10).select(
+        "qid", "nid", F.col("cos").alias("rel")
+    )
+    ev = e.select(
+        "vec_id", sim.to_double_array(F.col("embedding")).alias("v")
+    )
+    ca, cb = cands.alias("ca"), cands.alias("cb")
+    pair_sims = (
+        ca.join(
+            cb,
+            (F.col("ca.qid") == F.col("cb.qid"))
+            & (F.col("ca.nid") != F.col("cb.nid")),
+        )
+        .select(
+            F.col("ca.qid").alias("qid"),
+            F.col("ca.nid").alias("a"),
+            F.col("cb.nid").alias("b"),
+        )
+        .join(ev.select(F.col("vec_id").alias("a"), F.col("v").alias("va")), "a")
+        .join(ev.select(F.col("vec_id").alias("b"), F.col("v").alias("vb")), "b")
+        .select("qid", "a", "b", sim.cosine(F.col("va"), F.col("vb")).alias("sim"))
+    )
+    return sim.mmr_rerank(cands, pair_sims, k=3, lam=0.7)
