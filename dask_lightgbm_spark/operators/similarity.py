@@ -131,23 +131,28 @@ def ivf_range_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Radius (range) search: ALL corpus vectors with cosine ≥ ``threshold``
     of each query, probing the query's ``nprobe`` nearest IVF cells — the
     fixed-radius companion to :func:`ivf_knn` (same equi-join-on-cell scale
     shape, no cross product; result size is data-dependent rather than k).
+    Pass a precomputed storage ``assigned`` (id, v, cell[, nn]) to serve
+    from a built index instead of re-scoring the corpus.
     Output: (qid, nid, cos), ordered within qid by descending cosine."""
     centroids = corpus.filter(centroid_filter)
-    assigned = assign_cells(corpus, centroids, id_col, vec_col)
+    if assigned is None:
+        assigned = assign_cells(corpus, centroids, id_col, vec_col)
     q = assign_cells(
         corpus.filter(queries_filter), centroids, id_col, vec_col, nprobe=nprobe
     ).select(F.col(id_col).alias("qid"), F.col("v").alias("qv"), F.col("cell"))
-    n = assigned.select(
-        F.col(id_col).alias("nid"), F.col("v").alias("nv"), F.col("cell")
-    )
+    n_cols = [F.col(id_col).alias("nid"), F.col("v").alias("nv"), F.col("cell")]
+    if "nn" in assigned.columns:
+        n = assigned.select(*n_cols, F.col("nn"))
+    else:
+        n = assigned.select(*n_cols).withColumn("nn", norm(F.col("nv")))
     return (
-        n.withColumn("nn", norm(F.col("nv")))
-        .join(F.broadcast(q.withColumn("qn", norm(F.col("qv")))), "cell")
+        n.join(F.broadcast(q.withColumn("qn", norm(F.col("qv")))), "cell")
         .filter(F.col("qid") != F.col("nid"))
         .select(
             "qid",
@@ -222,12 +227,15 @@ def ivf_knn(
     q = assign_cells(
         corpus.filter(queries_filter), centroids, id_col, vec_col, nprobe=nprobe
     ).select(F.col(id_col).alias("qid"), F.col("v").alias("qv"), F.col("cell"))
-    n = assigned.select(
-        F.col(id_col).alias("nid"), F.col("v").alias("nv"), F.col("cell")
-    )
+    # a precomputed "nn" norm column on the assignment (the persisted-index
+    # serve path) is reused instead of refolding every corpus vector
+    n_cols = [F.col(id_col).alias("nid"), F.col("v").alias("nv"), F.col("cell")]
+    if "nn" in assigned.columns:
+        n = assigned.select(*n_cols, F.col("nn"))
+    else:
+        n = assigned.select(*n_cols).withColumn("nn", norm(F.col("nv")))
     scored = (
-        n.withColumn("nn", norm(F.col("nv")))
-        .join(F.broadcast(q.withColumn("qn", norm(F.col("qv")))), "cell")
+        n.join(F.broadcast(q.withColumn("qn", norm(F.col("qv")))), "cell")
         .filter(F.col("qid") != F.col("nid"))
         .select(
             "qid",
