@@ -136,60 +136,90 @@ def query(name: str, oracle: str | None = None):
 
 
 # The driver's correctness gate runs queries in the order all_queries()
-# yields them and caps at ~50 per round, so ordering is rotated each round:
-# names listed here gate FIRST, then the rest follow in
-# _GATE_REST_PREFIX-module order. Across rounds the union of gate runs
-# converges on the whole catalog (r01: early relational; r02: t/s/x/ml;
-# r03: q48+ additions; r04: re-ran the r03 order). r05 leads with the six
-# timestamp-family queries broken by the r4 fixture drift (events.ts became
-# TIMESTAMP_NTZ; fixed at the read boundary in sources/readers.py
-# normalize_event_time) — four failed the r4 gate and two (q40, x05) were
-# latent outside the sample — followed by every r05 addition, then the
-# q27-q47 relational block (absent from the r4 sample).
+# yields them and caps at ~50 per round, so ordering is rotated each round
+# under a hard STALENESS CONTRACT: every query NOT verified in the latest
+# CORRECTNESS round gates first, ordered oldest-verification-first (ties by
+# position in that round's gate), so no query's driver verification ever
+# ages past 2 rounds. The list below is the r6 rotation — the 71 names
+# absent from CORRECTNESS_r05 (3 r1-era, 32 r2-era, 36 r4-era); the
+# r5-verified 50 follow. tests/test_relational.py recomputes this ordering
+# from the committed CORRECTNESS_r*.json files and pins the list, so a new
+# round's rotation cannot be forgotten without a test failure.
 _GATE_FIRST: list[str] = [
-    "q15_sessionize",
-    "q40_funnel",
-    "q48_range_interval_window",
-    "x05_stream_append_watermark",
-    "x06_stream_session_window",
-    "x07_stream_dedup_within_watermark",
-    # r05 additions (never driver-verified)
-    "s14_knn_quantized",
-    "x08_stream_stream_interval_join",
-    "t27_unigram_lm_familiarity",
-    "q56_binned_range_join",
-    "t28_bpe_token_topk",
-    "x09_stream_foreachbatch_sink",
-    "q57_forward_fill",
-    "x10_stream_stream_left_outer",
-    "q58_tpch_q5_local_supplier",
-    "q59_tpch_q4_priority_check",
-    "q60_pagerank_int",
-    "s15_ivf_persisted_index",
-    "q61_merge_cdc_deletes",
-    "q62_salted_skew_join",
-    "t29_weighted_sampling",
-    "q63_scd2_history",
-    "s16_mmr_diversified_topk",
-    # least-recently-verified block: q30-q47 were in the r1 sample only
-    # (r4 re-ran q01-q26); they outrank the r4-verified names below the cap
-    "q30_disjunctive_predicates",
-    "q31_not_in_subquery",
-    "q32_scalar_subquery",
-    "q33_percentiles",
-    "q34_array_regexp_funcs",
-    "q35_approx_stats",
-    "q36_merge_upsert",
-    "q37_union_except",
-    "q38_posexplode",
-    "q39_moving_window_frame",
-    "q41_map_funcs",
-    "q42_having",
-    "q43_date_arithmetic",
-    "q44_intersect_all",
-    "q45_window_functions",
-    "q46_string_agg",
-    "q47_correlated_scalar_subquery",
+    # r1-era (verified only in round 1)
+    "q27_grouping_sets",
+    "q28_session_window",
+    "q29_promo_revenue",
+    # r2-era
+    "t01_dedup_exact_stats",
+    "t02_dedup_exact_groups",
+    "t03_ngram_jaccard_pairs",
+    "t04_minhash_signatures",
+    "t05_minhash_lsh_neardup",
+    "t06_simhash",
+    "t07_simhash_neardup",
+    "t08_lang_id",
+    "t09_text_quality",
+    "t10_token_stats",
+    "t11_fingerprint",
+    "t12_multimodal_meta",
+    "t13_tfidf_topterms",
+    "t14_dedup_components",
+    "t15_repetition_ratio",
+    "t16_token_zipf",
+    "t17_deterministic_split",
+    "t18_pii_scan",
+    "s01_knn_bruteforce",
+    "s02_knn_ivf",
+    "s03_embedding_neardup",
+    "s04_vector_stats",
+    "s05_knn_lsh",
+    "s06_neardup_in_cells",
+    "s07_knn_ivf_multiprobe",
+    "s08_knn_lsh_multiprobe",
+    "s09_kmeans_train",
+    "s10_ivf_learned_cells",
+    "x01_stream_events_hourly",
+    "x02_stream_stateful_user_totals",
+    "x03_stream_dedup_counts",
+    "x04_stream_static_join",
+    # r4-era (equal staleness; order = r4 gate position)
+    "t19_decontamination",
+    "t20_cleaning_pipeline",
+    "t21_boilerplate_ngrams",
+    "t22_mixture_allocation",
+    "t23_hash_sample_per_source",
+    "t24_multimodal_features",
+    "t25_frame_sampling",
+    "ml03_pipeline_api",
+    "s13_label_centroids",
+    "q53_salted_skew_agg",
+    "q54_recursive_date_spine",
+    "q55_join_strategy_hints",
+    "t26_resize_payloads",
+    "s11_knn_ivf_learned_nprobe",
+    "s12_range_search_ivf",
+    "q49_conditional_agg",
+    "q50_distribution_windows",
+    "q51_unpivot_measures",
+    "q52_python_udtf_lateral",
+    "ml01_classifier_embeddings",
+    "ml02_regressor_lineitem",
+    "q20_cube",
+    "q11_distinct_counts",
+    "q12_string_funcs",
+    "q13_date_agg",
+    "q14_events_hourly",
+    "q16_pivot",
+    "q17_customer_max_order",
+    "q18_shipping_priority",
+    "q19_case_bucket",
+    "q21_asof_join",
+    "q23_predicate_ratio",
+    "q22_positional_projection",
+    "q24_grouped_zscore_pandas",
+    "q25_mapinpandas_elementwise",
+    "q26_json_extract",
 ]
 
 # module-name order for everything not in _GATE_FIRST (relational first —

@@ -56,19 +56,50 @@ def test_entry_smoke(spark):
     assert "sum_qty" in df.columns
 
 
-def test_gate_order_puts_newest_queries_first():
+def test_gate_order_staleness_contract():
     """The external driver's correctness gate caps at ~50 queries per round
-    and runs them in all_queries() order — the rotation contract is that
-    every never-driver-verified name in _GATE_FIRST leads, followed by the
-    relational block (r01-only coverage), with r02-verified t/s/x last."""
+    and runs them in all_queries() order. The rotation contract: every
+    query absent from the LATEST committed CORRECTNESS round gates first,
+    ordered oldest-verification-first (ties by position in that round's
+    file), so no query's driver verification ages past 2 rounds. This test
+    recomputes the ordering from the CORRECTNESS_r*.json files — when a new
+    round's results land, it fails until _GATE_FIRST is re-rotated."""
+    import glob
+    import json
+    import os
+    import re
+
     from dask_lightgbm_spark.queries import _GATE_FIRST, all_oracles, all_queries
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    pos: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        for i, q in enumerate(json.load(open(f))):
+            latest[q] = rnd
+            pos[q] = i
+    newest = max(latest.values())
+    stale = sorted(
+        (q for q in latest if latest[q] < newest),
+        key=lambda q: (latest[q], pos[q]),
+    )
     names = list(all_queries())
     assert names[: len(_GATE_FIRST)] == _GATE_FIRST
-    rest = names[len(_GATE_FIRST):]
-    kinds = [n[0] for n in rest]
-    # q-block before t/s/x blocks
-    assert kinds.index("t") > max(i for i, k in enumerate(kinds) if k == "q")
+    # brand-new queries with no verification at all lead, then every query
+    # missing from the latest round, oldest verification first
+    unverified = [n for n in names if n not in latest]
+    assert set(unverified) <= set(_GATE_FIRST), (
+        f"never-driver-verified queries must gate first: "
+        f"{sorted(set(unverified) - set(_GATE_FIRST))}"
+    )
+    first_unver = [q for q in _GATE_FIRST if q not in latest]
+    first_stale = [q for q in _GATE_FIRST if q in latest]
+    assert _GATE_FIRST == first_unver + first_stale
+    assert first_stale == [q for q in stale if q in names], (
+        "gate rotation out of date vs committed CORRECTNESS_r*.json: "
+        "re-rotate _GATE_FIRST oldest-verification-first"
+    )
     # oracle map is ordered the same way
     ok = [n for n in all_oracles() if n in set(_GATE_FIRST)]
     assert ok == [n for n in _GATE_FIRST if n in all_oracles()]
