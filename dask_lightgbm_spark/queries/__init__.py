@@ -146,6 +146,9 @@ def query(name: str, oracle: str | None = None):
 # from the committed CORRECTNESS_r*.json files and pins the list, so a new
 # round's rotation cannot be forgotten without a test failure.
 _GATE_FIRST: list[str] = [
+    # never hash-verified: q35 was rows-only (no_oracle) through r5 and
+    # gained a wide-margin-boolean oracle in r6 — it re-gates first
+    "q35_approx_stats",
     # r1-era (verified only in round 1)
     "q27_grouping_sets",
     "q28_session_window",

