@@ -126,8 +126,11 @@ def salted_join(
 
     ``salt_cols`` picks the skewed-side columns whose hash assigns the
     salt (default: all non-key columns — deterministic under retries,
-    unlike F.rand)."""
-    salt_cols = salt_cols or [c for c in skewed.columns if c != key]
+    unlike F.rand; a key-only frame falls back to hashing the key, which
+    degenerates to no spreading but stays correct)."""
+    if "__salt" in skewed.columns or "__salt" in other.columns:
+        raise ValueError("salted_join: inputs must not already have a __salt column")
+    salt_cols = salt_cols or [c for c in skewed.columns if c != key] or [key]
     s = with_salt(skewed, n_salt, salt_cols)
     replicated = other.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))

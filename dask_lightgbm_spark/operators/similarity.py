@@ -456,12 +456,24 @@ def mmr_rerank(
             return pd.DataFrame({"qid": [], "nid": [], "mmr_rank": []}).astype(
                 {"qid": "int64", "nid": "int64", "mmr_rank": "int32"}
             )
+        import math
+
         qid = int(c["qid"].iloc[0])
         rel = dict(zip(c["nid"].astype(int), c["rel"].astype(float)))
         sim = {
             (int(a), int(b)): float(s)
             for a, b, s in zip(p["a"], p["b"], p["sim"])
         }
+        # fail loudly on malformed inputs instead of silently mis-ranking:
+        # a missing (candidate, picked) pair means the caller's pair_sims
+        # is incomplete, and a NaN sim (e.g. zero vector through
+        # try_divide -> null -> NaN) makes every comparison false
+        for key_, s_ in sim.items():
+            if math.isnan(s_):
+                raise ValueError(f"mmr_rerank: NaN similarity for pair {key_} (qid={qid})")
+        for n_, r_ in rel.items():
+            if math.isnan(r_):
+                raise ValueError(f"mmr_rerank: NaN relevance for nid={n_} (qid={qid})")
         picked: list[int] = []
         while len(picked) < kk and len(picked) < len(rel):
             best = None
@@ -469,7 +481,14 @@ def mmr_rerank(
                 if n in picked:
                     continue
                 if picked:
-                    m = max(sim.get((n, s), 0.0) for s in picked)
+                    try:
+                        m = max(sim[(n, s)] for s in picked)
+                    except KeyError as exc:
+                        raise KeyError(
+                            f"mmr_rerank: missing pair similarity {exc} for "
+                            f"qid={qid}; pair_sims must contain every "
+                            "candidate pair in both orientations"
+                        ) from None
                     score = ll * r - (1.0 - ll) * m
                 else:
                     score = r

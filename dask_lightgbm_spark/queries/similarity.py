@@ -758,12 +758,14 @@ def s14_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("s15_ivf_persisted_index", _S02_SQL)
 def s15_ivf_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from dask_lightgbm_spark.session import scratch_dir
 
     e = load_table(spark, sf_dir, "embeddings")
     centroids = e.filter(F.col("vec_id") % 25 == 0)
     built = sim.assign_cells(e, centroids)  # (vec_id, v, cell)
-    idx_dir = tempfile.mkdtemp(prefix="dls_ivf_idx_") + "/assignment"
+    # process-wide scratch root (cleaned at exit): repeated invocations
+    # overwrite one path instead of leaking a mkdtemp per run
+    idx_dir = scratch_dir("ivf_idx") + "/assignment"
     built.select("vec_id", "cell").write.mode("overwrite").parquet(idx_dir)
 
     # serve path: load index, join vectors back from the base table

@@ -440,7 +440,7 @@ def t13_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id",
         F.explode(
-            F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+            F.filter(F.split(F.trim(F.col("text")), r"[ \t\n\f\r]+"), lambda x: x != "")
         ).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -549,7 +549,7 @@ FROM grams
 @query("t15_repetition_ratio", _T15_SQL)
 def t15_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    ws = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    ws = F.filter(F.split(F.trim(F.col("text")), r"[ \t\n\f\r]+"), lambda x: x != "")
     d = d.select("doc_id", ws.alias("ws"))
     # guard: Spark's sequence(1, 0) is the DESCENDING [1, 0], not [] (DuckDB
     # generate_series(1,0) IS empty) — docs under 3 tokens need an explicit
@@ -612,7 +612,7 @@ def t16_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         F.explode(
-            F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+            F.filter(F.split(F.trim(F.col("text")), r"[ \t\n\f\r]+"), lambda x: x != "")
         ).alias("token")
     )
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
@@ -1165,7 +1165,7 @@ def t27_unigram_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.explode(
-                F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+                F.filter(F.split(F.trim(F.col("text")), r"[ \t\n\f\r]+"), lambda x: x != "")
             ).alias("t"),
         )
     )

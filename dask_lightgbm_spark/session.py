@@ -63,6 +63,31 @@ def get_spark(
     return spark
 
 
+_SCRATCH_ROOT: str | None = None
+
+
+def scratch_dir(subdir: str) -> str:
+    """Per-process scratch directory, removed at interpreter exit.
+
+    Queries that materialize intermediate parquet (the s15 persisted-index
+    build, the foreachBatch stream sink) write under a single process-wide
+    root instead of a fresh ``mkdtemp`` per invocation — repeated runs
+    (bench's min-of-3, the driver gate) overwrite the same path rather than
+    accumulating orphaned directories, and the whole root is cleaned up
+    when the process ends."""
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="dls_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, True)
+    path = os.path.join(_SCRATCH_ROOT, subdir)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 def apply_session_defaults(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine defaults to an externally-created
     session (the driver owns its own session; we can only set dynamic confs).

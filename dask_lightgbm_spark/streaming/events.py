@@ -300,7 +300,7 @@ def stream_foreachbatch_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFr
     failure rewrites identical files — exactly-once by idempotence, the
     standard foreachBatch contract). The drained table is read back as a
     batch DataFrame, so the result equals the batch oracle."""
-    import tempfile
+    from dask_lightgbm_spark.session import scratch_dir
 
     src = read_events_stream(spark, sf_dir)
     agg = src.groupBy(
@@ -312,7 +312,9 @@ def stream_foreachbatch_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFr
             / F.lit(100.0)
         ).alias("sum_value"),
     )
-    out_dir = tempfile.mkdtemp(prefix="dls_stream_sink_")
+    # process-wide scratch root (cleaned at exit): repeated invocations
+    # overwrite one path instead of leaking a mkdtemp per run
+    out_dir = scratch_dir("stream_sink")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(out_dir + "/agg")

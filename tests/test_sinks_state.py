@@ -55,6 +55,55 @@ def test_salted_agg_equals_direct(spark, sf_dir):
     assert direct == salted
 
 
+def test_salted_join_edge_cases(spark):
+    """Key-only skewed frame falls back to hashing the key (no F.hash()
+    zero-arg error); a pre-existing __salt column is rejected loudly
+    instead of silently colliding."""
+    import pytest
+
+    from dask_lightgbm_spark.functions.partitioning import salted_join
+
+    skewed = spark.createDataFrame([(1,), (1,), (2,)], ["k"])
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    got = sorted((r.k, r.v) for r in salted_join(skewed, dim, "k", n_salt=4).collect())
+    assert got == [(1, "a"), (1, "a"), (2, "b")]
+
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(skewed.withColumn("__salt", F.lit(0)), dim, "k")
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(skewed, dim.withColumn("__salt", F.lit(0)), "k")
+
+
+def test_mmr_rerank_rejects_malformed_inputs(spark):
+    """Missing pair similarity and NaN inputs raise instead of silently
+    mis-ranking (advisor r5)."""
+    import pytest
+
+    from dask_lightgbm_spark.operators.similarity import mmr_rerank
+
+    cands = spark.createDataFrame(
+        [(1, 10, 0.9), (1, 11, 0.8), (1, 12, 0.7)], ["qid", "nid", "rel"]
+    )
+    # complete pair set → works
+    pairs = spark.createDataFrame(
+        [(1, a, b, 0.5) for a in (10, 11, 12) for b in (10, 11, 12) if a != b],
+        ["qid", "a", "b", "sim"],
+    )
+    got = {(r.nid, r.mmr_rank) for r in mmr_rerank(cands, pairs, k=2).collect()}
+    assert got == {(10, 1), (11, 2)}
+
+    # missing (12, 10) orientation → loud failure when 12 is scored
+    incomplete = pairs.filter(~((F.col("a") == 12) & (F.col("b") == 10)))
+    with pytest.raises(Exception, match="missing pair similarity"):
+        mmr_rerank(cands, incomplete, k=3).collect()
+
+    nan_pairs = pairs.withColumn(
+        "sim", F.when((F.col("a") == 11) & (F.col("b") == 10), float("nan")).otherwise(F.col("sim"))
+    )
+    with pytest.raises(Exception, match="NaN similarity"):
+        mmr_rerank(cands, nan_pairs, k=2).collect()
+
+
 def test_model_save_load_roundtrip(spark, tmp_path):
     import numpy as np
 
