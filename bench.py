@@ -102,8 +102,80 @@ PREV_ROUND = {
 
 RUNS = 3  # min-of-3 rejects most window noise for BOTH engines
 
+# sf1 spot bench: the compute-bound subset (seconds of real work at sf0.1,
+# so their sf1 ratios measure throughput rather than Spark's fixed ~0.3 s
+# job-submission overhead). Run once per round at 10x data so the 2x gate
+# means something (r5 judge ask #6). Single run per engine, same window —
+# noise hits numerator and denominator alike.
+SF1_SPOT = [
+    "t05_minhash_lsh_neardup",
+    "t06_simhash",
+    "t19_decontamination",
+    "t24_multimodal_features",
+    "s01_knn_bruteforce",
+    "s02_knn_ivf",
+    "s11_knn_ivf_learned_nprobe",
+]
+# DuckDB denominators at sf1 are only timed where the oracle is affordable:
+# the s02/s11 oracle SQL rebuilds the whole IVF assignment inline with
+# list-lambda folds and needs >4 min each at sf1 (measured 264 s for s02) —
+# their Spark timings are still reported (ratio null, excluded from the
+# stanza total by the intersection rule).
+SF1_DUCK = [n for n in SF1_SPOT if n not in ("s02_knn_ivf", "s11_knn_ivf_learned_nprobe")]
+SF1_TABLES = ("documents", "embeddings")  # the only tables SF1_SPOT reads
 
-def time_duckdb(sf_dir: str, names: list[str], runs: int = RUNS) -> dict[str, float | None]:
+
+def ensure_sf1(src_dir: str) -> str:
+    """Materialize a deterministic sf1-scale fixture: the sf0.1 documents/
+    embeddings replicated 10x with shifted ids. Replica text gets a one-token
+    suffix (so replicas are near- but not exact duplicates — realistic crawl
+    duplication for the LSH path); replica vectors get a tiny per-replica
+    offset (distinct but clustered — realistic for ANN). Built once and
+    reused across invocations; derived purely from the driver fixture, no
+    invented data distribution."""
+    out = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/dls_bench_sf1")
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    import duckdb
+
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    src_docs = f"{src_dir}/documents.parquet"
+    n_docs = con.sql(f"SELECT max(doc_id) + 1 FROM read_parquet('{src_docs}')").fetchone()[0]
+    con.sql(f"""
+        COPY (
+          SELECT doc_id + k * {n_docs} AS doc_id,
+                 CASE WHEN k = 0 THEN text ELSE text || ' rep' || k END AS text,
+                 lang, source,
+                 CAST(length(CASE WHEN k = 0 THEN text ELSE text || ' rep' || k END) AS BIGINT) AS n_chars
+          FROM read_parquet('{src_docs}'), (SELECT unnest(generate_series(0, 9)) AS k)
+          ORDER BY doc_id
+        ) TO '{out}/documents.parquet' (FORMAT PARQUET)""")
+    src_vec = f"{src_dir}/embeddings.parquet"
+    n_vec = con.sql(f"SELECT max(vec_id) + 1 FROM read_parquet('{src_vec}')").fetchone()[0]
+    con.sql(f"""
+        COPY (
+          SELECT vec_id + k * {n_vec} AS vec_id,
+                 CASE WHEN k = 0 THEN embedding
+                      ELSE list_transform(embedding, x -> CAST(x + 0.001 * k AS FLOAT))
+                 END AS embedding,
+                 label
+          FROM read_parquet('{src_vec}'), (SELECT unnest(generate_series(0, 9)) AS k)
+          ORDER BY vec_id
+        ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
+    con.close()
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def time_duckdb(
+    sf_dir: str,
+    names: list[str],
+    runs: int = RUNS,
+    tables: tuple[str, ...] | None = None,
+) -> dict[str, float | None]:
     """Time the DuckDB oracle SQL for ``names`` on the parquet under
     ``sf_dir`` (min-of-``runs``). Shared by bench.py (same-window ratio)
     and tools/bench_oracle.py (standalone baseline capture)."""
@@ -112,7 +184,7 @@ def time_duckdb(sf_dir: str, names: list[str], runs: int = RUNS) -> dict[str, fl
     from dask_lightgbm_spark.sources.readers import TABLES
 
     con = duckdb.connect()
-    for t in TABLES:
+    for t in tables or TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracles = all_oracles()
     timings: dict[str, float | None] = {}
@@ -182,8 +254,19 @@ def main():
             print(f"# {name}: ERROR {type(exc).__name__}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # totals for the live ratio are computed over the INTERSECTION of
+    # queries that succeeded on both engines — an error on either side
+    # shrinks both sides of the ratio identically instead of biasing it
+    # (r5 advisor); "value" stays the full surviving-Spark total.
+    def live_totals(sp: dict[str, float], du: dict[str, float | None]):
+        common = [n for n in sp if du.get(n)]
+        t = round(sum(sp[n] for n in common), 3)
+        d = round(sum(du[n] for n in common), 3)
+        return common, t, d, (round(t / d, 2) if d else None)
+
     total = round(sum(timings.values()), 3)
-    duck_total = round(sum(v for v in duck.values() if v), 3)
+    common, _, duck_total, vs_live_total = live_totals(timings, duck)
     at_sf01 = abs(float(sf) - 0.1) < 1e-9 if sf.replace(".", "").isdigit() else False
     out = {
         "metric": "headline_queries_total",
@@ -197,7 +280,8 @@ def main():
         "vs_duckdb_live": {
             n: round(timings[n] / duck[n], 2) for n in timings if duck.get(n)
         },
-        "vs_duckdb_live_total": round(total / duck_total, 2) if duck_total else None,
+        "vs_duckdb_live_total": vs_live_total,
+        "ratio_excluded": sorted(set(HEADLINE) - set(common)),
         "errors": errors,
     }
     regressions = []
@@ -234,14 +318,15 @@ def main():
                 timings[n] = min(timings[n], round(time.time() - t0, 3))
             print(f"# recheck {n}: {timings[n]:.2f}s", file=sys.stderr)
         total = round(sum(timings.values()), 3)
+        common, _, duck_total, vs_live_total = live_totals(timings, duck)
         out["value"] = total
         out["queries"] = timings
         out["vs_duckdb_live"] = {
             n: round(timings[n] / duck[n], 2) for n in timings if duck.get(n)
         }
-        out["vs_duckdb_live_total"] = (
-            round(total / duck_total, 2) if duck_total else None
-        )
+        out["duckdb_live_total"] = duck_total
+        out["vs_duckdb_live_total"] = vs_live_total
+        out["ratio_excluded"] = sorted(set(HEADLINE) - set(common))
         out["vs_duckdb_total"] = round(total / sum(DUCKDB_BASELINE.values()), 2)
         out["vs_duckdb"] = {
             n: round(timings[n] / DUCKDB_BASELINE[n], 2)
@@ -251,6 +336,39 @@ def main():
         out["vs_prev_round_total"] = round(total / sum(PREV_ROUND.values()), 2)
         regressions = flagged()
         out["regressions_vs_prev"] = regressions
+
+    # sf1 spot: one run per engine at 10x data for the compute-bound set —
+    # measures throughput where the sf0.1 headline mostly measures fixed
+    # job overhead. Informational this round (not gated); disable with
+    # SPARK_GRAFT_SF1_SPOT=0.
+    if at_sf01 and os.environ.get("SPARK_GRAFT_SF1_SPOT", "1") != "0":
+        try:
+            sf1_dir = ensure_sf1(sf_dir)
+            duck1 = time_duckdb(sf1_dir, SF1_DUCK, runs=1, tables=SF1_TABLES)
+            sp1: dict[str, float] = {}
+            err1: dict[str, str] = {}
+            for name in SF1_SPOT:
+                try:
+                    t0 = time.time()
+                    n = len(qs[name](spark, sf1_dir).toPandas())
+                    sp1[name] = round(time.time() - t0, 3)
+                    print(f"# sf1 {name}: {sp1[name]:.2f}s ({n} rows)", file=sys.stderr)
+                except Exception as exc:  # noqa: BLE001
+                    err1[name] = f"{type(exc).__name__}: {exc}"[:300]
+                    print(f"# sf1 {name}: ERROR {type(exc).__name__}", file=sys.stderr)
+            c1, st1, dt1, vs1 = live_totals(sp1, duck1)
+            out["sf1_spot"] = {
+                "sf": 1.0,
+                "queries": sp1,
+                "duckdb_live": duck1,
+                "vs_duckdb_live": {n: round(sp1[n] / duck1[n], 2) for n in c1},
+                "total": st1,
+                "duckdb_live_total": dt1,
+                "vs_duckdb_live_total": vs1,
+                "errors": err1,
+            }
+        except Exception as exc:  # noqa: BLE001 — the spot bench must never sink the round
+            out["sf1_spot"] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
     print(json.dumps(out))
     if "--enforce" in sys.argv and at_sf01:
         live = out["vs_duckdb_live_total"]

@@ -39,11 +39,12 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark._dls_ivf_index_cache = cache
     if sf_dir not in cache:
         e = load_table(spark, sf_dir, "embeddings")
-        assigned = (
-            sim.assign_cells(e, e.filter(F.col("vec_id") % 25 == 0))
-            .withColumn("nn", sim.norm(F.col("v")))
-            .persist()
-        )
+        # vectorized build kernel: bit-identical cells/norms to the fold
+        # path (see assign_cells_vectorized docstring), ~100x faster on
+        # large corpus x centroid products
+        assigned = sim.assign_cells_vectorized(
+            e, e.filter(F.col("vec_id") % 25 == 0)
+        ).persist()
         cache[sf_dir] = assigned
     return cache[sf_dir]
 
@@ -762,7 +763,7 @@ def s15_ivf_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     centroids = e.filter(F.col("vec_id") % 25 == 0)
-    built = sim.assign_cells(e, centroids)  # (vec_id, v, cell)
+    built = sim.assign_cells_vectorized(e, centroids)  # (vec_id, v, cell, nn)
     # process-wide scratch root (cleaned at exit): repeated invocations
     # overwrite one path instead of leaking a mkdtemp per run
     idx_dir = scratch_dir("ivf_idx") + "/assignment"

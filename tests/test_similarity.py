@@ -250,3 +250,46 @@ def test_quantize_int8_zero_vector_and_range(spark):
         .first()["d"]
     )
     assert d == 127 * 127 + 64 * 64 + 31 * 31
+
+
+def test_assign_cells_vectorized_bit_exact(spark, sf_dir):
+    """The vectorized Arrow build kernel must reproduce the interpreted
+    fold path bit-for-bit: same cells, same double vectors, same
+    sequential-fold norms (the docstring's dim-ordered-accumulation
+    argument, checked on the real fixture)."""
+    from dask_lightgbm_spark.operators.similarity import (
+        assign_cells,
+        assign_cells_vectorized,
+        norm,
+    )
+    from dask_lightgbm_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") % 25 == 0)
+    ref = {
+        r.vec_id: (list(r.v), r.cell, r.nn)
+        for r in assign_cells(e, cents).withColumn("nn", norm(F.col("v"))).collect()
+    }
+    got = {
+        r.vec_id: (list(r.v), r.cell, r.nn)
+        for r in assign_cells_vectorized(e, cents).collect()
+    }
+    assert set(ref) == set(got)
+    for vid in ref:
+        rv, rc, rn = ref[vid]
+        gv, gc, gn = got[vid]
+        assert rc == gc, f"cell mismatch for {vid}"
+        assert rn == gn, f"norm not bit-identical for {vid}"
+        assert rv == gv, f"vector mismatch for {vid}"
+
+
+def test_assign_cells_vectorized_rejects_bad_input(spark):
+    import pytest
+
+    from dask_lightgbm_spark.operators.similarity import assign_cells_vectorized
+
+    corpus = spark.createDataFrame([(1, [1.0, 0.0]), (2, [0.0, 0.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="empty centroid"):
+        assign_cells_vectorized(corpus, corpus.filter(F.col("vec_id") > 99))
+    with pytest.raises(Exception, match="zero-norm"):
+        assign_cells_vectorized(corpus, corpus.filter(F.col("vec_id") == 1)).collect()
