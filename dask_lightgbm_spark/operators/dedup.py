@@ -258,11 +258,25 @@ def minhash_lsh_neardup(
     band_size: int = 4,
     threshold: float = 0.7,
     est_min_matches: int | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """The scale-path near-dup pipeline: shingle → minhash → LSH bands →
     candidate pairs → signature-estimate prefilter → exact-Jaccard verify
     ≥ threshold. Recall loss from the prefilter is tiny near/above the
-    threshold (binomial: P[≥ n/2 of n matches | j=0.7] ≈ 0.98 for n=16)."""
+    threshold (binomial: P[≥ n/2 of n matches | j=0.7] ≈ 0.98 for n=16).
+
+    ``bucket_cap`` bounds hot band-buckets (SCALE.md's watch-item for
+    duplicate-heavy corpora): a bucket holding m identical signatures forms
+    m² candidate pairs on ONE reducer in the plain band self-join. With a
+    cap, each bucket is split into ⌈m/cap⌉ id-ordered groups and the
+    self-join is salted over (group_a, group_b) sub-tasks — the shuffle key
+    gains both group ids, so no reducer ever holds more than cap rows per
+    side (cap² pair-work), while each unordered pair is still formed
+    exactly once (id ordering makes group assignment monotone in id, so the
+    pair (x, y) with id_x < id_y appears only in task (g_x, g_y)). Total
+    pair count is unchanged — the cap spreads the quadratic bucket work, it
+    does not drop it. Replication cost: each row ships ≤ ⌈m/cap⌉ copies of
+    its band row. Default None keeps the plain equi-join plan."""
     if est_min_matches is None:
         est_min_matches = num_perm // 2
     # per-doc hash arrays feed both the signature and the verify stage —
@@ -285,8 +299,33 @@ def minhash_lsh_neardup(
         F.lit(0),
         lambda acc, x: acc + x,
     )
+    cond = _band_join_cond(id_col, band_size)
+    if bucket_cap is not None:
+        if bucket_cap < 1:
+            raise ValueError(f"bucket_cap must be >= 1, got {bucket_cap}")
+        from pyspark.sql import Window as W
+
+        bvs = ["band"] + [f"bv{j}" for j in range(band_size)]
+        rn_w = W.partitionBy(*bvs).orderBy(id_col)
+        cnt_w = W.partitionBy(*bvs)
+        grouped = bands.withColumn(
+            "__g", F.floor((F.row_number().over(rn_w) - F.lit(1)) / F.lit(bucket_cap))
+        ).withColumn(
+            "__gmax", F.floor((F.count(F.lit(1)).over(cnt_w) - F.lit(1)) / F.lit(bucket_cap))
+        )
+        a = grouped.withColumn("__ga", F.col("__g")).withColumn(
+            "__gb", F.explode(F.sequence(F.col("__g"), F.col("__gmax")))
+        ).alias("a")
+        b = grouped.withColumn("__gb", F.col("__g")).withColumn(
+            "__ga", F.explode(F.sequence(F.lit(0), F.col("__g")))
+        ).alias("b")
+        cond = (
+            cond
+            & (F.col("a.__ga") == F.col("b.__ga"))
+            & (F.col("a.__gb") == F.col("b.__gb"))
+        )
     cand = (
-        a.join(b, _band_join_cond(id_col, band_size))
+        a.join(b, cond)
         .filter(matches >= est_min_matches)
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()

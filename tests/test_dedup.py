@@ -154,3 +154,53 @@ def test_ngram_jaccard_guard_refuses_unbounded_input(spark):
         ngram_jaccard_pairs(df, "doc_id", "text", max_rows=10)
     # explicit opt-out still works on bounded sets
     assert ngram_jaccard_pairs(df, "doc_id", "text", max_rows=None).count() > 0
+
+
+def test_lsh_bucket_cap_salting(spark):
+    """Duplicate-heavy corpus: 60 identical docs collapse into one hot
+    band-bucket per band (m^2 pair formation on one reducer in the plain
+    join). With bucket_cap the bucket splits into id-ordered groups salted
+    over (group_a, group_b) sub-joins — pair set identical, and no salted
+    group exceeds the cap."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from dask_lightgbm_spark.operators.dedup import (
+        _band_views,
+        minhash_lsh_neardup,
+        minhash_signatures,
+    )
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog again and again") for i in range(60)]
+    rows += [
+        (
+            100 + i,
+            f"totally different document number {i} alpha{i} beta{i} gamma{i} "
+            f"delta{i} epsilon{i} zeta{i} eta{i} theta{i}",
+        )
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    base = {(r.id_a, r.id_b) for r in minhash_lsh_neardup(df, "doc_id", "text").collect()}
+    capped = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_neardup(df, "doc_id", "text", bucket_cap=8).collect()
+    }
+    assert capped == base
+    assert len(base) >= 60 * 59 // 2  # every identical pair found
+
+    # bound check: the salting group assignment never exceeds the cap
+    bands = _band_views(minhash_signatures(df, "doc_id", "text"), "doc_id", 16, 4)
+    bvs = ["band"] + [f"bv{j}" for j in range(4)]
+    g = F.floor((F.row_number().over(W.partitionBy(*bvs).orderBy("doc_id")) - 1) / F.lit(8))
+    sizes = (
+        bands.withColumn("__g", g)
+        .groupBy(*bvs, "__g")
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .first()
+    )
+    assert sizes.mx <= 8
+
+    with pytest.raises(ValueError, match="bucket_cap"):
+        minhash_lsh_neardup(df, "doc_id", "text", bucket_cap=0)
