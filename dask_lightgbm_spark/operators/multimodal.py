@@ -2,11 +2,14 @@
 
 Design: media rides in opaque ``binary`` columns with a typed metadata
 struct alongside; decode / feature-extract / resize / frame-sample are
-Arrow-batched ``mapInPandas`` stages. The image/audio codec libraries are
-NOT in this image, so the decode kernel is stubbed (deterministic fake
-behind ``decode_stub=True``, ``NotImplementedError`` otherwise) — the
-Spark-side plumbing (schema, batching, partitioning, UDF signatures) is real
-and tested, which is the part that matters for the engine.
+Arrow-batched ``mapInPandas`` stages. With ``decode_stub=True`` (the
+default here — codec libraries are NOT in this image) the decoder is a
+deterministic byte-level fake so the plumbing is value-testable; with
+``decode_stub=False`` the kernels use the REAL codec (PIL: image decode,
+nearest-neighbor resize, animated-GIF frame seek) when importable and raise
+``NotImplementedError`` naming the missing library otherwise. The real
+paths are covered by ``tests/test_multimodal_codec.py``, which skips unless
+PIL is installed — the first richer image runs them untouched.
 
 At 100 TB: binary payloads dominate partition size → ``maxPartitionBytes``
 governs scan parallelism; decode is CPU-bound per-row and embarrassingly
@@ -65,25 +68,38 @@ def extract_features(
     """Decode + feature-extract over Arrow batches (``mapInPandas``).
 
     With ``decode_stub`` the "decoder" is a deterministic byte-histogram
-    projection (so tests can assert values); without it, raises
-    NotImplementedError where a real codec (PIL/librosa/ffmpeg) would go.
+    projection (so tests can assert values); without it, the payload is
+    decoded as a real image (PIL, grayscale) and the feature is a
+    ``dim``-bucket luminance histogram normalized by pixel count. Raises
+    NotImplementedError only when PIL is genuinely absent.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not decode_stub:
+            try:
+                import io
+
+                from PIL import Image
+            except ImportError as exc:  # pragma: no cover - env-dependent
+                raise NotImplementedError(
+                    "real image decode requires PIL, not installed in this "
+                    "environment (pip install pillow)"
+                ) from exc
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode requires codec libraries not present "
-                    "in this environment; plug PIL/librosa here"
-                )
             feats = []
             for payload in pdf[payload_col]:
-                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
-                # deterministic fake "embedding": bucketed byte histogram
-                hist = np.bincount(arr % dim, minlength=dim).astype(np.float32)
-                feats.append(hist / max(len(arr), 1))
+                if decode_stub:
+                    arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                    # deterministic fake "embedding": bucketed byte histogram
+                    hist = np.bincount(arr % dim, minlength=dim).astype(np.float32)
+                    feats.append(hist / max(len(arr), 1))
+                else:
+                    img = Image.open(io.BytesIO(bytes(payload))).convert("L")
+                    px = np.asarray(img, dtype=np.int64).ravel()
+                    hist = np.bincount(px * dim // 256, minlength=dim).astype(np.float32)
+                    feats.append(hist / max(px.size, 1))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].values,
@@ -111,21 +127,34 @@ def resize_images(
     decode_stub: bool = True,
 ) -> DataFrame:
     """Image resize over Arrow batches. Stub 'resize' truncates/pads the
-    byte payload to width·height (deterministic, testable); a real kernel
-    swaps in PIL here — the schema, batching, and partitioning are what the
-    engine owns."""
+    byte payload to width·height (deterministic, testable); the real kernel
+    (``decode_stub=False``, requires PIL) decodes, converts to grayscale and
+    resizes with NEAREST (chosen over BILINEAR for cross-PIL-version
+    determinism), emitting the raw width·height pixel bytes."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
+        if not decode_stub:
+            try:
+                import io
+
+                from PIL import Image
+            except ImportError as exc:  # pragma: no cover - env-dependent
+                raise NotImplementedError(
+                    "real image resize requires PIL, not installed in this "
+                    "environment (pip install pillow)"
+                ) from exc
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            if not decode_stub:
-                raise NotImplementedError("plug PIL.Image.resize here")
             out = []
             for payload in pdf[payload_col]:
                 raw = bytes(payload)
-                out.append(raw[:target].ljust(target, b"\0"))
+                if decode_stub:
+                    out.append(raw[:target].ljust(target, b"\0"))
+                else:
+                    img = Image.open(io.BytesIO(raw)).convert("L")
+                    out.append(img.resize((width, height), Image.NEAREST).tobytes())
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].values,
@@ -153,25 +182,49 @@ def sample_frames(
     decode_stub: bool = True,
 ) -> DataFrame:
     """Video frame sampling (1 row in → n_frames rows out) over Arrow
-    batches. Stub samples evenly-spaced byte windows; a real kernel swaps in
-    ffmpeg/pyav. Row-expanding mapInPandas — the same shape a real decoder
-    needs."""
+    batches. Stub samples evenly-spaced byte windows; the real kernel
+    (``decode_stub=False``, requires PIL) seeks n_frames evenly-spaced
+    frames of an animated image (GIF/APNG/WebP — the containers PIL can
+    walk; an mp4 path would swap in pyav here) and emits each frame's
+    grayscale bytes truncated/padded to ``frame_bytes``. Row-expanding
+    mapInPandas — the same shape any real decoder needs."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not decode_stub:
+            try:
+                import io
+
+                from PIL import Image
+            except ImportError as exc:  # pragma: no cover - env-dependent
+                raise NotImplementedError(
+                    "real frame extraction requires PIL (animated containers)"
+                    " or pyav (mp4), neither installed in this environment"
+                ) from exc
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            if not decode_stub:
-                raise NotImplementedError("plug ffmpeg/pyav frame extraction here")
             ids, idxs, frames = [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(payload)
-                step = max(len(raw) // max(n_frames, 1), 1)
-                for i in range(n_frames):
-                    start = min(i * step, max(len(raw) - frame_bytes, 0))
-                    ids.append(doc_id)
-                    idxs.append(i)
-                    frames.append(raw[start : start + frame_bytes].ljust(frame_bytes, b"\0"))
+                if decode_stub:
+                    step = max(len(raw) // max(n_frames, 1), 1)
+                    for i in range(n_frames):
+                        start = min(i * step, max(len(raw) - frame_bytes, 0))
+                        ids.append(doc_id)
+                        idxs.append(i)
+                        frames.append(
+                            raw[start : start + frame_bytes].ljust(frame_bytes, b"\0")
+                        )
+                else:
+                    img = Image.open(io.BytesIO(raw))
+                    n_total = int(getattr(img, "n_frames", 1))
+                    step = max(n_total // max(n_frames, 1), 1)
+                    for i in range(n_frames):
+                        img.seek(min(i * step, n_total - 1))
+                        fb = img.convert("L").tobytes()
+                        ids.append(doc_id)
+                        idxs.append(i)
+                        frames.append(fb[:frame_bytes].ljust(frame_bytes, b"\0"))
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.mapInPandas(kernel, schema=_FRAME_SCHEMA)

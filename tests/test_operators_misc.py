@@ -154,8 +154,21 @@ def test_multimodal_plumbing(spark):
     assert f0.n_bytes == 11 and len(f0.feature) == 8
     assert abs(sum(f0.feature) - 1.0) < 1e-6  # normalized histogram
 
-    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
-        extract_features(with_bin, decode_stub=False).collect()
+    try:
+        import PIL  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if have_pil:
+        # real-path value tests live in test_multimodal_codec.py; here the
+        # payload is not an image, so the real decoder must reject it
+        with pytest.raises(Exception, match="UnidentifiedImageError|cannot identify"):
+            extract_features(with_bin, decode_stub=False).collect()
+    else:
+        # absence canary: the guard must name the missing library
+        with pytest.raises(Exception, match="NotImplementedError|requires PIL"):
+            extract_features(with_bin, decode_stub=False).collect()
 
 
 def test_approx_stats_error_bounds(spark, sf_dir):
@@ -371,3 +384,71 @@ def test_mixture_allocation_sums_to_budget(spark, sf_dir):
     total = int(df.n_tokens.sum())
     for _, r in df.iterrows():
         assert int(r.alloc_tokens) >= (100_000 * int(r.n_tokens)) // total
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_fixture_schema_matches_golden(sf):
+    """r5 verdict task 8: the committed golden schema
+    (tests/golden/testdata_schema.json) is the drift tripwire — a fixture
+    regeneration that changes any column's parquet type outside the accepted
+    variants (the three known ts encodings) fails HERE, not as a cryptic
+    query failure mid-gate."""
+    from dask_lightgbm_spark.sources.schema_canary import diff_against_golden
+
+    sf_dir = f"/root/testdata/{sf}"
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"{sf_dir} absent")
+    assert diff_against_golden(sf_dir) == []
+
+
+def test_schema_canary_detects_drift(tmp_path):
+    """The canary itself must have teeth: a synthetic fixture with a renamed
+    column, a novel ts encoding, and an extra column yields one finding
+    each."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dask_lightgbm_spark.sources import schema_canary
+    from dask_lightgbm_spark.sources.readers import TABLES
+
+    with open(schema_canary.GOLDEN_PATH) as fh:
+        golden = json.load(fh)["tables"]
+
+    # materialize a minimal fixture matching golden, then corrupt three ways
+    for t in TABLES:
+        fields = []
+        for col, accepted in golden[t].items():
+            typ = accepted[0]
+            if typ == "timestamp[us]":
+                patype = pa.timestamp("us")
+            elif typ.startswith("list"):
+                patype = pa.list_(pa.float32())
+            else:
+                patype = {
+                    "int32": pa.int32(), "int64": pa.int64(),
+                    "double": pa.float64(), "string": pa.string(),
+                }[typ]
+            fields.append(pa.field(col, patype))
+        if t == "events":
+            # novel ts encoding (millis — parquet has no seconds unit) + extra col
+            fields = [
+                pa.field("ts", pa.timestamp("ms")) if f.name == "ts" else f
+                for f in fields
+            ] + [pa.field("surprise", pa.int8())]
+        if t == "region":
+            fields = [
+                pa.field("r_regionkey_RENAMED", pa.int32())
+                if f.name == "r_regionkey" else f
+                for f in fields
+            ]
+        pq.write_table(pa.table({f.name: pa.array([], f.type) for f in fields}),
+                       tmp_path / f"{t}.parquet")
+
+    findings = schema_canary.diff_against_golden(str(tmp_path))
+    text = "\n".join(findings)
+    assert "events.ts: type 'timestamp[ms]'" in text
+    assert "events.surprise: unexpected extra column" in text
+    assert "region.r_regionkey: column missing" in text
+    assert "region.r_regionkey_RENAMED: unexpected extra column" in text

@@ -84,7 +84,20 @@ def main():
             s = pq.read_schema(f"{sf_dir}/{t}.parquet")
             cols = ", ".join(f"{f.name}:{f.type}" for f in s)
             print(f"# fixture {t}: {cols}")
-    except Exception as exc:  # noqa: BLE001 — canary only, never gate
+        # hard diff against the committed golden schema: unanticipated drift
+        # (a fourth ts encoding, renamed/extra column) fails HERE, loudly,
+        # before any query runs — not as a cryptic mid-gate query error.
+        from dask_lightgbm_spark.sources.schema_canary import diff_against_golden
+
+        drift = diff_against_golden(sf_dir)
+        for d in drift:
+            print(f"# FIXTURE DRIFT: {d}")
+        if drift:
+            print(f"FAIL fixture_schema: {len(drift)} drift finding(s) vs golden")
+            sys.exit(3)
+    except SystemExit:
+        raise
+    except Exception as exc:  # noqa: BLE001 — canary plumbing itself never gates
         print(f"# fixture canary failed: {exc}")
     con = duckdb.connect()
     for t in TABLES:
