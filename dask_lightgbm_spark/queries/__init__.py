@@ -147,8 +147,13 @@ def query(name: str, oracle: str | None = None):
 # round's rotation cannot be forgotten without a test failure.
 _GATE_FIRST: list[str] = [
     # never hash-verified: q35 was rows-only (no_oracle) through r5 and
-    # gained a wide-margin-boolean oracle in r6 — it re-gates first
+    # gained a wide-margin-boolean oracle in r6 — it re-gates first,
+    # followed by the queries newly added in r6
     "q35_approx_stats",
+    "t30_sequence_packing",
+    "t31_cluster_representatives",
+    "q64_tpch_q9_profit",
+    "s17_knn_pq",
     # r1-era (verified only in round 1)
     "q27_grouping_sets",
     "q28_session_window",

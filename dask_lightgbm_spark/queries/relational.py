@@ -2155,3 +2155,60 @@ def q63_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.isNull().alias("is_current"),
         "o_totalprice",
     )
+
+
+# ---------------------------------------------------------------------------
+# q64 — TPC-H Q9 shape (product-type profit by nation and year): lineitem
+# joins FOUR dimensions. The scale story: part/supplier/nation are all
+# broadcast (the fact table is never shuffled for them); the only shuffle
+# is the lineitem⋈orders equi-join on orderkey. The fixture has no
+# partsupp, so supply cost is modeled as 10% of p_retailprice — profit =
+# extprice·(1-disc) - 0.1·retailprice·qty, all in exact 1e-4-dollar int64
+# units per the fixed-point contract.
+# ---------------------------------------------------------------------------
+
+_Q64_SQL = """
+SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                  * (100 - CAST(round(l_discount*100) AS BIGINT))
+                - CAST(round(l_quantity) AS BIGINT)
+                  * CAST(round(p_retailprice*100) AS BIGINT) * 10
+               ) AS DOUBLE)/10000.0 AS profit,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, o_year
+ORDER BY n_name, o_year
+"""
+
+
+@query("q64_tpch_q9_profit", _Q64_SQL)
+def q64_tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    amount = _cents(F.col("l_extendedprice")) * (
+        F.lit(100) - _pct(F.col("l_discount"))
+    ) - F.round(F.col("l_quantity")).cast("long") * _cents(
+        F.col("p_retailprice")
+    ) * F.lit(10)
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "n_name", F.year("o_orderdate").cast("int").alias("o_year")
+        )
+        .agg(
+            (F.sum(amount).cast("double") / F.lit(10000.0)).alias("profit"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("n_name", "o_year")
+    )

@@ -878,3 +878,128 @@ def s16_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "a", "b", sim.cosine(F.col("va"), F.col("vb")).alias("sim"))
     )
     return sim.mmr_rerank(cands, pair_sims, k=3, lam=0.7)
+
+
+# ---------------------------------------------------------------------------
+# s17 — product-quantization ANN (ADC): the fourth ANN family (IVF s02,
+# sign-LSH s05, int8 scalar quantization s14, PQ here). Codebooks are
+# per-subspace deterministic k-means (operators/pq.py reusing
+# operators/kmeans.py); corpus vectors compress to M=4 one-byte codes
+# (64x memory reduction); queries score with asymmetric distance — exact
+# query sub-vector vs code centroid — as a pure zero-shuffle projection
+# with literal codebooks. Oracle chains 4 independent k-means CTE ladders
+# (one per subspace) and recomputes the same fixed-order ADC sum.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4          # subspaces
+_PQ_SUB = _KM_DIM // _PQ_M
+_PQ_K = 8          # codes per subspace (seeds: vec_id < 8)
+_PQ_ITERS = 2
+
+
+def _pq_subspace_ctes(m: int) -> str:
+    """k-means ladder for subspace m over e's v[lo:hi] slice: s{m}e →
+    s{m}c0 … s{m}c{ITERS} → s{m}af (final corpus code assignment)."""
+    p = f"s{m}"
+    lo, hi = 1 + m * _PQ_SUB, (m + 1) * _PQ_SUB
+    parts = [
+        f"""{p}e AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM e),
+{p}c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS cv
+  FROM {p}e WHERE vec_id < {_PQ_K}
+)"""
+    ]
+    for i in range(1, _PQ_ITERS + 1):
+        parts.append(f""",
+{p}a{i} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_sql_sqdist('e.v', 'c.cv')} ASC, c.cid ASC) AS rn
+    FROM {p}e e, {p}c{i - 1} c
+  ) WHERE rn = 1
+),
+{p}c{i} AS (
+  SELECT cid, array_agg(m ORDER BY pos) AS cv FROM (
+    SELECT cid, pos,
+           CAST(SUM(CAST(round(val * 1000000) AS BIGINT)) AS DOUBLE)/1000000.0/COUNT(*) AS m
+    FROM (SELECT cid, g - 1 AS pos, v[g] AS val
+          FROM {p}a{i}, (SELECT unnest(generate_series(1, {_PQ_SUB})) AS g))
+    GROUP BY cid, pos
+  ) GROUP BY cid
+)""")
+    parts.append(f""",
+{p}af AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_sql_sqdist('e.v', 'c.cv')} ASC, c.cid ASC) AS rn
+    FROM {p}e e, {p}c{_PQ_ITERS} c
+  ) WHERE rn = 1
+)""")
+    return "".join(parts)
+
+
+_pq_adc_sum = " + ".join(
+    "(" + _sql_sqdist(f"q.qv[{1 + m * _PQ_SUB}:{(m + 1) * _PQ_SUB}]", f"b{m}.cv") + ")"
+    for m in range(_PQ_M)
+)
+_pq_code_joins = "\n  ".join(
+    f"JOIN s{m}c{_PQ_ITERS} b{m} ON b{m}.cid = c.code_{m}" for m in range(_PQ_M)
+)
+_pq_codes_select = ", ".join(f"a{m}.cid AS code_{m}" for m in range(_PQ_M))
+_pq_codes_joins = "\n  ".join(
+    f"JOIN s{m}af a{m} ON a{m}.vec_id = e.vec_id" for m in range(_PQ_M)
+)
+
+_S17_SQL = (
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n"
+    + ",\n".join(_pq_subspace_ctes(m) for m in range(_PQ_M))
+    + f""",
+codes AS (
+  SELECT e.vec_id, {_pq_codes_select}
+  FROM e
+  {_pq_codes_joins}
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+adc AS (
+  SELECT q.qid, c.vec_id AS nid, {_pq_adc_sum} AS adc_dist
+  FROM q, codes c
+  {_pq_code_joins}
+  WHERE c.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, nid, adc_dist,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY adc_dist ASC, nid) AS INTEGER) AS rank
+  FROM adc
+)
+SELECT qid, nid, rank, adc_dist FROM ranked WHERE rank <= 3"""
+)
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str):
+    """Session-scoped codebook cache (the s15/_ivf_index build-once
+    topology): train the 4 subspace codebooks once per (session, sf_dir)."""
+    from dask_lightgbm_spark.operators.pq import train_codebooks
+
+    cache = getattr(spark, "_dls_pq_codebook_cache", None)
+    if cache is None:
+        cache = {}
+        spark._dls_pq_codebook_cache = cache
+    if sf_dir not in cache:
+        e = load_table(spark, sf_dir, "embeddings")
+        cache[sf_dir] = train_codebooks(
+            e, F.col("vec_id") < _PQ_K, _KM_DIM, _PQ_M, n_iters=_PQ_ITERS
+        )
+    return cache[sf_dir]
+
+
+@query("s17_knn_pq", _S17_SQL)
+def s17_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC top-3 for 10 queries; codebooks cached per session."""
+    from dask_lightgbm_spark.operators.pq import pq_knn
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return pq_knn(
+        e, F.col("vec_id") < 10, k=3, codebooks=_pq_codebooks(spark, sf_dir)
+    )

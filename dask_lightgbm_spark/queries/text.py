@@ -472,7 +472,10 @@ def t13_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # closure in the oracle — both assign each doc the min reachable doc_id).
 # ---------------------------------------------------------------------------
 
-_T14_SQL = (
+# shared transitive-closure prefix ending at comp(doc_id, min_reach) —
+# t14 selects the per-doc component label; t31 picks each component's
+# representative document on top of the same closure
+_T14_CTES = (
     "WITH RECURSIVE" + _SQL_SHINGLE_ARR + "," + _SQL_MINHASH_WIDE + f""",
 bands AS ({_bands_sql}),
 cand0 AS (
@@ -498,7 +501,12 @@ reach(a, b) AS (
   UNION
   SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
 ),
-comp AS (SELECT a AS doc_id, MIN(b) AS min_reach FROM reach GROUP BY a)
+comp AS (SELECT a AS doc_id, MIN(b) AS min_reach FROM reach GROUP BY a)"""
+)
+
+_T14_SQL = (
+    _T14_CTES
+    + """
 SELECT d.doc_id,
        CAST(COALESCE(LEAST(c.doc_id, c.min_reach), d.doc_id) AS BIGINT) AS component
 FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
@@ -1287,4 +1295,127 @@ def t29_weighted_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_id"),
         )
         .orderBy("weight_ppm", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t30 — sequence packing: concatenate the corpus (doc_id order) into one
+# virtual token stream and cut it into fixed 256-token training sequences.
+# The cumulative offset is a GLOBAL prefix sum — computed by the two-level
+# scan in operators/prefix_sum.py (bucketed parallel windows + a tiny
+# bucket-offset window), NOT a single-task ORDER-BY-only window, so the
+# plan survives 100 TB. Oracle uses DuckDB's plain windowed cumsum (single
+# node — the naive spelling is fine there) over identical token counts.
+# ---------------------------------------------------------------------------
+
+_T30_SEQ_LEN = 256
+
+_T30_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(trim(text), '[ \t\n\f\r]+'),
+                         x -> x <> '')) AS n_tok
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         SUM(n_tok) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS end_tok
+  FROM toks
+)
+SELECT doc_id, n_tok,
+       CAST(end_tok - n_tok AS BIGINT) AS start_tok,
+       CAST(end_tok AS BIGINT) AS end_tok,
+       CAST((end_tok - n_tok) // {_T30_SEQ_LEN} AS BIGINT) AS first_chunk,
+       CAST(CASE WHEN n_tok > 0 THEN (end_tok - 1) // {_T30_SEQ_LEN}
+                 ELSE (end_tok - n_tok) // {_T30_SEQ_LEN} END AS BIGINT)
+         AS last_chunk,
+       CAST(CASE WHEN n_tok > 0
+                 THEN (end_tok - 1) // {_T30_SEQ_LEN}
+                      - (end_tok - n_tok) // {_T30_SEQ_LEN} + 1
+                 ELSE 0 END AS BIGINT) AS n_chunks
+FROM cum
+ORDER BY doc_id
+"""
+
+
+@query("t30_sequence_packing", _T30_SQL)
+def t30_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc packed-stream offsets and chunk spans at SEQ_LEN=256 via the
+    distributed two-level prefix sum (operators/prefix_sum.py)."""
+    from dask_lightgbm_spark.operators.prefix_sum import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"[ \t\n\f\r]+"), lambda x: x != "")
+    counted = d.select("doc_id", F.size(toks).cast("long").alias("n_tok"))
+    return pack_sequences(counted, "doc_id", "n_tok", _T30_SEQ_LEN).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# t31 — near-dup cluster representative selection: the step AFTER t14's
+# connected components in a real dedup pipeline — per cluster keep exactly
+# one document (longest text wins, doc_id breaks ties) and report what was
+# kept vs dropped. Oracle reuses t14's transitive-closure CTEs verbatim.
+# ---------------------------------------------------------------------------
+
+_T31_SQL = (
+    _T14_CTES
+    + """,
+labeled AS (
+  SELECT d.doc_id, d.n_chars,
+         CAST(COALESCE(LEAST(c.doc_id, c.min_reach), d.doc_id) AS BIGINT)
+           AS component
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+),
+ranked AS (
+  SELECT component, doc_id, n_chars,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY component) AS n_docs,
+         SUM(n_chars) OVER (PARTITION BY component) AS total_chars
+  FROM labeled
+)
+SELECT component, doc_id AS rep_doc_id,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(total_chars AS BIGINT) AS total_chars,
+       CAST(n_chars AS BIGINT) AS kept_chars
+FROM ranked WHERE rk = 1
+ORDER BY component
+"""
+)
+
+
+@query("t31_cluster_representatives", _T31_SQL)
+def t31_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One representative per near-dup cluster (max n_chars, tie min doc_id),
+    with per-cluster kept/total accounting. Reuses the t14 component labels;
+    the rep pick is a per-component window — shuffle key is the component id,
+    bounded by cluster sizes, never all-pairs."""
+    from pyspark.sql import Window as W
+
+    from dask_lightgbm_spark.operators.components import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_neardup(
+        d, "doc_id", "text", K_SHINGLE, NUM_PERM, BAND_SIZE, threshold=0.7
+    ).select("id_a", "id_b")
+    labeled = connected_components(pairs, d.select("doc_id")).join(
+        d.select("doc_id", "n_chars"), "doc_id"
+    )
+    w = W.partitionBy("component").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    wc = W.partitionBy("component")
+    return (
+        labeled.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_docs", F.count(F.lit(1)).over(wc))
+        .withColumn("total_chars", F.sum("n_chars").over(wc))
+        .filter(F.col("rk") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("total_chars").cast("long").alias("total_chars"),
+            F.col("n_chars").cast("long").alias("kept_chars"),
+        )
+        .orderBy("component")
     )

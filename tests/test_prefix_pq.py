@@ -1,0 +1,144 @@
+"""Unit tests for the r6 operators: distributed prefix sum / sequence
+packing (operators/prefix_sum.py) and product quantization ANN
+(operators/pq.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_global_cumsum_matches_naive(spark):
+    """Bucketed two-level scan == pandas cumsum, on sparse non-dense keys
+    and with a bucket count that forces multiple buckets."""
+    from dask_lightgbm_spark.operators.prefix_sum import global_cumsum
+
+    rng = np.random.default_rng(5)
+    keys = np.sort(rng.choice(100_000, size=500, replace=False))
+    vals = rng.integers(-50, 100, size=500)  # negatives: offset math must not
+    # rely on max(local cumsum) == bucket total
+    pdf = pd.DataFrame({"k": keys, "x": vals})
+    got = (
+        global_cumsum(spark.createDataFrame(pdf), "k", "x", out_col="cs", n_buckets=7)
+        .orderBy("k")
+        .toPandas()
+    )
+    expect = pdf.sort_values("k").x.cumsum().to_numpy()
+    assert (got.cs.to_numpy() == expect).all()
+    assert list(got.columns) == ["k", "x", "cs"]
+
+
+def test_global_cumsum_single_row_and_reserved(spark):
+    from dask_lightgbm_spark.operators.prefix_sum import global_cumsum
+
+    one = spark.createDataFrame(pd.DataFrame({"k": [42], "x": [7]}))
+    assert global_cumsum(one, "k", "x").first()["cumsum"] == 7
+    bad = spark.createDataFrame(pd.DataFrame({"k": [1], "x": [1], "__b": [0]}))
+    with pytest.raises(ValueError, match="__b"):
+        global_cumsum(bad, "k", "x")
+
+
+def test_pack_sequences_chunk_math(spark):
+    """Hand-computed packing: docs of 100/200/60 tokens at seq_len=128 —
+    doc0 [0,100) chunk 0; doc1 [100,300) chunks 0-2; doc2 [300,360) chunk 2;
+    an empty doc occupies zero chunks at its boundary offset."""
+    from dask_lightgbm_spark.operators.prefix_sum import pack_sequences
+
+    pdf = pd.DataFrame({"doc_id": [0, 1, 2, 3], "n": [100, 200, 60, 0]})
+    got = (
+        pack_sequences(spark.createDataFrame(pdf), "doc_id", "n", seq_len=128)
+        .orderBy("doc_id")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert got.loc[0].tolist() == [100, 0, 100, 0, 0, 1]
+    assert got.loc[1].tolist() == [200, 100, 300, 0, 2, 3]
+    assert got.loc[2].tolist() == [60, 300, 360, 2, 2, 1]
+    assert got.loc[3].tolist() == [0, 360, 360, 2, 2, 0]
+
+
+def _toy_vectors(n=60, dim=8, seed=3):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "vec_id": range(n),
+            "embedding": [row.astype(np.float32).tolist() for row in rng.normal(size=(n, dim))],
+        }
+    )
+
+
+def test_pq_codebooks_and_encoding(spark):
+    """Codebooks: contiguous codes, correct shapes; encoding picks the true
+    nearest sub-centroid (verified against a numpy recomputation)."""
+    from dask_lightgbm_spark.operators.pq import encode_pq, train_codebooks
+
+    pdf = _toy_vectors()
+    df = spark.createDataFrame(pdf)
+    books = train_codebooks(df, F.col("vec_id") < 4, dim=8, n_subspaces=2, n_iters=1)
+    assert len(books) == 2
+    for book in books:
+        assert [cid for cid, _ in book] == list(range(len(book)))
+        assert all(len(cv) == 4 for _, cv in book)
+
+    enc = encode_pq(df, books).orderBy("vec_id").toPandas()
+    X = np.array([np.asarray(v, dtype=np.float32).astype(np.float64) for v in pdf.embedding])
+    for m, book in enumerate(books):
+        C = np.array([cv for _, cv in book])
+        sub = X[:, m * 4 : (m + 1) * 4]
+        d = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assert (enc[f"code_{m}"].to_numpy() == d.argmin(axis=1)).all()
+
+
+def test_pq_knn_is_adc_topk(spark):
+    """pq_knn's ranking == numpy ADC recomputation from the same codebooks
+    (rank ties broken by nid, self excluded)."""
+    from dask_lightgbm_spark.operators.pq import pq_knn, train_codebooks
+
+    pdf = _toy_vectors()
+    df = spark.createDataFrame(pdf)
+    books = train_codebooks(df, F.col("vec_id") < 4, dim=8, n_subspaces=2, n_iters=1)
+    got = pq_knn(df, F.col("vec_id") < 3, k=4, codebooks=books).toPandas()
+
+    X = np.array([np.asarray(v, dtype=np.float32).astype(np.float64) for v in pdf.embedding])
+    codes = np.zeros((len(X), 2), dtype=int)
+    for m, book in enumerate(books):
+        C = np.array([cv for _, cv in book])
+        sub = X[:, m * 4 : (m + 1) * 4]
+        codes[:, m] = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    for qid in range(3):
+        dists = np.zeros(len(X))
+        for m, book in enumerate(books):
+            C = np.array([cv for _, cv in book])
+            qsub = X[qid, m * 4 : (m + 1) * 4]
+            dists += ((qsub[None, :] - C[codes[:, m]]) ** 2).sum(axis=1)
+        order = sorted((d, n) for n, d in enumerate(dists) if n != qid)[:4]
+        mine = got[got.qid == qid].sort_values("rank")
+        assert mine.nid.tolist() == [n for _, n in order]
+        assert np.allclose(mine.adc_dist.to_numpy(), [d for d, _ in order], atol=1e-9)
+
+
+def test_pq_memory_footprint_columns(spark):
+    """The encoded representation carries only int codes (plus the carried
+    vector column for reuse) — the compression contract."""
+    from dask_lightgbm_spark.operators.pq import encode_pq, train_codebooks
+
+    df = spark.createDataFrame(_toy_vectors())
+    books = train_codebooks(df, F.col("vec_id") < 4, dim=8, n_subspaces=4, n_iters=1)
+    enc = encode_pq(df, books)
+    assert [c for c in enc.columns if c.startswith("code_")] == [
+        "code_0", "code_1", "code_2", "code_3",
+    ]
+    dt = dict(enc.dtypes)
+    assert all(dt[f"code_{m}"] == "int" for m in range(4))
+
+
+def test_global_cumsum_known_bounds_skips_prescan(spark):
+    """key_bounds skips the min/max pass; values identical, and the plan
+    loses the aggregate over the input (loose covering bounds allowed)."""
+    from dask_lightgbm_spark.operators.prefix_sum import global_cumsum
+
+    pdf = pd.DataFrame({"k": range(100), "x": [1] * 100})
+    df = spark.createDataFrame(pdf)
+    a = global_cumsum(df, "k", "x").orderBy("k").toPandas()
+    b = global_cumsum(df, "k", "x", key_bounds=(0, 1000)).orderBy("k").toPandas()
+    assert (a["cumsum"] == b["cumsum"]).all()
