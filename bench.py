@@ -115,6 +115,10 @@ SF1_SPOT = [
     "s01_knn_bruteforce",
     "s02_knn_ivf",
     "s11_knn_ivf_learned_nprobe",
+    # r6: PQ-ADC — codebook training dominates at build, ADC scan at serve;
+    # its oracle (4 small k-means ladders + a 10xN ADC join) is affordable
+    # at sf1, unlike the s02/s11 inline-IVF oracles
+    "s17_knn_pq",
 ]
 # DuckDB denominators at sf1 are only timed where the oracle is affordable:
 # the s02/s11 oracle SQL rebuilds the whole IVF assignment inline with

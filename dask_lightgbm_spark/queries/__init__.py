@@ -154,6 +154,10 @@ _GATE_FIRST: list[str] = [
     "t31_cluster_representatives",
     "q64_tpch_q9_profit",
     "s17_knn_pq",
+    "s18_knn_ivf_pq",
+    "s19_ann_recall",
+    "q65_partitioned_sink_roundtrip",
+    "q66_tpch_q13_custdist",
     # r1-era (verified only in round 1)
     "q27_grouping_sets",
     "q28_session_window",

@@ -2212,3 +2212,97 @@ def q64_tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name", "o_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# q65 — partitioned parquet sink + partition-pruned read-back: the batch
+# data-engineering counterpart to x09's streaming sink. Events are written
+# to scratch partitioned by event_type (Hive layout), read back with a
+# partition-column predicate, and aggregated. The read-back plan must show
+# partition pruning — only the selected event_type directories are
+# scanned — which tests/test_plans.py pins via PartitionFilters. At 100 TB,
+# writing partitioned by a low-cardinality routing column + pruning on read
+# is the difference between scanning 100 TB and scanning one partition's
+# share; dynamic partition overwrite keeps re-runs idempotent.
+# ---------------------------------------------------------------------------
+
+_Q65_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+WHERE event_type IN ('click', 'purchase')
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("q65_partitioned_sink_roundtrip", _Q65_SQL)
+def q65_partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_lightgbm_spark.session import scratch_dir
+    from dask_lightgbm_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    out = scratch_dir("q65_part_sink") + "/" + sf_dir.strip("/").replace("/", "_")
+    # dynamic overwrite: only the partitions present in the batch are
+    # replaced — the idempotent production layout for routed writes
+    (
+        e.select("event_id", "event_type", "value")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q66 — TPC-H Q13 shape (customer distribution): LEFT OUTER join customers
+# to orders, count per customer INCLUDING zeros, then histogram the counts
+# — the canonical two-level aggregation. Scale: the outer join shuffles on
+# custkey once; the second aggregation's key space is order-counts (tiny).
+# Customers with no orders survive via the left join (COUNT of a
+# right-side column counts only matches).
+# ---------------------------------------------------------------------------
+
+_Q66_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@query("q66_tpch_q13_custdist", _Q66_SQL)
+def q66_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )

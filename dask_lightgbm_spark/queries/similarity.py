@@ -1003,3 +1003,174 @@ def s17_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_knn(
         e, F.col("vec_id") < 10, k=3, codebooks=_pq_codebooks(spark, sf_dir)
     )
+
+
+# ---------------------------------------------------------------------------
+# s18 — IVF-PQ (the FAISS production composition): coarse quantizer = the
+# mod-25 IVF cells (session-cached index, as s02), fine quantizer = the s17
+# PQ codebooks (session-cached). Candidates come from an EQUI-JOIN on the
+# query's cell (no nested-loop scan of the full corpus, unlike pure-PQ
+# s17), then score by ADC on the codes only. At 100 TB this is the
+# workhorse ANN topology: one corpus shuffle on cell id at index-build
+# time, byte-code residency, per-query work bounded by cell size.
+# ---------------------------------------------------------------------------
+
+_S18_SQL = (
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+cell_scored AS (
+  SELECT e.vec_id, e.v, cent.cid, {_sql_cos('e.v', 'cent.cv')} AS cs
+  FROM e, cent
+),
+assigned AS (
+  SELECT vec_id, v, cid AS cell FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+    FROM cell_scored
+  ) WHERE rn = 1
+),
+"""
+    + ",\n".join(_pq_subspace_ctes(m) for m in range(_PQ_M))
+    + f""",
+codes AS (
+  SELECT e.vec_id, {_pq_codes_select}
+  FROM e
+  {_pq_codes_joins}
+),
+qc AS (SELECT vec_id AS qid, v AS qv, cell FROM assigned WHERE vec_id < 10),
+cc AS (
+  SELECT a.vec_id, a.cell, {", ".join(f"c.code_{m}" for m in range(_PQ_M))}
+  FROM assigned a JOIN codes c ON c.vec_id = a.vec_id
+),
+adc AS (
+  SELECT q.qid, c.vec_id AS nid, {_pq_adc_sum} AS adc_dist
+  FROM qc q JOIN cc c ON q.cell = c.cell AND c.vec_id <> q.qid
+  {_pq_code_joins}
+),
+ranked AS (
+  SELECT qid, nid, adc_dist,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY adc_dist ASC, nid) AS INTEGER) AS rank
+  FROM adc
+)
+SELECT qid, nid, rank, adc_dist FROM ranked WHERE rank <= 3"""
+)
+
+
+@query("s18_knn_ivf_pq", _S18_SQL)
+def s18_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-3: cell-restricted candidates (equi-join on the cached
+    index's cell id) scored by ADC over cached PQ codes."""
+    from dask_lightgbm_spark.operators.kmeans import sq_dist
+    from dask_lightgbm_spark.operators.pq import _lit_arr, encode_pq
+
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    idx = _ivf_index(spark, sf_dir)  # (vec_id, v, cell, nn)
+    books = _pq_codebooks(spark, sf_dir)
+    codes = encode_pq(e, books).select(
+        "vec_id", *[f"code_{m}" for m in range(_PQ_M)]
+    )
+    corpus = idx.select("vec_id", "cell").join(codes, "vec_id")
+    q = idx.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "cell"
+    )
+    cand = corpus.withColumnRenamed("vec_id", "nid").join(
+        F.broadcast(q), "cell"
+    ).filter(F.col("nid") != F.col("qid"))
+    dist = None
+    for m, book in enumerate(books):
+        table = F.array(*[_lit_arr(cv) for _, cv in book])
+        d_m = sq_dist(
+            F.slice("qv", 1 + m * _PQ_SUB, _PQ_SUB),
+            F.element_at(table, F.col(f"code_{m}") + 1),
+        )
+        dist = d_m if dist is None else dist + d_m
+    w = W.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc("nid"))
+    return (
+        cand.withColumn("adc_dist", dist)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "nid", "rank", "adc_dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# s19 — ANN recall evaluation: recall@3 of the IVF index (s02's exact
+# semantics) against brute-force ground truth, per query — the evaluation
+# harness every production ANN deployment runs before trusting an index.
+# Both rankings are recomputed by both engines; recall is a single
+# division of small ints.
+# ---------------------------------------------------------------------------
+
+_S19_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+brute AS (
+  SELECT qid, nid FROM (
+    SELECT q.qid, e.vec_id AS nid,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY {_sql_cos('q.qv', 'e.v')} DESC, e.vec_id) AS rank
+    FROM q, e WHERE e.vec_id <> q.qid
+  ) WHERE rank <= 3
+),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+cell_scored AS (
+  SELECT e.vec_id, e.v, cent.cid, {_sql_cos('e.v', 'cent.cv')} AS cs
+  FROM e, cent
+),
+assigned AS (
+  SELECT vec_id, v, cid AS cell FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+    FROM cell_scored
+  ) WHERE rn = 1
+),
+qc AS (SELECT vec_id AS qid, qv, cell FROM assigned a JOIN (SELECT qid, qv FROM q) qq ON a.vec_id = qq.qid),
+ivf AS (
+  SELECT qid, nid FROM (
+    SELECT q.qid, n.vec_id AS nid,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY {_sql_cos('q.qv', 'n.v')} DESC, n.vec_id) AS rank
+    FROM qc q JOIN assigned n ON q.cell = n.cell AND n.vec_id <> q.qid
+  ) WHERE rank <= 3
+)
+SELECT b.qid,
+       CAST(3 AS BIGINT) AS k,
+       CAST(COUNT(i.nid) AS BIGINT) AS n_hits,
+       COUNT(i.nid) / 3.0 AS recall
+FROM brute b LEFT JOIN ivf i ON b.qid = i.qid AND b.nid = i.nid
+GROUP BY b.qid
+ORDER BY b.qid
+"""
+
+
+@query("s19_ann_recall", _S19_SQL)
+def s19_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    brute = sim.brute_force_knn(e, e.filter(F.col("vec_id") < 10), k=3).select(
+        "qid", "nid"
+    )
+    ivf = sim.ivf_knn(
+        e,
+        queries_filter=F.col("vec_id") < 10,
+        centroid_filter=F.col("vec_id") % 25 == 0,
+        k=3,
+        assigned=_ivf_index(spark, sf_dir),
+    ).select("qid", F.col("nid").alias("i_nid"))
+    return (
+        brute.alias("b")
+        .join(
+            ivf.alias("i"),
+            (F.col("b.qid") == F.col("i.qid")) & (F.col("b.nid") == F.col("i_nid")),
+            "left",
+        )
+        .groupBy(F.col("b.qid").alias("qid"))
+        .agg(
+            F.lit(3).cast("long").alias("k"),
+            F.count("i_nid").alias("n_hits"),
+            (F.count("i_nid") / F.lit(3.0)).alias("recall"),
+        )
+        .orderBy("qid")
+    )

@@ -88,3 +88,19 @@ def test_range_join_is_hash_join_not_nested_loop(spark, sf_dir):
     plan = formatted_plan(df)
     assert "NestedLoop" not in plan, plan
     assert "Join" in plan
+
+
+def test_partitioned_sink_readback_prunes_partitions(spark, sf_dir):
+    """q65: the read-back scan over the event_type-partitioned layout must
+    carry the predicate as a PartitionFilter (directory pruning), not a
+    data filter — the 100 TB contract of routed writes."""
+    from dask_lightgbm_spark.plans.explain import formatted_plan
+
+    df = all_queries()["q65_partitioned_sink_roundtrip"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan
+    pf_lines = [
+        ln for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "event_type" in ln
+    ]
+    assert pf_lines, plan[:2000]
