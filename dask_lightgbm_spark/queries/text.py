@@ -1419,3 +1419,35 @@ def t31_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+# ---------------------------------------------------------------------------
+# t32 — PII/sensitive-term redaction: the TRANSFORM side of t18's scan —
+# replace matched spans in the text, count replacements, and emit a digest
+# of the redacted text (digest keeps the oracle compare exact without
+# hashing megabyte strings row-wise in the driver). Word-boundary regex
+# behaves identically in Java regex (Spark) and RE2 (DuckDB) for this
+# pattern class. Pure projection: zero shuffle at any scale.
+# ---------------------------------------------------------------------------
+
+_T32_RX = r"\b(customer|value|key)\b"
+
+_T32_SQL = rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_T32_RX}')) AS BIGINT) AS n_redactions,
+       md5(regexp_replace(text, '{_T32_RX}', '[REDACTED]', 'g')) AS redacted_hash
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("t32_pii_redaction", _T32_SQL)
+def t32_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_T32_RX), F.lit(0)))
+        .cast("long")
+        .alias("n_redactions"),
+        F.md5(F.regexp_replace("text", _T32_RX, "[REDACTED]")).alias("redacted_hash"),
+    ).orderBy("doc_id")

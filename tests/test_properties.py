@@ -247,3 +247,31 @@ def test_binned_interval_join_matches_naive(spark, frames):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got.astype("int64"), naive.astype("int64"))
+
+
+@st.composite
+def cumsum_frames(draw):
+    n = draw(st.integers(1, 60))
+    keys = draw(
+        st.lists(st.integers(-10_000, 10_000), min_size=n, max_size=n, unique=True)
+    )
+    vals = [draw(st.integers(-1000, 1000)) for _ in range(n)]
+    return pd.DataFrame({"k": keys, "x": vals})
+
+
+@settings(max_examples=6, deadline=None)
+@given(cumsum_frames(), st.integers(1, 9))
+def test_global_cumsum_matches_pandas(spark, pdf, n_buckets):
+    """Two-level distributed scan == pandas cumsum for arbitrary unique
+    (possibly negative, non-dense) keys and any bucket count."""
+    from dask_lightgbm_spark.operators.prefix_sum import global_cumsum
+
+    got = (
+        global_cumsum(
+            spark.createDataFrame(pdf), "k", "x", out_col="cs", n_buckets=n_buckets
+        )
+        .orderBy("k")
+        .toPandas()
+    )
+    expect = pdf.sort_values("k").x.cumsum().to_numpy()
+    assert (got.cs.to_numpy() == expect).all()
