@@ -67,6 +67,61 @@ def assign_to_literal_centroids(
     return vectors.withColumn("cid", F.array_min(structs)["cid"])
 
 
+def assign_vectorized(
+    vectors: DataFrame, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Bit-exact vectorized twin of :func:`assign_to_literal_centroids`
+    (same contract as similarity.assign_cells_vectorized): nearest centroid
+    by squared L2 computed in an Arrow ``mapInPandas`` kernel that
+    accumulates DIMENSION-BY-DIMENSION across the row block
+    (``acc += (V[:,i]-C[:,i])**2``) — per element exactly the
+    subtract-multiply-add sequence of the ``F.aggregate(zip_with(...))``
+    fold and of DuckDB's ``list_reduce``, so distances and therefore the
+    argmin choice match the interpreted path bit-for-bit (ties → lowest
+    cid: centroid rows sorted by cid, ``np.argmin`` takes the first
+    minimum). Spark does not codegen HOF lambdas, so the fold path runs
+    interpreted — ~100x slower on corpus-scale inputs; this kernel is what
+    ``kmeans_centroids`` uses for its per-iteration assignments.
+    vectors: (.., v array<double>) → same (id, v) + cid."""
+    book = sorted((int(c), [float(x) for x in cv]) for c, cv in cents)
+    cent_ids = [c for c, _ in book]
+    cent_mat = [cv for _, cv in book]
+    other = [c for c in vectors.columns if c != "v"]
+    if other != ["vec_id"] and len(other) != 1:
+        raise ValueError(f"expected one id column besides v, got {other}")
+    id_col = other[0]
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(cent_mat, dtype=np.float64)  # k x d, rows sorted by cid
+        cid = np.asarray(cent_ids, dtype=np.int64)
+        d = C.shape[1]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v"].values).astype(np.float64)
+            if V.shape[1] != d:
+                raise ValueError(f"dim mismatch: vectors {V.shape[1]} vs centroids {d}")
+            acc = np.zeros((V.shape[0], C.shape[0]))
+            for i in range(d):
+                diff = V[:, i : i + 1] - C[:, i][None, :]
+                acc += diff * diff
+            best = np.argmin(acc, axis=1)  # first min = lowest cid on exact ties
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64").values,
+                    "v": list(V),
+                    "cid": cid[best].astype("int32"),
+                }
+            )
+
+    return vectors.select(
+        F.col(id_col).cast("long").alias(id_col), "v"
+    ).mapInPandas(kernel, f"{id_col} long, v array<double>, cid int")
+
+
 def _update_centroids(assigned: DataFrame) -> DataFrame:
     """New centroid = per-dimension fixed-point mean of members.
     assigned: (.., v, cid) → (cid, cv array<double>)."""
@@ -111,7 +166,9 @@ def kmeans_centroids(
         raise ValueError("init_filter matched no rows — k-means needs k >= 1 seeds")
     centroids = None
     for i in range(n_iters):
-        assigned = assign_to_literal_centroids(e, cents)
+        # vectorized assignment — bit-identical to the interpreted fold
+        # (pytest-proven in test_prefix_pq.py); the update stage is JVM-side
+        assigned = assign_vectorized(e.select(id_col, "v"), cents)
         centroids = _update_centroids(assigned)
         if i < n_iters - 1:  # k×dim doubles — a few KB to the driver
             cents = [(r.cid, list(r.cv)) for r in centroids.collect()]

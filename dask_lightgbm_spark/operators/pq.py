@@ -59,15 +59,15 @@ def train_codebooks(
     return books
 
 
-def encode_pq(
+def encode_pq_interpreted(
     df: DataFrame,
     codebooks: list[list[tuple[int, list[float]]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Corpus → (id, v, code_0..code_{M-1}): per subspace, the nearest
-    codebook centroid by squared L2 (tie → lowest code). Literal centroids,
-    zero shuffle — a pure projection."""
+    """Reference encoder (interpreted HOF folds) — the semantic definition
+    the vectorized kernel is pytest-proven bit-identical to; kept for the
+    parity test and for readers tracing the oracle SQL."""
     sub = len(codebooks[0][0][1])
     out = df.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
     for m, book in enumerate(codebooks):
@@ -85,6 +85,58 @@ def encode_pq(
     return out
 
 
+def encode_pq(
+    df: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus → (id, v, code_0..code_{M-1}): per subspace, the nearest
+    codebook centroid by squared L2 (tie → lowest code). Arrow mapInPandas
+    kernel with DIMENSION-ORDERED accumulation — per element exactly the
+    subtract-multiply-add sequence of the interpreted fold (see
+    kmeans.assign_vectorized for the bit-exactness argument; parity is
+    pytest-proven against :func:`encode_pq_interpreted`). All M subspaces
+    encode in one corpus pass; zero shuffle."""
+    sub = len(codebooks[0][0][1])
+    books = [
+        sorted((int(c), [float(x) for x in cv]) for c, cv in book)
+        for book in codebooks
+    ]
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        mats = [np.asarray([cv for _, cv in b], dtype=np.float64) for b in books]
+        ids = [np.asarray([c for c, _ in b], dtype=np.int64) for b in books]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].values).astype(np.float64)
+            cols = {
+                id_col: pdf[id_col].astype("int64").values,
+                "v": list(V),
+            }
+            for m, (C, cid) in enumerate(zip(mats, ids)):
+                sv = V[:, m * sub : (m + 1) * sub]
+                acc = np.zeros((V.shape[0], C.shape[0]))
+                for i in range(sub):
+                    diff = sv[:, i : i + 1] - C[:, i][None, :]
+                    acc += diff * diff
+                cols[f"code_{m}"] = cid[np.argmin(acc, axis=1)].astype("int32")
+            yield pd.DataFrame(cols)
+
+    src = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        to_double_array(F.col(vec_col)).alias(vec_col),
+    )
+    schema = f"{id_col} long, v array<double>, " + ", ".join(
+        f"code_{m} int" for m in range(len(books))
+    )
+    return src.mapInPandas(kernel, schema)
+
+
 def pq_knn(
     df: DataFrame,
     queries_filter: Column,
@@ -93,6 +145,7 @@ def pq_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     encoded: DataFrame | None = None,
+    vectorized: bool = True,
 ) -> DataFrame:
     """ADC top-k: approximate distance from each query (exact sub-vectors)
     to each corpus vector (codes only) = fixed-order sum over subspaces of
@@ -100,34 +153,90 @@ def pq_knn(
     element_at into a literal array-of-arrays, so scoring is again a pure
     projection; the sole shuffle is the per-query top-k window.
 
-    Output: (qid, nid, rank, adc_dist)."""
+    Output: (qid, nid, rank, adc_dist).
+
+    ``vectorized`` (default) scores in an Arrow kernel: the queries are
+    collected driver-side (a serve batch is small by design — same
+    boundedness argument as broadcasting them), per-query LUTs
+    (Q × K sqdist entries per subspace) are built INSIDE the kernel with
+    dimension-ordered accumulation, and each corpus row's distance is
+    ((lut0 + lut1) + lut2) + lut3 — the identical IEEE op sequence as the
+    interpreted element_at/fold expression path (kept below for the pytest
+    parity proof). The top-k window is unchanged either way."""
     sub = len(codebooks[0][0][1])
     enc = encoded if encoded is not None else encode_pq(df, codebooks, id_col, vec_col)
-    queries = (
-        df.filter(queries_filter)
-        .select(
-            F.col(id_col).alias("qid"),
-            to_double_array(F.col(vec_col)).alias("qv"),
-        )
-    )
-    scored = enc.select(
-        F.col(id_col).alias("nid"), *[F.col(f"code_{m}") for m in range(len(codebooks))]
-    ).join(F.broadcast(queries), F.col("nid") != F.col("qid"))
-    # literal codebook per subspace: element_at(codes_m, code+1) -> centroid
-    dist = None
-    for m, book in enumerate(codebooks):
-        table = F.array(*[_lit_arr(cv) for _, cv in book])
-        d_m = sq_dist(
-            F.slice("qv", 1 + m * sub, sub),
-            F.element_at(table, F.col(f"code_{m}") + 1),
-        )
-        dist = d_m if dist is None else dist + d_m
+    n_sub = len(codebooks)
     from pyspark.sql import Window as W
 
     w = W.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc("nid"))
+    if vectorized:
+        books = [
+            sorted((int(c), [float(x) for x in cv]) for c, cv in book)
+            for book in codebooks
+        ]
+        q_rows = sorted(
+            (int(r[0]), [float(x) for x in r[1]])
+            for r in df.filter(queries_filter).select(id_col, vec_col).collect()
+        )
+        if not q_rows:
+            raise ValueError("pq_knn: queries_filter matched no rows")
+
+        def kernel(batches):
+            import numpy as np
+            import pandas as pd
+
+            qids = np.asarray([q for q, _ in q_rows], dtype=np.int64)
+            Q = np.asarray([qv for _, qv in q_rows], dtype=np.float64)
+            luts = []
+            for m, book in enumerate(books):
+                C = np.asarray([cv for _, cv in book], dtype=np.float64)
+                qsub = Q[:, m * sub : (m + 1) * sub]
+                acc = np.zeros((Q.shape[0], C.shape[0]))
+                for i in range(sub):
+                    diff = qsub[:, i : i + 1] - C[:, i][None, :]
+                    acc += diff * diff
+                luts.append(acc)  # Q x K
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                nid = pdf["nid"].astype("int64").values
+                dist = None
+                for m in range(len(books)):
+                    d_m = luts[m][:, pdf[f"code_{m}"].values]  # Q x n
+                    dist = d_m if dist is None else dist + d_m
+                n = len(nid)
+                out = pd.DataFrame(
+                    {
+                        "qid": np.repeat(qids, n),
+                        "nid": np.tile(nid, len(qids)),
+                        "adc_dist": dist.ravel(),
+                    }
+                )
+                yield out[out.qid != out.nid]
+
+        scored = enc.select(
+            F.col(id_col).alias("nid"), *[f"code_{m}" for m in range(n_sub)]
+        ).mapInPandas(kernel, "qid long, nid long, adc_dist double")
+    else:
+        queries = df.filter(queries_filter).select(
+            F.col(id_col).alias("qid"),
+            to_double_array(F.col(vec_col)).alias("qv"),
+        )
+        pairs = enc.select(
+            F.col(id_col).alias("nid"), *[F.col(f"code_{m}") for m in range(n_sub)]
+        ).join(F.broadcast(queries), F.col("nid") != F.col("qid"))
+        # literal codebook per subspace: element_at(codes_m, code+1) -> centroid
+        dist = None
+        for m, book in enumerate(codebooks):
+            table = F.array(*[_lit_arr(cv) for _, cv in book])
+            d_m = sq_dist(
+                F.slice("qv", 1 + m * sub, sub),
+                F.element_at(table, F.col(f"code_{m}") + 1),
+            )
+            dist = d_m if dist is None else dist + d_m
+        scored = pairs.withColumn("adc_dist", dist)
     return (
-        scored.withColumn("adc_dist", dist)
-        .withColumn("rank", F.row_number().over(w).cast("int"))
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "rank", "adc_dist")
     )

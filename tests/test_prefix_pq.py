@@ -142,3 +142,68 @@ def test_global_cumsum_known_bounds_skips_prescan(spark):
     a = global_cumsum(df, "k", "x").orderBy("k").toPandas()
     b = global_cumsum(df, "k", "x", key_bounds=(0, 1000)).orderBy("k").toPandas()
     assert (a["cumsum"] == b["cumsum"]).all()
+
+
+def test_assign_vectorized_bit_identical_to_fold(spark):
+    """kmeans.assign_vectorized (Arrow kernel, dim-ordered accumulation)
+    must reproduce the interpreted HOF fold's cid choice exactly —
+    including on duplicate vectors where distances tie bit-for-bit."""
+    from dask_lightgbm_spark.operators.kmeans import (
+        assign_to_literal_centroids,
+        assign_vectorized,
+    )
+    from dask_lightgbm_spark.operators.similarity import to_double_array
+
+    pdf = _toy_vectors(n=120, dim=8, seed=11)
+    # duplicates force exact distance ties -> lowest-cid tie-break on both
+    pdf.loc[60:, "embedding"] = pdf.loc[:59, "embedding"].values
+    df = spark.createDataFrame(pdf).select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    )
+    cents = [
+        (i, [float(x) for x in row])
+        for i, row in enumerate(
+            np.random.default_rng(2).normal(size=(5, 8))
+        )
+    ]
+    a = assign_to_literal_centroids(df, cents).select("vec_id", "cid").toPandas()
+    b = assign_vectorized(df, cents).select("vec_id", "cid").toPandas()
+    merged = a.merge(b, on="vec_id", suffixes=("_fold", "_vec"))
+    assert (merged.cid_fold == merged.cid_vec).all()
+
+
+def test_encode_pq_vectorized_matches_interpreted(spark):
+    from dask_lightgbm_spark.operators.pq import (
+        encode_pq,
+        encode_pq_interpreted,
+        train_codebooks,
+    )
+
+    pdf = _toy_vectors(n=80, dim=8, seed=17)
+    df = spark.createDataFrame(pdf)
+    books = train_codebooks(df, F.col("vec_id") < 4, dim=8, n_subspaces=2, n_iters=2)
+    a = encode_pq_interpreted(df, books).select("vec_id", "code_0", "code_1").toPandas()
+    b = encode_pq(df, books).select("vec_id", "code_0", "code_1").toPandas()
+    m = a.merge(b, on="vec_id", suffixes=("_i", "_v"))
+    assert (m.code_0_i == m.code_0_v).all() and (m.code_1_i == m.code_1_v).all()
+
+
+def test_pq_knn_vectorized_matches_expression_path(spark):
+    from dask_lightgbm_spark.operators.pq import pq_knn, train_codebooks
+
+    pdf = _toy_vectors(n=80, dim=8, seed=23)
+    df = spark.createDataFrame(pdf)
+    books = train_codebooks(df, F.col("vec_id") < 4, dim=8, n_subspaces=2, n_iters=1)
+    a = (
+        pq_knn(df, F.col("vec_id") < 5, k=4, codebooks=books, vectorized=False)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    b = (
+        pq_knn(df, F.col("vec_id") < 5, k=4, codebooks=books, vectorized=True)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
