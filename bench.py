@@ -119,13 +119,17 @@ SF1_SPOT = [
     # its oracle (4 small k-means ladders + a 10xN ADC join) is affordable
     # at sf1, unlike the s02/s11 inline-IVF oracles
     "s17_knn_pq",
+    # IVF-PQ: Spark timing only — its oracle inlines the full IVF cell
+    # assignment (minutes at sf1), so like s02/s11 it has no denominator
+    "s18_knn_ivf_pq",
 ]
 # DuckDB denominators at sf1 are only timed where the oracle is affordable:
 # the s02/s11 oracle SQL rebuilds the whole IVF assignment inline with
 # list-lambda folds and needs >4 min each at sf1 (measured 264 s for s02) —
 # their Spark timings are still reported (ratio null, excluded from the
 # stanza total by the intersection rule).
-SF1_DUCK = [n for n in SF1_SPOT if n not in ("s02_knn_ivf", "s11_knn_ivf_learned_nprobe")]
+_SF1_NO_DENOM = ("s02_knn_ivf", "s11_knn_ivf_learned_nprobe", "s18_knn_ivf_pq")
+SF1_DUCK = [n for n in SF1_SPOT if n not in _SF1_NO_DENOM]
 SF1_TABLES = ("documents", "embeddings")  # the only tables SF1_SPOT reads
 
 

@@ -159,6 +159,7 @@ _GATE_FIRST: list[str] = [
     "q65_partitioned_sink_roundtrip",
     "q66_tpch_q13_custdist",
     "t32_pii_redaction",
+    "x11_stream_ann_serving",
     # r1-era (verified only in round 1)
     "q27_grouping_sets",
     "q28_session_window",

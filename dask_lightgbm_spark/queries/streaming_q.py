@@ -226,3 +226,19 @@ def x10_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_lightgbm_spark.streaming.events import stream_stream_left_outer_join
 
     return stream_stream_left_outer_join(spark, sf_dir)
+
+
+# x11 reuses s02's oracle: each streamed query's top-3 against the static
+# index is exactly the batch IVF result for vec_id < 10
+from dask_lightgbm_spark.queries.similarity import _S02_SQL as _X11_SQL  # noqa: E402
+
+
+@query("x11_stream_ann_serving", _X11_SQL)
+def x11_stream_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN serving: query-vector stream -> foreachBatch IVF
+    search against the static session-cached index; drained union equals
+    the batch s02 result bit-for-bit (same cell decision, same norm folds)."""
+    from dask_lightgbm_spark.queries.similarity import _ivf_index
+    from dask_lightgbm_spark.streaming.vectors import stream_ann_serving
+
+    return stream_ann_serving(spark, sf_dir, _ivf_index(spark, sf_dir), k=3)

@@ -1,0 +1,94 @@
+"""Streaming ANN serving: a stream of query vectors searched against a
+static, pre-built IVF index — the online-serving topology (queries arrive
+continuously; the index was built by a batch job and only changes on
+rebuild).
+
+Top-k-per-query is not expressible as a streaming aggregation (ranking
+windows are batch-only), so the serve step runs in ``foreachBatch``: within
+each micro-batch the arriving queries are scored against the full static
+index with ordinary batch semantics. Each query appears in exactly one
+micro-batch and its top-k depends only on the static index, so the drained
+union across batches equals the batch IVF query exactly — which is the
+oracle (the same SQL as s02, restricted to the streamed query ids).
+
+At scale: the per-batch work is the s02 serve plan (broadcast the batch's
+queries, equi-join on cell); state is zero (no streaming aggregation), so
+an unbounded query stream runs at constant memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from dask_lightgbm_spark.operators.similarity import dot
+
+
+def stream_ann_serving(
+    spark: SparkSession,
+    sf_dir: str,
+    index: DataFrame,
+    k: int = 3,
+) -> DataFrame:
+    """Drain a bounded stream of query vectors (vec_id < 10 from the
+    embeddings fixture) through foreachBatch IVF serving against ``index``
+    (the persisted (vec_id, v, cell, nn) storage assignment) and return the
+    union of per-batch top-k results.
+
+    The cosine expression reuses the index's precomputed norms on BOTH
+    sides (a query's norm is its own index row's ``nn``), so values are
+    bit-identical to the batch ivf_knn serve path."""
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("vec_id") < 10)
+        .select("vec_id")
+    )
+
+    results: list = []
+    out_schema = "qid long, nid long, rank int, cos double"
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        ids = [r[0] for r in batch_df.select("vec_id").collect()]
+        if not ids:
+            return
+        q = index.filter(F.col("vec_id").isin(ids)).select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            F.col("cell"),
+            F.col("nn").alias("qn"),
+        )
+        scored = (
+            index.select(
+                F.col("vec_id").alias("nid"),
+                F.col("v").alias("nv"),
+                F.col("cell"),
+                F.col("nn"),
+            )
+            .join(F.broadcast(q), "cell")
+            .filter(F.col("qid") != F.col("nid"))
+            .select(
+                "qid",
+                "nid",
+                F.try_divide(
+                    dot(F.col("qv"), F.col("nv")), F.col("qn") * F.col("nn")
+                ).alias("cos"),
+            )
+        )
+        w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+        topk = (
+            scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("qid", "nid", "rank", "cos")
+        )
+        # a serve batch emits k rows per arriving query — bounded by design
+        results.extend(topk.collect())
+
+    q = src.writeStream.foreachBatch(handle).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.createDataFrame(results, out_schema)
