@@ -160,6 +160,8 @@ _GATE_FIRST: list[str] = [
     "q66_tpch_q13_custdist",
     "t32_pii_redaction",
     "x11_stream_ann_serving",
+    "q67_null_semantics",
+    "t33_lsh_quality_report",
     # r1-era (verified only in round 1)
     "q27_grouping_sets",
     "q28_session_window",

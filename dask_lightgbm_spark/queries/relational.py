@@ -2306,3 +2306,62 @@ def q66_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q67 — null-semantics parity: NULLs are where engines quietly disagree
+# (grouping: NULL forms its own group; COUNT(col) skips NULLs; ASC default
+# null placement differs — Spark NULLS FIRST vs DuckDB NULLS LAST, so the
+# ordering is pinned explicitly; join equality drops NULLs unless
+# null-safe). The Spark plan exercises a genuine null-safe equi-join
+# (eqNullSafe against a 2-row dim containing a NULL key — Catalyst plans
+# this as a hash join on a null-safe key, not a filter).
+# ---------------------------------------------------------------------------
+
+_Q67_SQL = """
+WITH base AS (
+  SELECT event_id,
+         NULLIF(event_type, 'click') AS et_null,
+         CASE WHEN value < 1 THEN NULL ELSE value END AS v_null
+  FROM events
+),
+dim(et) AS (VALUES ('view'), (NULL)),
+kept AS (
+  SELECT b.* FROM base b JOIN dim d ON b.et_null IS NOT DISTINCT FROM d.et
+)
+SELECT et_null,
+       COUNT(*) AS n_rows,
+       COUNT(v_null) AS n_nonnull,
+       CAST(SUM(CASE WHEN v_null IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(SUM(CAST(round(coalesce(v_null, 0)*100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM kept
+GROUP BY et_null
+ORDER BY et_null ASC NULLS FIRST
+"""
+
+
+@query("q67_null_semantics", _Q67_SQL)
+def q67_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_id",
+        F.nullif(F.col("event_type"), F.lit("click")).alias("et_null"),
+        F.when(F.col("value") >= 1, F.col("value")).alias("v_null"),
+    )
+    dim = spark.createDataFrame([("view",), (None,)], "et string")
+    kept = base.join(
+        F.broadcast(dim), base["et_null"].eqNullSafe(dim["et"])
+    ).drop("et")
+    return (
+        kept.groupBy("et_null")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("v_null").alias("n_nonnull"),
+            F.sum(F.col("v_null").isNull().cast("long")).cast("long").alias("n_null"),
+            F.sum(F.round(F.coalesce(F.col("v_null"), F.lit(0)) * 100).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+        )
+        .orderBy(F.col("et_null").asc_nulls_first())
+    )

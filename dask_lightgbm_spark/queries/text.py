@@ -1451,3 +1451,93 @@ def t32_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_redactions"),
         F.md5(F.regexp_replace("text", _T32_RX, "[REDACTED]")).alias("redacted_hash"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# t33 — LSH dedup quality report: precision/recall of the t05 MinHash-LSH
+# pipeline against exact all-pairs ground truth at the SAME similarity
+# definition (5-gram-hash Jaccard >= 0.7), on the bounded doc_id < 100
+# subset (all-pairs is the measurement cost you pay once on a sample, not
+# a corpus plan — the t03 discipline). Band bucketing is row-local, so the
+# subset's LSH pairs equal the full corpus's pairs restricted to the
+# subset; the report is therefore an unbiased sample estimate of corpus
+# recall. The dedup analog of s19's ANN recall harness.
+# ---------------------------------------------------------------------------
+
+_T33_SQL = (
+    "WITH" + _SQL_SHINGLE_ARR + f""",
+sub AS (SELECT * FROM arr WHERE doc_id < 100),
+m AS (SELECT doc_id,
+         {_minhash_mins}
+      FROM sub),
+bands AS ({_bands_sql}),
+cand0 AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bv0 = b.bv0 AND a.bv1 = b.bv1 AND a.bv2 = b.bv2 AND a.bv3 = b.bv3 AND a.doc_id < b.doc_id
+),
+cand AS (
+  SELECT id_a, id_b FROM cand0
+  JOIN m ma ON ma.doc_id = id_a
+  JOIN m mb ON mb.doc_id = id_b
+  WHERE ({_est_matches}) >= {NUM_PERM // 2}
+),
+lsh AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN sub a ON a.doc_id = c.id_a JOIN sub b ON b.doc_id = c.id_b
+  WHERE len(list_intersect(a.hs, b.hs))
+        / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) >= 0.7
+),
+truth AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sub a JOIN sub b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.hs, b.hs))
+        / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) >= 0.7
+),
+hits AS (SELECT t.id_a, t.id_b FROM truth t JOIN lsh l
+         ON t.id_a = l.id_a AND t.id_b = l.id_b)
+SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+       (SELECT COUNT(*) FROM lsh) AS n_detected,
+       (SELECT COUNT(*) FROM hits) AS n_hits,
+       CASE WHEN (SELECT COUNT(*) FROM lsh) = 0 THEN NULL
+            ELSE (SELECT COUNT(*) FROM hits) / (SELECT COUNT(*) FROM lsh)
+       END AS precision,
+       CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN NULL
+            ELSE (SELECT COUNT(*) FROM hits) / (SELECT COUNT(*) FROM truth)
+       END AS recall
+"""
+)
+
+
+@query("t33_lsh_quality_report", _T33_SQL)
+def t33_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    arr = dedup.shingle_hash_array(d, "doc_id", "text", K_SHINGLE)
+    a = arr.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("hsa"))
+    b = arr.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("hsb"))
+    inter = F.size(F.array_intersect("hsa", "hsb"))
+    jac = inter / (F.size("hsa") + F.size("hsb") - inter)
+    truth = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(jac >= 0.7)
+        .select("id_a", "id_b")
+    )
+    lsh = dedup.minhash_lsh_neardup(
+        d, "doc_id", "text", K_SHINGLE, NUM_PERM, BAND_SIZE, threshold=0.7
+    ).select("id_a", "id_b")
+    hits = truth.join(lsh, ["id_a", "id_b"])
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nd = lsh.agg(F.count(F.lit(1)).alias("n_detected"))
+    nh = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    row = nt.crossJoin(F.broadcast(nd)).crossJoin(F.broadcast(nh))
+    return row.select(
+        "n_truth",
+        "n_detected",
+        "n_hits",
+        F.when(
+            F.col("n_detected") > 0, F.col("n_hits") / F.col("n_detected")
+        ).alias("precision"),
+        F.when(F.col("n_truth") > 0, F.col("n_hits") / F.col("n_truth")).alias(
+            "recall"
+        ),
+    )
