@@ -47,28 +47,104 @@ def brute_force_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
     Output: (qid, nid, rank, cos).
 
-    Norms are precomputed once per vector (cosine-in-the-join would refold
-    the query norm for every corpus row); dot/(na*nb) evaluates the exact
-    same IEEE ops as cosine(), so oracle bit-equality is preserved."""
-    c = corpus.select(
-        F.col(id_col).alias("nid"), to_double_array(F.col(vec_col)).alias("nv")
-    ).withColumn("nn", norm(F.col("nv")))
-    q = queries.select(
-        F.col(id_col).alias("qid"), to_double_array(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", norm(F.col("qv")))
-    scored = (
-        c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
-        .select(
-            "qid",
-            "nid",
-            F.try_divide(dot(F.col("qv"), F.col("nv")), F.col("qn") * F.col("nn")).alias("cos"),
-        )
-    )
+    ``vectorized`` (default) scores in an Arrow mapInPandas kernel: the
+    queries are collected driver-side (a query batch is bounded by design —
+    same argument as broadcasting them) and every corpus partition scores
+    locally with DIMENSION-ORDERED accumulation, the exact IEEE op sequence
+    of the interpreted fold path below (see assign_cells_vectorized) — so
+    cosines and rankings are bit-identical (pytest-proven). Spark does not
+    codegen HOF lambdas, so the fold path runs interpreted (~100x slower).
+
+    The expression path (``vectorized=False``) remains the semantic
+    reference: norms precomputed once per vector; dot/(na*nb) evaluates the
+    same IEEE ops as cosine(), preserving oracle bit-equality."""
     w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    if vectorized:
+        q_rows = sorted(
+            (int(r[0]), [float(x) for x in r[1]])
+            for r in queries.select(id_col, vec_col).collect()
+        )
+        if not q_rows:
+            raise ValueError("brute_force_knn: empty query set")
+
+        def kernel(batches):
+            import numpy as np
+            import pandas as pd
+
+            qids = np.asarray([i for i, _ in q_rows], dtype=np.int64)
+            Q = np.asarray([v for _, v in q_rows], dtype=np.float64)
+            d = Q.shape[1]
+            acc_q = np.zeros(Q.shape[0])
+            for i in range(d):
+                acc_q += Q[:, i] * Q[:, i]
+            nq = np.sqrt(acc_q)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.stack(pdf[vec_col].values).astype(np.float64)
+                if V.shape[1] != d:
+                    raise ValueError(
+                        f"dim mismatch: corpus {V.shape[1]} vs queries {d}"
+                    )
+                acc = np.zeros((V.shape[0], Q.shape[0]))
+                acc_v = np.zeros(V.shape[0])
+                for i in range(d):
+                    acc += V[:, i : i + 1] * Q[:, i][None, :]
+                    acc_v += V[:, i] * V[:, i]
+                nv = np.sqrt(acc_v)
+                if not nv.all() or not nq.all():
+                    raise ValueError("brute_force_knn: zero-norm vector")
+                cos = acc / (nq[None, :] * nv[:, None])
+                nid = pdf[id_col].astype("int64").values
+                # PARTIAL top-k per query within this Arrow batch: only
+                # k rows per (query, batch) leave the kernel, so the final
+                # global window ranks |queries| x k x n_batches rows instead
+                # of |queries| x |corpus| — the map-side-combine shape.
+                # Any global top-k row is necessarily in its batch's top-k
+                # (same (cos DESC, nid ASC) order), so results are identical.
+                out_q, out_n, out_c = [], [], []
+                for j, q_id in enumerate(qids):
+                    col = cos[:, j]
+                    mask = nid != q_id
+                    cand_n, cand_c = nid[mask], col[mask]
+                    order = np.lexsort((cand_n, -cand_c))[:k]
+                    out_q.append(np.full(len(order), q_id, dtype=np.int64))
+                    out_n.append(cand_n[order])
+                    out_c.append(cand_c[order])
+                yield pd.DataFrame(
+                    {
+                        "qid": np.concatenate(out_q),
+                        "nid": np.concatenate(out_n),
+                        "cos": np.concatenate(out_c),
+                    }
+                )
+
+        scored = corpus.select(
+            F.col(id_col).cast("long").alias(id_col),
+            to_double_array(F.col(vec_col)).alias(vec_col),
+        ).mapInPandas(kernel, "qid long, nid long, cos double")
+    else:
+        c = corpus.select(
+            F.col(id_col).alias("nid"), to_double_array(F.col(vec_col)).alias("nv")
+        ).withColumn("nn", norm(F.col("nv")))
+        q = queries.select(
+            F.col(id_col).alias("qid"), to_double_array(F.col(vec_col)).alias("qv")
+        ).withColumn("qn", norm(F.col("qv")))
+        scored = (
+            c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
+            .select(
+                "qid",
+                "nid",
+                F.try_divide(
+                    dot(F.col("qv"), F.col("nv")), F.col("qn") * F.col("nn")
+                ).alias("cos"),
+            )
+        )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)

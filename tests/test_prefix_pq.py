@@ -207,3 +207,27 @@ def test_pq_knn_vectorized_matches_expression_path(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_brute_force_knn_vectorized_matches_expression_path(spark):
+    """similarity.brute_force_knn's Arrow kernel == the interpreted fold
+    expression path, bit-for-bit (cosines compared exactly, not approx)."""
+    from dask_lightgbm_spark.operators.similarity import brute_force_knn
+
+    pdf = _toy_vectors(n=90, dim=16, seed=29)
+    df = spark.createDataFrame(pdf)
+    q = df.filter(F.col("vec_id") < 6)
+    a = (
+        brute_force_knn(df, q, k=5, vectorized=False)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    b = (
+        brute_force_knn(df, q, k=5, vectorized=True)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert (a.cos.to_numpy() == b.cos.to_numpy()).all()  # exact, not allclose
