@@ -204,15 +204,25 @@ def pq_knn(
                 for m in range(len(books)):
                     d_m = luts[m][:, pdf[f"code_{m}"].values]  # Q x n
                     dist = d_m if dist is None else dist + d_m
-                n = len(nid)
-                out = pd.DataFrame(
+                # partial top-k per query within this batch (see
+                # brute_force_knn): only k rows per (query, batch) leave
+                # the kernel; global top-k over the union is identical
+                # because every global winner is its batch's winner too.
+                out_q, out_n, out_d = [], [], []
+                for j, q_id in enumerate(qids):
+                    mask = nid != q_id
+                    cand_n, cand_d = nid[mask], dist[j][mask]
+                    order = np.lexsort((cand_n, cand_d))[:k]
+                    out_q.append(np.full(len(order), q_id, dtype=np.int64))
+                    out_n.append(cand_n[order])
+                    out_d.append(cand_d[order])
+                yield pd.DataFrame(
                     {
-                        "qid": np.repeat(qids, n),
-                        "nid": np.tile(nid, len(qids)),
-                        "adc_dist": dist.ravel(),
+                        "qid": np.concatenate(out_q),
+                        "nid": np.concatenate(out_n),
+                        "adc_dist": np.concatenate(out_d),
                     }
                 )
-                yield out[out.qid != out.nid]
 
         scored = enc.select(
             F.col(id_col).alias("nid"), *[f"code_{m}" for m in range(n_sub)]
