@@ -143,8 +143,18 @@ def ensure_sf1(src_dir: str) -> str:
     invented data distribution."""
     out = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/dls_bench_sf1")
     marker = os.path.join(out, "_DONE")
+    # cache key = source fixture fingerprint: a driver-regenerated sf0.1
+    # (the r4 incident) must invalidate the derived sf1, not silently bench
+    # stale data (r6 review finding)
+    fp = ",".join(
+        f"{t}:{os.path.getmtime(p)}:{os.path.getsize(p)}"
+        for t in SF1_TABLES
+        for p in [os.path.join(src_dir, f"{t}.parquet")]
+    )
     if os.path.exists(marker):
-        return out
+        with open(marker) as fh:
+            if fh.read() == fp:
+                return out
     import duckdb
 
     os.makedirs(out, exist_ok=True)
@@ -174,7 +184,7 @@ def ensure_sf1(src_dir: str) -> str:
         ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
     con.close()
     with open(marker, "w") as f:
-        f.write("ok")
+        f.write(fp)
     return out
 
 
@@ -268,7 +278,9 @@ def main():
     # shrinks both sides of the ratio identically instead of biasing it
     # (r5 advisor); "value" stays the full surviving-Spark total.
     def live_totals(sp: dict[str, float], du: dict[str, float | None]):
-        common = [n for n in sp if du.get(n)]
+        # membership + is-not-None, NOT truthiness: a sub-ms oracle that
+        # rounds to 0.0 is a success, not an exclusion (r6 review finding)
+        common = [n for n in sp if n in du and du[n] is not None]
         t = round(sum(sp[n] for n in common), 3)
         d = round(sum(du[n] for n in common), 3)
         return common, t, d, (round(t / d, 2) if d else None)

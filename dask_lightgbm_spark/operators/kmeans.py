@@ -87,13 +87,15 @@ def assign_vectorized(
     cent_ids = [c for c, _ in book]
     cent_mat = [cv for _, cv in book]
     other = [c for c in vectors.columns if c != "v"]
-    if other != ["vec_id"] and len(other) != 1:
+    if len(other) != 1:
         raise ValueError(f"expected one id column besides v, got {other}")
     id_col = other[0]
 
     def kernel(batches):
         import numpy as np
         import pandas as pd
+
+        from dask_lightgbm_spark.functions.blockfold import fold_sq_dists
 
         C = np.asarray(cent_mat, dtype=np.float64)  # k x d, rows sorted by cid
         cid = np.asarray(cent_ids, dtype=np.int64)
@@ -104,10 +106,7 @@ def assign_vectorized(
             V = np.stack(pdf["v"].values).astype(np.float64)
             if V.shape[1] != d:
                 raise ValueError(f"dim mismatch: vectors {V.shape[1]} vs centroids {d}")
-            acc = np.zeros((V.shape[0], C.shape[0]))
-            for i in range(d):
-                diff = V[:, i : i + 1] - C[:, i][None, :]
-                acc += diff * diff
+            acc = fold_sq_dists(V, C)
             best = np.argmin(acc, axis=1)  # first min = lowest cid on exact ties
             yield pd.DataFrame(
                 {

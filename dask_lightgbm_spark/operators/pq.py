@@ -108,6 +108,8 @@ def encode_pq(
         import numpy as np
         import pandas as pd
 
+        from dask_lightgbm_spark.functions.blockfold import fold_sq_dists
+
         mats = [np.asarray([cv for _, cv in b], dtype=np.float64) for b in books]
         ids = [np.asarray([c for c, _ in b], dtype=np.int64) for b in books]
         for pdf in batches:
@@ -119,11 +121,7 @@ def encode_pq(
                 "v": list(V),
             }
             for m, (C, cid) in enumerate(zip(mats, ids)):
-                sv = V[:, m * sub : (m + 1) * sub]
-                acc = np.zeros((V.shape[0], C.shape[0]))
-                for i in range(sub):
-                    diff = sv[:, i : i + 1] - C[:, i][None, :]
-                    acc += diff * diff
+                acc = fold_sq_dists(V[:, m * sub : (m + 1) * sub], C)
                 cols[f"code_{m}"] = cid[np.argmin(acc, axis=1)].astype("int32")
             yield pd.DataFrame(cols)
 
@@ -179,23 +177,24 @@ def pq_knn(
             for r in df.filter(queries_filter).select(id_col, vec_col).collect()
         )
         if not q_rows:
-            raise ValueError("pq_knn: queries_filter matched no rows")
+            # contract parity with the expression path: empty query set ->
+            # empty result, not an error
+            return df.sparkSession.createDataFrame(
+                [], "qid long, nid long, rank int, adc_dist double"
+            )
 
         def kernel(batches):
             import numpy as np
             import pandas as pd
+
+            from dask_lightgbm_spark.functions.blockfold import fold_sq_dists
 
             qids = np.asarray([q for q, _ in q_rows], dtype=np.int64)
             Q = np.asarray([qv for _, qv in q_rows], dtype=np.float64)
             luts = []
             for m, book in enumerate(books):
                 C = np.asarray([cv for _, cv in book], dtype=np.float64)
-                qsub = Q[:, m * sub : (m + 1) * sub]
-                acc = np.zeros((Q.shape[0], C.shape[0]))
-                for i in range(sub):
-                    diff = qsub[:, i : i + 1] - C[:, i][None, :]
-                    acc += diff * diff
-                luts.append(acc)  # Q x K
+                luts.append(fold_sq_dists(Q[:, m * sub : (m + 1) * sub], C))  # Q x K
             for pdf in batches:
                 if len(pdf) == 0:
                     continue

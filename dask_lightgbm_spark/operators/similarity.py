@@ -70,19 +70,26 @@ def brute_force_knn(
             for r in queries.select(id_col, vec_col).collect()
         )
         if not q_rows:
-            raise ValueError("brute_force_knn: empty query set")
+            # contract parity with the expression path: an empty query set
+            # yields an empty result, not an error (a zero-norm VECTOR does
+            # raise — loud beats the fold path's silent NULL cosine)
+            return corpus.sparkSession.createDataFrame(
+                [], "qid long, nid long, rank int, cos double"
+            )
 
         def kernel(batches):
             import numpy as np
             import pandas as pd
 
+            from dask_lightgbm_spark.functions.blockfold import (
+                fold_dots,
+                fold_sq_norms,
+            )
+
             qids = np.asarray([i for i, _ in q_rows], dtype=np.int64)
             Q = np.asarray([v for _, v in q_rows], dtype=np.float64)
             d = Q.shape[1]
-            acc_q = np.zeros(Q.shape[0])
-            for i in range(d):
-                acc_q += Q[:, i] * Q[:, i]
-            nq = np.sqrt(acc_q)
+            nq = np.sqrt(fold_sq_norms(Q))
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -91,12 +98,8 @@ def brute_force_knn(
                     raise ValueError(
                         f"dim mismatch: corpus {V.shape[1]} vs queries {d}"
                     )
-                acc = np.zeros((V.shape[0], Q.shape[0]))
-                acc_v = np.zeros(V.shape[0])
-                for i in range(d):
-                    acc += V[:, i : i + 1] * Q[:, i][None, :]
-                    acc_v += V[:, i] * V[:, i]
-                nv = np.sqrt(acc_v)
+                acc = fold_dots(V, Q)
+                nv = np.sqrt(fold_sq_norms(V))
                 if not nv.all() or not nq.all():
                     raise ValueError("brute_force_knn: zero-norm vector")
                 cos = acc / (nq[None, :] * nv[:, None])
@@ -241,25 +244,23 @@ def assign_cells_vectorized(
         import numpy as np
         import pandas as pd
 
+        from dask_lightgbm_spark.functions.blockfold import (
+            fold_dots,
+            fold_sq_norms,
+        )
+
         C = np.asarray(cent_mat, dtype=np.float64)  # k x d, rows sorted by cid
         cid = np.asarray(cent_ids, dtype=np.int64)
         d = C.shape[1]
-        acc_c = np.zeros(C.shape[0])
-        for i in range(d):
-            acc_c += C[:, i] * C[:, i]
-        nc = np.sqrt(acc_c)
+        nc = np.sqrt(fold_sq_norms(C))
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             V = np.stack(pdf[vec_col].values).astype(np.float64)  # n x d (f32->f64 exact)
             if V.shape[1] != d:
                 raise ValueError(f"dim mismatch: corpus {V.shape[1]} vs centroids {d}")
-            acc = np.zeros((V.shape[0], C.shape[0]))
-            acc_v = np.zeros(V.shape[0])
-            for i in range(d):
-                acc += V[:, i : i + 1] * C[:, i][None, :]
-                acc_v += V[:, i] * V[:, i]
-            nv = np.sqrt(acc_v)
+            acc = fold_dots(V, C)
+            nv = np.sqrt(fold_sq_norms(V))
             if not nv.all() or not nc.all():
                 raise ValueError("assign_cells_vectorized: zero-norm vector")
             cs = acc / (nv[:, None] * nc[None, :])

@@ -764,9 +764,13 @@ def s15_ivf_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     centroids = e.filter(F.col("vec_id") % 25 == 0)
     built = sim.assign_cells_vectorized(e, centroids)  # (vec_id, v, cell, nn)
-    # process-wide scratch root (cleaned at exit): repeated invocations
-    # overwrite one path instead of leaking a mkdtemp per run
-    idx_dir = scratch_dir("ivf_idx") + "/assignment"
+    # process-wide scratch root (cleaned at exit), keyed by sf_dir: repeated
+    # invocations at the SAME sf overwrite one path (no mkdtemp leak), while
+    # a later invocation at a DIFFERENT sf cannot clobber files a still-lazy
+    # earlier result reads (r6 review finding)
+    idx_dir = (
+        scratch_dir("ivf_idx") + "/" + sf_dir.strip("/").replace("/", "_") + "/assignment"
+    )
     built.select("vec_id", "cell").write.mode("overwrite").parquet(idx_dir)
 
     # serve path: load index, join vectors back from the base table
@@ -994,14 +998,36 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str):
     return cache[sf_dir]
 
 
+def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped encoded-corpus cache (codes persisted alongside the
+    codebooks): PQ serving is build-once/serve-many like the IVF index —
+    re-encoding the corpus per query invocation would make every 'serve'
+    measurement pay the build cost (r6 review finding)."""
+    from dask_lightgbm_spark.operators.pq import encode_pq
+
+    cache = getattr(spark, "_dls_pq_codes_cache", None)
+    if cache is None:
+        cache = {}
+        spark._dls_pq_codes_cache = cache
+    if sf_dir not in cache:
+        e = load_table(spark, sf_dir, "embeddings")
+        cache[sf_dir] = encode_pq(e, _pq_codebooks(spark, sf_dir)).persist()
+    return cache[sf_dir]
+
+
 @query("s17_knn_pq", _S17_SQL)
 def s17_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ-ADC top-3 for 10 queries; codebooks cached per session."""
+    """PQ-ADC top-3 for 10 queries; codebooks AND encoded corpus cached
+    per (session, sf_dir) — the serve path touches only the code table."""
     from dask_lightgbm_spark.operators.pq import pq_knn
 
     e = load_table(spark, sf_dir, "embeddings")
     return pq_knn(
-        e, F.col("vec_id") < 10, k=3, codebooks=_pq_codebooks(spark, sf_dir)
+        e,
+        F.col("vec_id") < 10,
+        k=3,
+        codebooks=_pq_codebooks(spark, sf_dir),
+        encoded=_pq_codes(spark, sf_dir),
     )
 
 
@@ -1062,14 +1088,13 @@ def s18_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ top-3: cell-restricted candidates (equi-join on the cached
     index's cell id) scored by ADC over cached PQ codes."""
     from dask_lightgbm_spark.operators.kmeans import sq_dist
-    from dask_lightgbm_spark.operators.pq import _lit_arr, encode_pq
+    from dask_lightgbm_spark.operators.pq import _lit_arr
 
     from pyspark.sql import Window as W
 
-    e = load_table(spark, sf_dir, "embeddings")
     idx = _ivf_index(spark, sf_dir)  # (vec_id, v, cell, nn)
     books = _pq_codebooks(spark, sf_dir)
-    codes = encode_pq(e, books).select(
+    codes = _pq_codes(spark, sf_dir).select(
         "vec_id", *[f"code_{m}" for m in range(_PQ_M)]
     )
     corpus = idx.select("vec_id", "cell").join(codes, "vec_id")

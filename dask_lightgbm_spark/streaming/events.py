@@ -312,9 +312,9 @@ def stream_foreachbatch_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFr
             / F.lit(100.0)
         ).alias("sum_value"),
     )
-    # process-wide scratch root (cleaned at exit): repeated invocations
-    # overwrite one path instead of leaking a mkdtemp per run
-    out_dir = scratch_dir("stream_sink")
+    # process-wide scratch root (cleaned at exit), keyed by sf_dir so a
+    # later run at another sf cannot clobber a still-lazy earlier result
+    out_dir = scratch_dir("stream_sink") + "/" + sf_dir.strip("/").replace("/", "_")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(out_dir + "/agg")

@@ -231,3 +231,19 @@ def test_brute_force_knn_vectorized_matches_expression_path(spark):
     )
     pd.testing.assert_frame_equal(a, b)
     assert (a.cos.to_numpy() == b.cos.to_numpy()).all()  # exact, not allclose
+
+
+def test_knn_empty_query_set_returns_empty(spark):
+    """Contract parity with the expression paths: an empty query set yields
+    an empty frame with the output schema, not an error."""
+    from dask_lightgbm_spark.operators.pq import pq_knn, train_codebooks
+    from dask_lightgbm_spark.operators.similarity import brute_force_knn
+
+    df = spark.createDataFrame(_toy_vectors(n=30))
+    out = brute_force_knn(df, df.filter(F.col("vec_id") < 0), k=3)
+    assert out.count() == 0
+    assert out.columns == ["qid", "nid", "rank", "cos"]
+    books = train_codebooks(df, F.col("vec_id") < 4, dim=8, n_subspaces=2, n_iters=1)
+    out2 = pq_knn(df, F.col("vec_id") < 0, k=3, codebooks=books)
+    assert out2.count() == 0
+    assert out2.columns == ["qid", "nid", "rank", "adc_dist"]

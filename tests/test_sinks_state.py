@@ -298,3 +298,21 @@ def test_streaming_checkpoint_resume_exactly_once(spark, tmp_path):
     assert len(final) == 100  # no re-processing of a/b (exactly once)
     assert final["event_id"].tolist() == list(range(100))
     assert (final["v"] == final["event_id"] * 2).all()
+
+
+def test_s15_lazy_result_survives_other_sf_invocation(spark):
+    """r6 review finding: the persisted-index scratch path is keyed by
+    sf_dir, so building the index for ANOTHER sf must not clobber the files
+    a still-lazy earlier result reads. The earlier result must materialize
+    identically before and after the second build."""
+    from dask_lightgbm_spark.queries import all_queries
+
+    q = all_queries()["s15_ivf_persisted_index"]
+    first = q(spark, "/root/testdata/sf0.001")
+    expect = first.toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    # second invocation at a different sf overwrites ITS OWN path only
+    q(spark, "/root/testdata/sf0.01").toPandas()
+    again = first.toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(expect, again)

@@ -84,21 +84,22 @@ def main():
             s = pq.read_schema(f"{sf_dir}/{t}.parquet")
             cols = ", ".join(f"{f.name}:{f.type}" for f in s)
             print(f"# fixture {t}: {cols}")
-        # hard diff against the committed golden schema: unanticipated drift
-        # (a fourth ts encoding, renamed/extra column) fails HERE, loudly,
-        # before any query runs — not as a cryptic mid-gate query error.
-        from dask_lightgbm_spark.sources.schema_canary import diff_against_golden
+    except Exception as exc:  # noqa: BLE001 — the pretty-print never gates
+        print(f"# fixture schema print failed: {exc}")
+    # hard diff against the committed golden schema: unanticipated drift (a
+    # fourth ts encoding, renamed/extra column) fails HERE, loudly, before
+    # any query runs — not as a cryptic mid-gate query error. Deliberately
+    # OUTSIDE any try/except: a broken gate (missing golden file, unreadable
+    # parquet) must also fail loudly, not silently disable itself
+    # (r6 review finding).
+    from dask_lightgbm_spark.sources.schema_canary import diff_against_golden
 
-        drift = diff_against_golden(sf_dir)
-        for d in drift:
-            print(f"# FIXTURE DRIFT: {d}")
-        if drift:
-            print(f"FAIL fixture_schema: {len(drift)} drift finding(s) vs golden")
-            sys.exit(3)
-    except SystemExit:
-        raise
-    except Exception as exc:  # noqa: BLE001 — canary plumbing itself never gates
-        print(f"# fixture canary failed: {exc}")
+    drift = diff_against_golden(sf_dir)
+    for d in drift:
+        print(f"# FIXTURE DRIFT: {d}")
+    if drift:
+        print(f"FAIL fixture_schema: {len(drift)} drift finding(s) vs golden")
+        sys.exit(3)
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
