@@ -275,3 +275,33 @@ def test_global_cumsum_matches_pandas(spark, pdf, n_buckets):
     )
     expect = pdf.sort_values("k").x.cumsum().to_numpy()
     assert (got.cs.to_numpy() == expect).all()
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.integers(0, 500), min_size=1, max_size=40),
+    st.integers(16, 300),
+)
+def test_pack_sequences_invariants(spark, counts, seq_len):
+    """Packing invariants for arbitrary token counts: offsets are contiguous
+    (each doc starts where the previous ended), end offsets are monotone,
+    and chunk spans cover exactly ceil(total/seq_len) chunks."""
+    from dask_lightgbm_spark.operators.prefix_sum import pack_sequences
+
+    pdf = pd.DataFrame({"doc_id": range(len(counts)), "n": counts})
+    got = (
+        pack_sequences(spark.createDataFrame(pdf), "doc_id", "n", seq_len)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert got.start_tok.iloc[0] == 0
+    assert (got.start_tok.iloc[1:].to_numpy() == got.end_tok.iloc[:-1].to_numpy()).all()
+    assert (got.end_tok.to_numpy() == pdf.n.cumsum().to_numpy()).all()
+    total = int(pdf.n.sum())
+    if total > 0:
+        n_chunks_used = int(got[got.n_tok > 0].last_chunk.max()) + 1
+        assert n_chunks_used == -(-total // seq_len)  # ceil
+    for _, r in got[got.n_tok > 0].iterrows():
+        assert r.first_chunk == r.start_tok // seq_len
+        assert r.last_chunk == (r.end_tok - 1) // seq_len
+        assert r.n_chunks == r.last_chunk - r.first_chunk + 1
