@@ -162,6 +162,8 @@ _GATE_FIRST: list[str] = [
     "x11_stream_ann_serving",
     "q67_null_semantics",
     "t33_lsh_quality_report",
+    "q68_tpch_q22_global_opportunity",
+    "s20_knn_ivf_pq_multiprobe",
     # r1-era (verified only in round 1)
     "q27_grouping_sets",
     "q28_session_window",

@@ -2365,3 +2365,69 @@ def q67_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("et_null").asc_nulls_first())
     )
+
+
+# ---------------------------------------------------------------------------
+# q68 — TPC-H Q22 shape (global-opportunity): customers above the global
+# positive-balance average with no URGENT orders, grouped by a country code. Three
+# classic patterns in one plan: an uncorrelated scalar aggregate broadcast
+# into a filter, a LEFT ANTI join (NOT EXISTS decorrelation, with a pushed
+# predicate on the subquery side so the result is non-trivial at every SF),
+# and derived-key grouping. Scale: the scalar is one row; the anti join is the only
+# shuffle (both sides keyed on custkey); the fixed-point average divides
+# exact ints so both engines compare against the identical double.
+# ---------------------------------------------------------------------------
+
+_Q68_SQL = """
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0/COUNT(*) AS a
+  FROM customer WHERE c_acctbal > 0
+),
+elig AS (
+  SELECT c_custkey, CAST(c_nationkey % 5 AS INT) AS cntry, c_acctbal
+  FROM customer, avg_bal WHERE c_acctbal > a
+),
+no_orders AS (
+  SELECT e.* FROM elig e
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = e.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+)
+SELECT cntry, COUNT(*) AS numcust,
+       CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS totacctbal_cents
+FROM no_orders GROUP BY cntry ORDER BY cntry
+"""
+
+
+@query("q68_tpch_q22_global_opportunity", _Q68_SQL)
+def q68_tpch_q22_global_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(_cents(F.col("c_acctbal"))).cast("double")
+            / F.lit(100.0)
+            / F.count(F.lit(1))
+        ).alias("a")
+    )
+    elig = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .select(
+            "c_custkey",
+            (F.col("c_nationkey") % 5).cast("int").alias("cntry"),
+            "c_acctbal",
+        )
+    )
+    no_orders = elig.join(
+        o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey"),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_anti",
+    )
+    return (
+        no_orders.groupBy("cntry")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_cents(F.col("c_acctbal"))).cast("long").alias("totacctbal_cents"),
+        )
+        .orderBy("cntry")
+    )

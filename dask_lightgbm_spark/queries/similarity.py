@@ -1199,3 +1199,102 @@ def s19_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# s20 — IVF-PQ with multi-probe (nprobe=2): the full production ANN dial
+# set in one query — coarse cells for candidate restriction, 2-cell probing
+# for recall, byte codes + ADC for residency and scoring. Candidates still
+# arrive via equi-join on cell (2x fan-out, never a corpus scan); a query's
+# two probe cells are disjoint, so no dedup step is needed before top-k.
+# ---------------------------------------------------------------------------
+
+_S20_SQL = (
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+cell_scored AS (
+  SELECT e.vec_id, e.v, cent.cid, {_sql_cos('e.v', 'cent.cv')} AS cs
+  FROM e, cent
+),
+assigned AS (
+  SELECT vec_id, v, cid AS cell FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+    FROM cell_scored
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS qid, v AS qv, cid AS cell FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+    FROM cell_scored WHERE vec_id < 10
+  ) WHERE rn <= 2
+),
+"""
+    + ",\n".join(_pq_subspace_ctes(m) for m in range(_PQ_M))
+    + f""",
+codes AS (
+  SELECT e.vec_id, {_pq_codes_select}
+  FROM e
+  {_pq_codes_joins}
+),
+cc AS (
+  SELECT a.vec_id, a.cell, {", ".join(f"c.code_{m}" for m in range(_PQ_M))}
+  FROM assigned a JOIN codes c ON c.vec_id = a.vec_id
+),
+adc AS (
+  SELECT q.qid, c.vec_id AS nid, {_pq_adc_sum} AS adc_dist
+  FROM qprobe q JOIN cc c ON q.cell = c.cell AND c.vec_id <> q.qid
+  {_pq_code_joins}
+),
+ranked AS (
+  SELECT qid, nid, adc_dist,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY adc_dist ASC, nid) AS INTEGER) AS rank
+  FROM adc
+)
+SELECT qid, nid, rank, adc_dist FROM ranked WHERE rank <= 3"""
+)
+
+
+@query("s20_knn_ivf_pq_multiprobe", _S20_SQL)
+def s20_knn_ivf_pq_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-3 with 2-cell probing; index, codebooks, and code table
+    all served from the session caches."""
+    from pyspark.sql import Window as W
+
+    from dask_lightgbm_spark.operators.kmeans import sq_dist
+    from dask_lightgbm_spark.operators.pq import _lit_arr
+
+    e = load_table(spark, sf_dir, "embeddings")
+    idx = _ivf_index(spark, sf_dir)
+    books = _pq_codebooks(spark, sf_dir)
+    codes = _pq_codes(spark, sf_dir).select(
+        "vec_id", *[f"code_{m}" for m in range(_PQ_M)]
+    )
+    corpus = idx.select("vec_id", "cell").join(codes, "vec_id")
+    # query-side probe assignment: 2 nearest cells from the same centroid
+    # scheme (computed on the 10-query subset only)
+    q = sim.assign_cells(
+        e.filter(F.col("vec_id") < 10),
+        e.filter(F.col("vec_id") % 25 == 0),
+        nprobe=2,
+    ).select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "cell")
+    cand = corpus.withColumnRenamed("vec_id", "nid").join(
+        F.broadcast(q), "cell"
+    ).filter(F.col("nid") != F.col("qid"))
+    dist = None
+    for m, book in enumerate(books):
+        table = F.array(*[_lit_arr(cv) for _, cv in book])
+        d_m = sq_dist(
+            F.slice("qv", 1 + m * _PQ_SUB, _PQ_SUB),
+            F.element_at(table, F.col(f"code_{m}") + 1),
+        )
+        dist = d_m if dist is None else dist + d_m
+    w = W.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc("nid"))
+    return (
+        cand.withColumn("adc_dist", dist)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "nid", "rank", "adc_dist")
+    )
