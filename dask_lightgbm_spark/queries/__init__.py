@@ -140,68 +140,15 @@ def query(name: str, oracle: str | None = None):
 # under a hard STALENESS CONTRACT: every query NOT verified in the latest
 # CORRECTNESS round gates first, ordered oldest-verification-first (ties by
 # position in that round's gate), so no query's driver verification ever
-# ages past 2 rounds. The list below is the r6 rotation — the 71 names
-# absent from CORRECTNESS_r05 (3 r1-era, 32 r2-era, 36 r4-era); the
-# r5-verified 50 follow. tests/test_relational.py recomputes this ordering
+# ages past 2 rounds. The list below is the r7 rotation — the 85
+# names absent from CORRECTNESS_r06 (36 r4-era then 49 r5-era); any
+# never-verified new r7 queries are prepended as they are added. The
+# r6-verified 50 follow. tests/test_relational.py recomputes this ordering
 # from the committed CORRECTNESS_r*.json files and pins the list, so a new
 # round's rotation cannot be forgotten without a test failure.
 _GATE_FIRST: list[str] = [
-    # never hash-verified: q35 was rows-only (no_oracle) through r5 and
-    # gained a wide-margin-boolean oracle in r6 — it re-gates first,
-    # followed by the queries newly added in r6
-    "q35_approx_stats",
-    "t30_sequence_packing",
-    "t31_cluster_representatives",
-    "q64_tpch_q9_profit",
-    "s17_knn_pq",
-    "s18_knn_ivf_pq",
-    "s19_ann_recall",
-    "q65_partitioned_sink_roundtrip",
-    "q66_tpch_q13_custdist",
-    "t32_pii_redaction",
-    "x11_stream_ann_serving",
-    "q67_null_semantics",
-    "t33_lsh_quality_report",
-    "q68_tpch_q22_global_opportunity",
-    "s20_knn_ivf_pq_multiprobe",
-    # r1-era (verified only in round 1)
-    "q27_grouping_sets",
-    "q28_session_window",
-    "q29_promo_revenue",
-    # r2-era
-    "t01_dedup_exact_stats",
-    "t02_dedup_exact_groups",
-    "t03_ngram_jaccard_pairs",
-    "t04_minhash_signatures",
-    "t05_minhash_lsh_neardup",
-    "t06_simhash",
-    "t07_simhash_neardup",
-    "t08_lang_id",
-    "t09_text_quality",
-    "t10_token_stats",
-    "t11_fingerprint",
-    "t12_multimodal_meta",
-    "t13_tfidf_topterms",
-    "t14_dedup_components",
-    "t15_repetition_ratio",
-    "t16_token_zipf",
-    "t17_deterministic_split",
-    "t18_pii_scan",
-    "s01_knn_bruteforce",
-    "s02_knn_ivf",
-    "s03_embedding_neardup",
-    "s04_vector_stats",
-    "s05_knn_lsh",
-    "s06_neardup_in_cells",
-    "s07_knn_ivf_multiprobe",
-    "s08_knn_lsh_multiprobe",
-    "s09_kmeans_train",
-    "s10_ivf_learned_cells",
-    "x01_stream_events_hourly",
-    "x02_stream_stateful_user_totals",
-    "x03_stream_dedup_counts",
-    "x04_stream_static_join",
-    # r4-era (equal staleness; order = r4 gate position)
+    # --- new in r7, never driver-verified (prepend new queries here) ---
+    # --- last verified r4 ---
     "t19_decontamination",
     "t20_cleaning_pipeline",
     "t21_boilerplate_ngrams",
@@ -238,6 +185,56 @@ _GATE_FIRST: list[str] = [
     "q24_grouped_zscore_pandas",
     "q25_mapinpandas_elementwise",
     "q26_json_extract",
+    # --- last verified r5 ---
+    "q15_sessionize",
+    "q40_funnel",
+    "q48_range_interval_window",
+    "x05_stream_append_watermark",
+    "x06_stream_session_window",
+    "x07_stream_dedup_within_watermark",
+    "s14_knn_quantized",
+    "x08_stream_stream_interval_join",
+    "t27_unigram_lm_familiarity",
+    "q56_binned_range_join",
+    "t28_bpe_token_topk",
+    "x09_stream_foreachbatch_sink",
+    "q57_forward_fill",
+    "x10_stream_stream_left_outer",
+    "q58_tpch_q5_local_supplier",
+    "q59_tpch_q4_priority_check",
+    "q60_pagerank_int",
+    "s15_ivf_persisted_index",
+    "q61_merge_cdc_deletes",
+    "q62_salted_skew_join",
+    "t29_weighted_sampling",
+    "q63_scd2_history",
+    "s16_mmr_diversified_topk",
+    "q30_disjunctive_predicates",
+    "q31_not_in_subquery",
+    "q32_scalar_subquery",
+    "q33_percentiles",
+    "q34_array_regexp_funcs",
+    "q36_merge_upsert",
+    "q37_union_except",
+    "q38_posexplode",
+    "q39_moving_window_frame",
+    "q41_map_funcs",
+    "q42_having",
+    "q43_date_arithmetic",
+    "q44_intersect_all",
+    "q45_window_functions",
+    "q46_string_agg",
+    "q47_correlated_scalar_subquery",
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q03_global_agg",
+    "q04_join_nation_revenue",
+    "q05_top_orders",
+    "q06_window_topk_per_customer",
+    "q07_setop_intersect",
+    "q08_anti_join",
+    "q09_semi_join",
+    "q10_rollup",
 ]
 
 # module-name order for everything not in _GATE_FIRST (relational first —
