@@ -33,6 +33,20 @@ def _lit_arr(vals: list[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in vals])
 
 
+def code_centroid(book: list[tuple[int, list[float]]], code: Column) -> Column:
+    """Centroid lookup by code VALUE, not array position: a literal
+    cid → centroid map. Lloyd's drops empty clusters, so a codebook's cids
+    can be gapped (e.g. {0,1,3..7}); positional ``element_at(table, code+1)``
+    would then silently fetch the wrong centroid (or NULL past the end).
+    Keying the lookup by cid makes a gapped book score correctly — matching
+    the oracle SQL, which joins codes by cid value."""
+    entries: list[Column] = []
+    for cid, cv in book:
+        entries.append(F.lit(int(cid)))
+        entries.append(_lit_arr(cv))
+    return F.element_at(F.create_map(*entries), code)
+
+
 def train_codebooks(
     df: DataFrame,
     init_filter: Column,
@@ -191,9 +205,10 @@ def pq_knn(
 
             qids = np.asarray([q for q, _ in q_rows], dtype=np.int64)
             Q = np.asarray([qv for _, qv in q_rows], dtype=np.float64)
-            luts = []
+            luts, lut_cids = [], []
             for m, book in enumerate(books):
                 C = np.asarray([cv for _, cv in book], dtype=np.float64)
+                lut_cids.append(np.asarray([c for c, _ in book], dtype=np.int64))
                 luts.append(fold_sq_dists(Q[:, m * sub : (m + 1) * sub], C))  # Q x K
             for pdf in batches:
                 if len(pdf) == 0:
@@ -201,7 +216,21 @@ def pq_knn(
                 nid = pdf["nid"].astype("int64").values
                 dist = None
                 for m in range(len(books)):
-                    d_m = luts[m][:, pdf[f"code_{m}"].values]  # Q x n
+                    # LUT columns are positional over the sorted book; codes
+                    # are cid VALUES — map value → position, loud on a code
+                    # absent from the book (gapped-cid mis-encode or
+                    # mismatched codebooks would otherwise mis-score)
+                    codes = pdf[f"code_{m}"].values.astype(np.int64)
+                    pos = np.clip(
+                        np.searchsorted(lut_cids[m], codes), 0, len(lut_cids[m]) - 1
+                    )
+                    if not np.array_equal(lut_cids[m][pos], codes):
+                        raise ValueError(
+                            f"pq_knn: subspace {m} has codes not present in "
+                            "the codebook (codes must be cid values from the "
+                            "same train_codebooks output)"
+                        )
+                    d_m = luts[m][:, pos]  # Q x n
                     dist = d_m if dist is None else dist + d_m
                 # partial top-k per query within this batch (see
                 # brute_force_knn): only k rows per (query, batch) leave
@@ -234,13 +263,12 @@ def pq_knn(
         pairs = enc.select(
             F.col(id_col).alias("nid"), *[F.col(f"code_{m}") for m in range(n_sub)]
         ).join(F.broadcast(queries), F.col("nid") != F.col("qid"))
-        # literal codebook per subspace: element_at(codes_m, code+1) -> centroid
+        # literal codebook per subspace, keyed by cid value (gapped-safe)
         dist = None
         for m, book in enumerate(codebooks):
-            table = F.array(*[_lit_arr(cv) for _, cv in book])
             d_m = sq_dist(
                 F.slice("qv", 1 + m * sub, sub),
-                F.element_at(table, F.col(f"code_{m}") + 1),
+                code_centroid(book, F.col(f"code_{m}")),
             )
             dist = d_m if dist is None else dist + d_m
         scored = pairs.withColumn("adc_dist", dist)

@@ -107,20 +107,30 @@ def pack_sequences(
     """
     cum = global_cumsum(df, id_col, n_tokens_col, out_col="end_tok")
     start = F.col("end_tok") - F.col(n_tokens_col)
-    return cum.select(
+    base = cum.select(
         F.col(id_col),
         F.col(n_tokens_col).cast("long").alias("n_tok"),
         start.cast("long").alias("start_tok"),
         F.col("end_tok"),
-        F.floor(start / seq_len).cast("long").alias("first_chunk"),
-        F.when(F.col(n_tokens_col) > 0, F.floor((F.col("end_tok") - 1) / seq_len))
-        .otherwise(F.floor(start / seq_len))
+    )
+    # chunk indices in int64 end to end: SQL `div` is exact integral
+    # division (offsets are nonnegative, so trunc == floor), where
+    # floor(a / b) on doubles can flip a chunk boundary past 2^53 tokens —
+    # at 100 TB-corpus scale the token stream does exceed that
+    sl = int(seq_len)
+    first = F.expr(f"start_tok div {sl}")
+    last_nonempty = F.expr(f"(end_tok - 1) div {sl}")
+    return base.select(
+        F.col(id_col),
+        F.col("n_tok"),
+        F.col("start_tok"),
+        F.col("end_tok"),
+        first.cast("long").alias("first_chunk"),
+        F.when(F.col("n_tok") > 0, last_nonempty)
+        .otherwise(first)
         .cast("long")
         .alias("last_chunk"),
-        F.when(
-            F.col(n_tokens_col) > 0,
-            F.floor((F.col("end_tok") - 1) / seq_len) - F.floor(start / seq_len) + 1,
-        )
+        F.when(F.col("n_tok") > 0, last_nonempty - first + 1)
         .otherwise(F.lit(0))
         .cast("long")
         .alias("n_chunks"),

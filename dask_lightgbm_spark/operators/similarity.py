@@ -62,7 +62,10 @@ def brute_force_knn(
 
     The expression path (``vectorized=False``) remains the semantic
     reference: norms precomputed once per vector; dot/(na*nb) evaluates the
-    same IEEE ops as cosine(), preserving oracle bit-equality."""
+    same IEEE ops as cosine(), preserving oracle bit-equality. Zero-norm
+    vectors follow try_divide semantics on BOTH paths: their pairs carry a
+    NULL cosine and rank last (desc-nulls-last, nid-ascending), so a
+    degenerate vector never aborts the job."""
     w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
     if vectorized:
         q_rows = sorted(
@@ -71,8 +74,7 @@ def brute_force_knn(
         )
         if not q_rows:
             # contract parity with the expression path: an empty query set
-            # yields an empty result, not an error (a zero-norm VECTOR does
-            # raise — loud beats the fold path's silent NULL cosine)
+            # yields an empty result, not an error
             return corpus.sparkSession.createDataFrame(
                 [], "qid long, nid long, rank int, cos double"
             )
@@ -100,9 +102,15 @@ def brute_force_knn(
                     )
                 acc = fold_dots(V, Q)
                 nv = np.sqrt(fold_sq_norms(V))
-                if not nv.all() or not nq.all():
-                    raise ValueError("brute_force_knn: zero-norm vector")
-                cos = acc / (nq[None, :] * nv[:, None])
+                # zero-norm vectors: the expression path's try_divide yields
+                # NULL cosine (ranked last under desc). Reproduce that here
+                # so vectorized=True is a drop-in: pairs whose denominator is
+                # 0 carry a null cos and sort after every finite cosine,
+                # nid-ascending — identical to Spark's desc-nulls-last window.
+                denom = nq[None, :] * nv[:, None]
+                degenerate = not (nv.all() and nq.all())
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = acc / denom
                 nid = pdf[id_col].astype("int64").values
                 # PARTIAL top-k per query within this Arrow batch: only
                 # k rows per (query, batch) leave the kernel, so the final
@@ -110,6 +118,35 @@ def brute_force_knn(
                 # of |queries| x |corpus| — the map-side-combine shape.
                 # Any global top-k row is necessarily in its batch's top-k
                 # (same (cos DESC, nid ASC) order), so results are identical.
+                if degenerate:
+                    # slow tier only when a zero-norm vector exists: top-k
+                    # finite cosines first, then up to k null-cos candidates
+                    # by nid (their global rank can only matter when a query
+                    # has < k finite candidates — and any global winner is
+                    # still its batch's winner within its tier)
+                    dz = denom == 0
+                    rows_q, rows_n, rows_c = [], [], []
+                    for j, q_id in enumerate(qids):
+                        col = cos[:, j]
+                        mask = nid != q_id
+                        v_mask = mask & ~dz[:, j]
+                        vn, vc = nid[v_mask], col[v_mask]
+                        order = np.lexsort((vn, -vc))[:k]
+                        null_n = np.sort(nid[mask & dz[:, j]])[:k]
+                        rows_q.append(
+                            np.full(len(order) + len(null_n), q_id, dtype=np.int64)
+                        )
+                        rows_n.append(np.concatenate([vn[order], null_n]))
+                        rows_c.extend(float(x) for x in vc[order])
+                        rows_c.extend([None] * len(null_n))
+                    yield pd.DataFrame(
+                        {
+                            "qid": np.concatenate(rows_q),
+                            "nid": np.concatenate(rows_n),
+                            "cos": pd.array(rows_c, dtype="Float64"),
+                        }
+                    )
+                    continue
                 out_q, out_n, out_c = [], [], []
                 for j, q_id in enumerate(qids):
                     col = cos[:, j]

@@ -1088,7 +1088,7 @@ def s18_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ top-3: cell-restricted candidates (equi-join on the cached
     index's cell id) scored by ADC over cached PQ codes."""
     from dask_lightgbm_spark.operators.kmeans import sq_dist
-    from dask_lightgbm_spark.operators.pq import _lit_arr
+    from dask_lightgbm_spark.operators.pq import code_centroid
 
     from pyspark.sql import Window as W
 
@@ -1106,10 +1106,9 @@ def s18_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("nid") != F.col("qid"))
     dist = None
     for m, book in enumerate(books):
-        table = F.array(*[_lit_arr(cv) for _, cv in book])
         d_m = sq_dist(
             F.slice("qv", 1 + m * _PQ_SUB, _PQ_SUB),
-            F.element_at(table, F.col(f"code_{m}") + 1),
+            code_centroid(book, F.col(f"code_{m}")),
         )
         dist = d_m if dist is None else dist + d_m
     w = W.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc("nid"))
@@ -1264,7 +1263,7 @@ def s20_knn_ivf_pq_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     from dask_lightgbm_spark.operators.kmeans import sq_dist
-    from dask_lightgbm_spark.operators.pq import _lit_arr
+    from dask_lightgbm_spark.operators.pq import code_centroid
 
     e = load_table(spark, sf_dir, "embeddings")
     idx = _ivf_index(spark, sf_dir)
@@ -1285,10 +1284,9 @@ def s20_knn_ivf_pq_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("nid") != F.col("qid"))
     dist = None
     for m, book in enumerate(books):
-        table = F.array(*[_lit_arr(cv) for _, cv in book])
         d_m = sq_dist(
             F.slice("qv", 1 + m * _PQ_SUB, _PQ_SUB),
-            F.element_at(table, F.col(f"code_{m}") + 1),
+            code_centroid(book, F.col(f"code_{m}")),
         )
         dist = d_m if dist is None else dist + d_m
     w = W.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc("nid"))

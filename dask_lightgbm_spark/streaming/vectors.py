@@ -47,7 +47,10 @@ def stream_ann_serving(
         .select("vec_id")
     )
 
-    results: list = []
+    # keyed by batch_id so a foreachBatch RE-invocation for the same batch
+    # (micro-batch retry) overwrites rather than duplicates — the drained
+    # union stays exactly one top-k per streamed query
+    results: dict[int, list] = {}
     out_schema = "qid long, nid long, rank int, cos double"
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -84,11 +87,12 @@ def stream_ann_serving(
             .select("qid", "nid", "rank", "cos")
         )
         # a serve batch emits k rows per arriving query — bounded by design
-        results.extend(topk.collect())
+        results[batch_id] = topk.collect()
 
     q = src.writeStream.foreachBatch(handle).start()
     try:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.createDataFrame(results, out_schema)
+    rows = [r for b in sorted(results) for r in results[b]]
+    return spark.createDataFrame(rows, out_schema)

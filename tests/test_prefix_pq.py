@@ -247,3 +247,119 @@ def test_knn_empty_query_set_returns_empty(spark):
     out2 = pq_knn(df, F.col("vec_id") < 0, k=3, codebooks=books)
     assert out2.count() == 0
     assert out2.columns == ["qid", "nid", "rank", "adc_dist"]
+
+
+def test_pq_knn_gapped_codebook_scores_by_cid(spark):
+    """A codebook whose cids are gapped (Lloyd's drops empty clusters) must
+    score by cid VALUE on both paths — not positional indexing, which would
+    silently fetch the wrong centroid (ADVICE r6). Built by renumbering a
+    trained book's cids to {0, 2, 5, ...} and re-encoding."""
+    from dask_lightgbm_spark.operators.pq import encode_pq, pq_knn, train_codebooks
+
+    df = spark.createDataFrame(_toy_vectors(n=60, dim=8, seed=31))
+    books = train_codebooks(df, F.col("vec_id") < 4, dim=8, n_subspaces=2, n_iters=1)
+    gapped = [
+        [(cid * 3 + 1, cv) for cid, cv in book]  # {1, 4, 7, 10}: no 0, gaps
+        for book in books
+    ]
+    enc = encode_pq(df, gapped)
+    codes = enc.select("code_0").distinct().toPandas()["code_0"]
+    assert set(codes) <= {cid for cid, _ in gapped[0]}
+    a = (
+        pq_knn(df, F.col("vec_id") < 5, k=4, codebooks=gapped, vectorized=False)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    b = (
+        pq_knn(df, F.col("vec_id") < 5, k=4, codebooks=gapped, vectorized=True)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    # and the gapped book ranks identically to the dense original (same
+    # centroids, relabeled codes)
+    orig = (
+        pq_knn(df, F.col("vec_id") < 5, k=4, codebooks=books, vectorized=True)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a[["qid", "nid", "rank", "adc_dist"]], orig)
+
+
+def test_pq_knn_alien_code_raises(spark):
+    """Codes not present in the codebook (mismatched books) fail loudly in
+    the vectorized kernel instead of mis-scoring."""
+    from dask_lightgbm_spark.operators.pq import encode_pq, pq_knn, train_codebooks
+
+    df = spark.createDataFrame(_toy_vectors(n=40, dim=8, seed=37))
+    books = train_codebooks(df, F.col("vec_id") < 4, dim=8, n_subspaces=2, n_iters=1)
+    enc = encode_pq(df, books).withColumn("code_0", F.col("code_0") + 100)
+    with pytest.raises(Exception, match="not present in"):
+        pq_knn(
+            df, F.col("vec_id") < 5, k=3, codebooks=books, encoded=enc
+        ).collect()
+
+
+def test_brute_force_zero_norm_null_cosine_parity(spark):
+    """A zero-norm vector must NOT abort the job: its pairs carry NULL
+    cosine and rank last on both paths (try_divide semantics), so the
+    vectorized default stays a drop-in (ADVICE r6)."""
+    from dask_lightgbm_spark.operators.similarity import brute_force_knn
+
+    pdf = _toy_vectors(n=12, dim=8, seed=41)
+    pdf.at[3, "embedding"] = [0.0] * 8  # degenerate corpus vector
+    df = spark.createDataFrame(pdf)
+    q = df.filter(F.col("vec_id") < 2)
+    # k > finite candidates forces the NULL tier into the result
+    a = (
+        brute_force_knn(df, q, k=11, vectorized=False)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    b = (
+        brute_force_knn(df, q, k=11, vectorized=True)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    assert a["cos"].isna().sum() == 2  # one NULL pair per query
+    pd.testing.assert_frame_equal(a, b)
+    # zero-norm QUERY: every one of its cosines is NULL, ranked by nid
+    pdf2 = _toy_vectors(n=6, dim=8, seed=43)
+    pdf2.at[0, "embedding"] = [0.0] * 8
+    df2 = spark.createDataFrame(pdf2)
+    q2 = df2.filter(F.col("vec_id") == 0)
+    a2 = brute_force_knn(df2, q2, k=3, vectorized=False).toPandas()
+    b2 = brute_force_knn(df2, q2, k=3, vectorized=True).toPandas()
+    assert a2["cos"].isna().all() and len(a2) == 3
+    pd.testing.assert_frame_equal(
+        a2.sort_values("rank").reset_index(drop=True),
+        b2.sort_values("rank").reset_index(drop=True),
+    )
+
+
+def test_pack_sequences_exact_past_double_precision(spark):
+    """Chunk indices stay exact past 2^53 total tokens: int64 `div`, not
+    floor(double/double) (ADVICE r6). 2^53+1 is not representable as a
+    double, so the old double path rounds the boundary."""
+    from dask_lightgbm_spark.operators.prefix_sum import pack_sequences
+
+    big = 2**53  # cumulative offset beyond double precision
+    df = spark.createDataFrame(
+        [(1, big), (2, 3), (3, 5)], "doc_id long, n_tokens long"
+    )
+    out = (
+        pack_sequences(df, seq_len=2, id_col="doc_id", n_tokens_col="n_tokens")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    # doc 2 spans tokens [2^53, 2^53+3): chunks 2^52 .. (2^53+2)//2
+    assert out.loc[2, "start_tok"] == big
+    assert out.loc[2, "first_chunk"] == big // 2
+    assert out.loc[2, "last_chunk"] == (big + 2) // 2
+    assert out.loc[2, "n_chunks"] == (big + 2) // 2 - big // 2 + 1
+    assert out.loc[3, "first_chunk"] == (big + 3) // 2
