@@ -148,6 +148,7 @@ def query(name: str, oracle: str | None = None):
 # round's rotation cannot be forgotten without a test failure.
 _GATE_FIRST: list[str] = [
     # --- new in r7, never driver-verified (prepend new queries here) ---
+    "t34_semantic_dedup",
     # --- last verified r4 ---
     "t19_decontamination",
     "t20_cleaning_pipeline",

@@ -1541,3 +1541,148 @@ def t33_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# t34 — semantic dedup (the SemDeDup composition, Abbas et al. 2023): k-means
+# cluster the embeddings, then WITHIN each cluster mark as duplicates any
+# pair with cosine >= threshold and keep exactly one member per duplicate
+# relation — the member LEAST similar to its cluster centroid (the paper's
+# keep-outliers rule), vec_id breaking exact ties. No all-pairs stage ever:
+# pairs exist only inside a cluster (the s06 per-cell shape), and at corpus
+# scale k grows ∝ n so the per-cluster pair bound (cluster_size²) stays
+# constant — k×dim centroids remain a driver-side kilobyte/megabyte object
+# (50k×768 doubles ≈ 300 MB is the published upper end; our fixture trains
+# the s09 ladder: K=8, 2 Lloyd iterations, fixed-point means).
+# Oracle = s09's chained k-means CTEs + s10's sqdist assignment + an
+# anti-exists dominance join, all bit-exact.
+# ---------------------------------------------------------------------------
+
+_T34_K = 8
+_T34_ITERS = 2
+_T34_DIM = 64
+_T34_TAU = 0.42
+
+
+def _t34_sql() -> str:
+    from dask_lightgbm_spark.queries.similarity import (
+        _kmeans_cte_prefix,
+        _sql_cos,
+        _sql_sqdist,
+    )
+
+    n = _T34_ITERS
+    return (
+        _kmeans_cte_prefix(_T34_K, n, _T34_DIM)
+        + f""",
+af AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_sql_sqdist('e.v', 'c.cv')} ASC, c.cid ASC) AS rn
+    FROM e, c{n} c
+  ) WHERE rn = 1
+),
+sc AS (
+  SELECT af.vec_id, af.v, af.cid, {_sql_cos('af.v', 'c.cv')} AS cs_cent
+  FROM af JOIN c{n} c ON af.cid = c.cid
+),
+dom AS (
+  SELECT DISTINCT a.vec_id
+  FROM sc a JOIN sc b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+  WHERE ({_sql_cos('a.v', 'b.v')}) >= {_T34_TAU}
+    AND (b.cs_cent < a.cs_cent
+         OR (b.cs_cent = a.cs_cent AND b.vec_id < a.vec_id))
+)
+SELECT s.vec_id, s.cid AS cell, s.cs_cent,
+       (d.vec_id IS NULL) AS kept
+FROM sc s LEFT JOIN dom d ON s.vec_id = d.vec_id
+ORDER BY s.vec_id"""
+    )
+
+
+@query("t34_semantic_dedup", _t34_sql())
+def t34_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: learned k-means cells (centroids collected once per
+    session — k×dim doubles — and applied as a zero-shuffle literal
+    assignment), per-cluster cosine pairs only (single equi-join shuffle on
+    the cluster id), keep-least-central per duplicate relation via a LEFT
+    ANTI dominance join. Norms are computed once per vector and reused on
+    both sides of every pair — the s06 serve shape."""
+    from dask_lightgbm_spark.operators import similarity as sim
+    from dask_lightgbm_spark.operators.kmeans import (
+        assign_vectorized,
+        kmeans_centroids,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cache = getattr(spark, "_dls_semdedup_cents", None)
+    if cache is None:
+        cache = {}
+        spark._dls_semdedup_cents = cache
+    if sf_dir not in cache:
+        cents_df = kmeans_centroids(
+            e, init_filter=F.col("vec_id") < _T34_K, n_iters=_T34_ITERS
+        )
+        cache[sf_dir] = sorted((r.cid, list(r.cv)) for r in cents_df.collect())
+    cents = cache[sf_dir]
+
+    corpus = e.select(
+        "vec_id", sim.to_double_array(F.col("embedding")).alias("v")
+    )
+    assigned = assign_vectorized(corpus, cents)
+    cent_rows = spark.createDataFrame(
+        [(int(cid), list(cv)) for cid, cv in cents], "cid int, cv array<double>"
+    )
+    sc = (
+        assigned.join(F.broadcast(cent_rows), "cid")
+        .select(
+            "vec_id",
+            "v",
+            "cid",
+            F.try_divide(
+                sim.dot(F.col("v"), F.col("cv")),
+                sim.norm(F.col("v")) * sim.norm(F.col("cv")),
+            ).alias("cs_cent"),
+            sim.norm(F.col("v")).alias("nn"),
+        )
+    )
+    a = sc.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("cid"),
+        F.col("cs_cent").alias("cs_a"),
+        F.col("nn").alias("na"),
+    )
+    b = sc.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("cid"),
+        F.col("cs_cent").alias("cs_b"),
+        F.col("nn").alias("nb"),
+    )
+    pair_cos = F.try_divide(
+        sim.dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")
+    )
+    dominated = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(pair_cos >= _T34_TAU)
+        .filter(
+            (F.col("cs_b") < F.col("cs_a"))
+            | ((F.col("cs_b") == F.col("cs_a")) & (F.col("id_b") < F.col("id_a")))
+        )
+        .select(F.col("id_a").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dom", F.lit(True))
+    )
+    return (
+        sc.join(dominated, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cid").alias("cell"),
+            "cs_cent",
+            F.coalesce(~F.col("is_dom"), F.lit(True)).alias("kept"),
+        )
+        .orderBy("vec_id")
+    )
