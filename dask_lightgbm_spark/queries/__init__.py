@@ -149,6 +149,7 @@ def query(name: str, oracle: str | None = None):
 _GATE_FIRST: list[str] = [
     # --- new in r7, never driver-verified (prepend new queries here) ---
     "t34_semantic_dedup",
+    "t35_quality_classifier",
     # --- last verified r4 ---
     "t19_decontamination",
     "t20_cleaning_pipeline",

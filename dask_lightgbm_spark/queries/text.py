@@ -1686,3 +1686,93 @@ def t34_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# t35 — quality-classifier scoring (the fasttext-style corpus filter): a
+# linear model over HASHED TOKEN BIGRAMS, scored as a pure zero-shuffle
+# projection. The model is a B-bucket integer weight table (stand-in for a
+# trained fasttext export — swap the literals, keep the plan): score(doc) =
+# Σ w[h(bigram) mod B], kept = per-bigram mean (×100, integer div) ≥ τ.
+# Integer weights + int64 sums keep both engines bit-exact (addition is
+# associative — no float fold-order concerns), and the whole scorer is
+# expressions inside one projection: no explode, no groupBy, no Python.
+# At 100 TB this runs at scan speed; the model broadcast is B integers.
+# Pairs with t09/t20: this is the model-driven stage of the cleaning
+# composite (CCNet/fasttext quality gate).
+# ---------------------------------------------------------------------------
+
+_T35_B = 64  # weight buckets
+_T35_THRESH = 300  # keep iff mean bucket weight x100 >= this
+# deterministic "pretrained" weights: fixed LCG so source stays compact and
+# both engines embed identical literals (range -49..50)
+_T35_W = [((1103515245 * i + 12345) % 2147483648) % 100 - 49 for i in range(_T35_B)]
+
+_T35_SEP = chr(31)  # unit separator — cannot appear in whitespace-split tokens
+
+_T35_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '[ \t\n\f\r]+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         CAST(COALESCE(SUM(
+           ({_T35_W}::BIGINT[])[
+             CAST((('0x' || substr(md5(bg), 1, 8))::BIGINT % {_T35_B}) AS INT) + 1]
+         ), 0) AS BIGINT) AS score_sum,
+         CAST(COUNT(bg) AS BIGINT) AS n_bigrams
+  FROM toks LEFT JOIN LATERAL (
+    SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+                                 i -> ts[i] || '{_T35_SEP}' || ts[i + 1])) AS bg
+  ) ON TRUE
+  GROUP BY doc_id
+)
+SELECT doc_id, score_sum, n_bigrams,
+       CASE WHEN n_bigrams > 0
+            THEN score_sum * 100 // n_bigrams ELSE NULL END AS score_x100,
+       (n_bigrams > 0 AND score_sum * 100 // n_bigrams >= {_T35_THRESH}) AS keep
+FROM scored
+ORDER BY doc_id
+"""
+
+
+@query("t35_quality_classifier", _T35_SQL)
+def t35_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"[ \t\n\f\r]+"), lambda x: x != ""
+    )
+    w_lit = F.array(*[F.lit(int(w)) for w in _T35_W])
+    d = d.select("doc_id", toks.alias("ts"))
+    bigrams = F.transform(
+        F.slice(F.col("ts"), 1, F.greatest(F.size("ts") - 1, F.lit(0))),
+        lambda x, i: F.concat(x, F.lit(_T35_SEP), F.element_at(F.col("ts"), i + 2)),
+    )
+    bucket = lambda bg: F.pmod(  # noqa: E731 — md5-derived hash is nonneg
+        F.conv(F.substring(F.md5(bg), 1, 8), 16, 10).cast("long"), F.lit(_T35_B)
+    )
+    score_sum = F.aggregate(
+        bigrams,
+        F.lit(0).cast("long"),
+        lambda acc, bg: acc + F.element_at(w_lit, bucket(bg).cast("int") + 1),
+    )
+    scored = d.select(
+        "doc_id",
+        score_sum.alias("score_sum"),
+        F.size(bigrams).cast("long").alias("n_bigrams"),
+    )
+    return scored.select(
+        "doc_id",
+        "score_sum",
+        "n_bigrams",
+        F.when(
+            F.col("n_bigrams") > 0, F.expr("score_sum * 100 div n_bigrams")
+        ).alias("score_x100"),
+        (
+            (F.col("n_bigrams") > 0)
+            & (F.expr("score_sum * 100 div n_bigrams") >= _T35_THRESH)
+        ).alias("keep"),
+    ).orderBy("doc_id")
