@@ -150,6 +150,7 @@ _GATE_FIRST: list[str] = [
     # --- new in r7, never driver-verified (prepend new queries here) ---
     "t34_semantic_dedup",
     "t35_quality_classifier",
+    "q69_global_sorted_sink",
     # --- last verified r4 ---
     "t19_decontamination",
     "t20_cleaning_pipeline",

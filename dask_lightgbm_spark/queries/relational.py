@@ -2431,3 +2431,83 @@ def q68_tpch_q22_global_opportunity(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("cntry")
     )
+
+
+# ---------------------------------------------------------------------------
+# q69 — GLOBAL SORTED SINK: write a table in total order without a
+# single-task sort (`repartitionByRange` samples range boundaries, each
+# partition sorts locally, partition i's range precedes partition i+1's),
+# then PROVE the physical layout is globally sorted by reconstructing each
+# row's global rank from the written files alone: parquet `_metadata`
+# row_index within the file + an n_files-row offset table (per-file counts,
+# cumsummed — bounded driver-of-layout state, the t30 two-level-scan shape)
+# joined back by broadcast. The rank is hash-compared against the oracle's
+# row_number() OVER (ORDER BY ...), so any row out of place — across files
+# or within one — mismatches. Hash comparison alone is order-insensitive;
+# the rank column is what makes this verification order-SENSITIVE.
+# This is the sorted-corpus-shard layout op (zone-map/min-max friendly
+# parquet for range-pruned reads); tests/test_plans.py pins the write plan
+# to a rangepartitioning exchange with NO global sort node.
+# ---------------------------------------------------------------------------
+
+_Q69_SQL = """
+SELECT CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rank,
+       o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY rank
+"""
+
+
+def _q69_sorted_write(spark: SparkSession, sf_dir: str) -> str:
+    """Write orders sorted by (o_totalprice, o_orderkey) as a range-
+    partitioned parquet layout; returns the output path. Split out so the
+    plan test can inspect the write-side DataFrame."""
+    from dask_lightgbm_spark.session import scratch_dir
+
+    o = load_table(spark, sf_dir, "orders")
+    out = scratch_dir("q69_sorted_sink") + "/" + sf_dir.strip("/").replace("/", "_")
+    (
+        _q69_write_df(o)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return out
+
+
+def _q69_write_df(o: DataFrame) -> DataFrame:
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartitionByRange(8, F.col("o_totalprice"), F.col("o_orderkey"))
+        .sortWithinPartitions("o_totalprice", "o_orderkey")
+    )
+
+
+@query("q69_global_sorted_sink", _Q69_SQL)
+def q69_global_sorted_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _q69_sorted_write(spark, sf_dir)
+    back = spark.read.parquet(out).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.regexp_extract(F.col("_metadata.file_path"), r"part-(\d+)", 1)
+        .cast("int")
+        .alias("file_idx"),
+        F.col("_metadata.row_index").alias("row_in_file"),
+    )
+    counts = back.groupBy("file_idx").agg(F.count(F.lit(1)).alias("n"))
+    # no-partition window over an n_files-row table — bounded by the layout,
+    # never by the data (t30's offset-table argument)
+    woff = W.orderBy("file_idx").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "file_idx", F.coalesce(F.sum("n").over(woff), F.lit(0)).alias("off")
+    )
+    return (
+        back.join(F.broadcast(offsets), "file_idx")
+        .select(
+            (F.col("off") + F.col("row_in_file") + 1).cast("long").alias("rank"),
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+        )
+        .orderBy("rank")
+    )

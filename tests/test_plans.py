@@ -104,3 +104,31 @@ def test_partitioned_sink_readback_prunes_partitions(spark, sf_dir):
         if "PartitionFilters" in ln and "event_type" in ln
     ]
     assert pf_lines, plan[:2000]
+
+
+def test_sorted_sink_is_range_partitioned_not_global_sort(spark, sf_dir):
+    """q69's write plan must be a rangepartitioning exchange + local
+    (per-partition) sort. A global sort node (`Sort [...], true`) would
+    funnel the table through one task's sort at scale — the exact failure
+    the two-level layout avoids."""
+    from dask_lightgbm_spark.plans.explain import formatted_plan
+    from dask_lightgbm_spark.queries.relational import _q69_write_df
+
+    df = _q69_write_df(load_table(spark, sf_dir, "orders"))
+    plan = formatted_plan(df)
+    assert "rangepartitioning" in plan, plan[:2000]
+    # Sort node prints `Arguments: [keys...], <global>, 0`
+    assert "], true, 0" not in plan, plan[:2000]
+    assert "], false, 0" in plan, plan[:2000]
+
+
+def test_sorted_sink_readback_rank_is_distributed(spark, sf_dir):
+    """The rank reconstruction must not re-sort the data: its only
+    no-partition window runs over the n_files-row offset table, and the
+    read-back rows join to it by broadcast."""
+    from dask_lightgbm_spark.plans.explain import formatted_plan
+    from dask_lightgbm_spark.queries import all_queries
+
+    df = all_queries()["q69_global_sorted_sink"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
