@@ -151,6 +151,8 @@ _GATE_FIRST: list[str] = [
     "t34_semantic_dedup",
     "t35_quality_classifier",
     "q69_global_sorted_sink",
+    "s21_knn_filtered",
+    "t36_contamination_attribution",
     # --- last verified r4 ---
     "t19_decontamination",
     "t20_cleaning_pipeline",

@@ -95,7 +95,13 @@ def s01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # query's nearest-centroid cell (the many-queries scale path).
 # ---------------------------------------------------------------------------
 
-_S02_SQL = f"""
+# The IVF storage-assignment CTE block shared verbatim by the s02/s11/s18
+# oracles. The serve-only twin below replaces it with a pre-materialized
+# `ivf_assigned` table (bench.py exports Spark's cached index to parquet)
+# so sf1 denominators time the SERVE work, mirroring the Spark session
+# cache — the n×n_cells assignment fold is minutes of list-lambda work at
+# sf1 and is index-build cost, not serve cost, on both engines.
+_IVF_CTES = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
 cell_scored AS (
@@ -108,7 +114,25 @@ assigned AS (
            row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
     FROM cell_scored
   ) WHERE rn = 1
+)"""
+
+# serve twin: corpus assignment comes from ivf_assigned; cell_scored keeps
+# only the query rows (10 × n_cells — the per-serve probe-ranking work)
+_IVF_SERVE_CTES = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+cell_scored AS (
+  SELECT e.vec_id, e.v, cent.cid, {_sql_cos('e.v', 'cent.cv')} AS cs
+  FROM e, cent
+  WHERE e.vec_id < 10
 ),
+assigned AS (SELECT vec_id, v, cell FROM ivf_assigned)"""
+
+# standalone statement materializing the assignment (what bench.py would
+# run if it built the index in DuckDB instead of importing Spark's)
+IVF_ASSIGN_BUILD_SQL = _IVF_CTES + "\nSELECT vec_id, v, cell FROM assigned"
+
+_S02_SUFFIX = f""",
 q AS (SELECT vec_id AS qid, v AS qv, cell FROM assigned WHERE vec_id < 10),
 scored AS (
   SELECT q.qid, n.vec_id AS nid, {_sql_cos('q.qv', 'n.v')} AS cos
@@ -121,6 +145,8 @@ ranked AS (
 )
 SELECT qid, nid, rank, cos FROM ranked WHERE rank <= 3
 """
+
+_S02_SQL = _IVF_CTES + _S02_SUFFIX
 
 
 @query("s02_knn_ivf", _S02_SQL)
@@ -536,20 +562,7 @@ def s10_ivf_learned_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the decision itself is hash-verified against the SQL twin.
 # ---------------------------------------------------------------------------
 
-_S11_SQL = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
-cell_scored AS (
-  SELECT e.vec_id, e.v, cent.cid, {_sql_cos('e.v', 'cent.cv')} AS cs
-  FROM e, cent
-),
-assigned AS (
-  SELECT vec_id, v, cid AS cell FROM (
-    SELECT vec_id, v, cid,
-           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
-    FROM cell_scored
-  ) WHERE rn = 1
-),
+_S11_SUFFIX = f""",
 occ AS (SELECT cell, COUNT(*) AS n FROM assigned GROUP BY cell),
 qlow AS (
   SELECT n AS q_low FROM (
@@ -579,6 +592,8 @@ ranked AS (
 SELECT qid, nid, rank, cos, (SELECT np FROM np) AS nprobe
 FROM ranked WHERE rank <= 3
 """
+
+_S11_SQL = _IVF_CTES + _S11_SUFFIX
 
 
 @query("s11_knn_ivf_learned_nprobe", _S11_SQL)
@@ -1041,22 +1056,8 @@ def s17_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # time, byte-code residency, per-query work bounded by cell size.
 # ---------------------------------------------------------------------------
 
-_S18_SQL = (
-    f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
-cell_scored AS (
-  SELECT e.vec_id, e.v, cent.cid, {_sql_cos('e.v', 'cent.cv')} AS cs
-  FROM e, cent
-),
-assigned AS (
-  SELECT vec_id, v, cid AS cell FROM (
-    SELECT vec_id, v, cid,
-           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
-    FROM cell_scored
-  ) WHERE rn = 1
-),
-"""
+_S18_SUFFIX = (
+    ",\n"
     + ",\n".join(_pq_subspace_ctes(m) for m in range(_PQ_M))
     + f""",
 codes AS (
@@ -1081,6 +1082,8 @@ ranked AS (
 )
 SELECT qid, nid, rank, adc_dist FROM ranked WHERE rank <= 3"""
 )
+
+_S18_SQL = _IVF_CTES + _S18_SUFFIX
 
 
 @query("s18_knn_ivf_pq", _S18_SQL)
@@ -1295,4 +1298,173 @@ def s20_knn_ivf_pq_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= 3)
         .select("qid", "nid", "rank", "adc_dist")
+    )
+
+
+def ivf_serve_oracle_sql() -> dict[str, str]:
+    """Serve-only oracle twins for the IVF family: byte-identical to the
+    registered oracles except the corpus storage assignment is read from a
+    pre-materialized ``ivf_assigned`` table (vec_id, v DOUBLE[], cell)
+    instead of being recomputed inline — what bench.py uses to give
+    s02/s11/s18 DuckDB denominators at sf1 that measure serve cost against
+    the same index the Spark session cache serves from."""
+    return {
+        "s02_knn_ivf": _IVF_SERVE_CTES + _S02_SUFFIX,
+        "s11_knn_ivf_learned_nprobe": _IVF_SERVE_CTES + _S11_SUFFIX,
+        "s18_knn_ivf_pq": _IVF_SERVE_CTES + _S18_SUFFIX,
+    }
+
+
+def pq_serve_oracle_sql() -> dict[str, str]:
+    """Serve-only oracle twins for the PQ family: ADC scoring against
+    pre-materialized ``pq_codes`` (vec_id, code_0..code_{M-1}) and codebook
+    tables named ``s{m}c{ITERS}`` (cid, cv DOUBLE[]) — the names the
+    registered oracles' CTEs already use, so the ADC/ranking SQL text is
+    identical; only the k-means ladder + encode (index build) is replaced
+    by the materialized artifacts. s18 additionally reads ``ivf_assigned``
+    (see :func:`ivf_serve_oracle_sql`)."""
+    codes_cols = ", ".join(f"code_{m}" for m in range(_PQ_M))
+    ranked = """
+ranked AS (
+  SELECT qid, nid, adc_dist,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY adc_dist ASC, nid) AS INTEGER) AS rank
+  FROM adc
+)
+SELECT qid, nid, rank, adc_dist FROM ranked WHERE rank <= 3"""
+    s17 = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+codes AS (SELECT vec_id, {codes_cols} FROM pq_codes),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+adc AS (
+  SELECT q.qid, c.vec_id AS nid, {_pq_adc_sum} AS adc_dist
+  FROM q, codes c
+  {_pq_code_joins}
+  WHERE c.vec_id <> q.qid
+),{ranked}"""
+    s18 = (
+        _IVF_SERVE_CTES
+        + f""",
+codes AS (SELECT vec_id, {codes_cols} FROM pq_codes),
+qc AS (SELECT vec_id AS qid, v AS qv, cell FROM assigned WHERE vec_id < 10),
+cc AS (
+  SELECT a.vec_id, a.cell, {", ".join(f"c.code_{m}" for m in range(_PQ_M))}
+  FROM assigned a JOIN codes c ON c.vec_id = a.vec_id
+),
+adc AS (
+  SELECT q.qid, c.vec_id AS nid, {_pq_adc_sum} AS adc_dist
+  FROM qc q JOIN cc c ON q.cell = c.cell AND c.vec_id <> q.qid
+  {_pq_code_joins}
+),{ranked}"""
+    )
+    return {"s17_knn_pq": s17, "s18_knn_ivf_pq": s18}
+
+
+def export_pq_codebook_ddl(spark: SparkSession, sf_dir: str) -> list[str]:
+    """DDL statements registering the session's trained codebooks as the
+    ``s{m}c{ITERS}`` tables :func:`pq_serve_oracle_sql` expects."""
+    books = _pq_codebooks(spark, sf_dir)
+    stmts = []
+    for m, book in enumerate(books):
+        # each element cast from its shortest round-trip repr via strtod:
+        # bare decimal literals in a multi-row VALUES unify to DECIMAL and
+        # lose the last ulp (measured), which would break serve/full parity
+        vals = ", ".join(
+            "({}, [{}])".format(
+                int(cid), ", ".join(f"'{float(x)!r}'::DOUBLE" for x in cv)
+            )
+            for cid, cv in book
+        )
+        stmts.append(
+            f"CREATE TEMP TABLE s{m}c{_PQ_ITERS} (cid INTEGER, cv DOUBLE[])"
+        )
+        stmts.append(f"INSERT INTO s{m}c{_PQ_ITERS} VALUES {vals}")
+    return stmts
+
+
+# ---------------------------------------------------------------------------
+# s21 — FILTERED ANN (metadata predicate + vector search): top-3 same-label
+# neighbors via the IVF index with nprobe=2 query probes — the
+# filtered-search composition every production vector store exposes
+# (category-scoped retrieval, tenant isolation, language-filtered RAG).
+# The filter rides the serve join (cell equi-join AND label equality), so
+# candidate volume shrinks with selectivity instead of post-filtering a
+# full top-k; nprobe=2 keeps recall up against the thinner per-cell
+# candidate set. Corpus side never re-scores centroids (cached index).
+# ---------------------------------------------------------------------------
+
+_S21_SQL = (
+    _IVF_CTES
+    + f""",
+lab AS (SELECT vec_id, label FROM embeddings),
+qprobe AS (
+  SELECT vec_id AS qid, v AS qv, cid AS cell FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+    FROM cell_scored WHERE vec_id < 10
+  ) WHERE rn <= 2
+),
+q AS (
+  SELECT p.qid, p.qv, p.cell, l.label AS qlab
+  FROM qprobe p JOIN lab l ON l.vec_id = p.qid
+),
+scored AS (
+  SELECT q.qid, n.vec_id AS nid, {_sql_cos('q.qv', 'n.v')} AS cos
+  FROM q JOIN assigned n ON q.cell = n.cell AND n.vec_id <> q.qid
+       JOIN lab nl ON nl.vec_id = n.vec_id AND nl.label = q.qlab
+),
+ranked AS (
+  SELECT qid, nid, cos,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT qid, nid, rank, cos FROM ranked WHERE rank <= 3"""
+)
+
+
+@query("s21_knn_filtered", _S21_SQL)
+def s21_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-filtered IVF top-3: candidates must share the query's cell
+    (nprobe=2 probes) AND its label. Corpus norms come from the cached
+    index; the tiny probe table (10 queries x 2 cells) is broadcast."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    idx = _ivf_index(spark, sf_dir)  # vec_id, v, cell, nn
+    lab = e.select("vec_id", "label")
+    qp = sim.assign_cells(
+        e.filter(F.col("vec_id") < 10), e.filter(F.col("vec_id") % 25 == 0), nprobe=2
+    )
+    q = (
+        qp.join(lab, "vec_id")
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            sim.norm(F.col("v")).alias("qn"),
+            "cell",
+            F.col("label").alias("qlab"),
+        )
+    )
+    n = idx.join(lab, "vec_id").select(
+        F.col("vec_id").alias("nid"),
+        F.col("v").alias("nv"),
+        F.col("nn"),
+        "cell",
+        "label",
+    )
+    scored = (
+        n.join(F.broadcast(q), "cell")
+        .filter((F.col("nid") != F.col("qid")) & (F.col("label") == F.col("qlab")))
+        .select(
+            "qid",
+            "nid",
+            F.try_divide(
+                sim.dot(F.col("qv"), F.col("nv")), F.col("qn") * F.col("nn")
+            ).alias("cos"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "nid", "rank", "cos")
     )

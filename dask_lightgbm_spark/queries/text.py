@@ -1776,3 +1776,78 @@ def t35_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.expr("score_sum * 100 div n_bigrams") >= _T35_THRESH)
         ).alias("keep"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# t36 — contamination ATTRIBUTION: t19 says WHETHER a train doc overlaps the
+# eval split; this says WHICH eval doc leaked where — per eval doc, the
+# top-5 train docs by shared distinct-shingle count (with an integer
+# permille of the eval doc's shingles covered). The leak-tracing report a
+# contamination incident actually needs. Scale: eval shingles broadcast
+# (eval sets are small), the pair aggregation shuffles on (train, eval) doc
+# id pairs — linear in matched shingles, never all-pairs — and the final
+# top-5 window partitions on eval_doc (bounded by the eval set size).
+# ---------------------------------------------------------------------------
+
+_T36_SQL = f"""
+WITH tarr AS ({_t19_shingles} WHERE doc_id % 20 <> 0),
+earr AS ({_t19_shingles} WHERE doc_id % 20 = 0),
+esh AS (SELECT doc_id AS eval_doc, unnest(hs) AS h FROM earr),
+tsh AS (SELECT doc_id AS train_doc, unnest(hs) AS h FROM tarr),
+pairs AS (
+  SELECT train_doc, eval_doc, COUNT(*) AS n_shared
+  FROM tsh JOIN esh USING (h) GROUP BY train_doc, eval_doc
+),
+esz AS (SELECT doc_id AS eval_doc, CAST(len(hs) AS BIGINT) AS eval_n FROM earr),
+ranked AS (
+  SELECT p.eval_doc, p.train_doc,
+         CAST(p.n_shared AS BIGINT) AS n_shared,
+         CAST(p.n_shared * 1000 // e.eval_n AS BIGINT) AS covered_permille,
+         CAST(row_number() OVER (PARTITION BY p.eval_doc
+                                 ORDER BY p.n_shared DESC, p.train_doc) AS INTEGER) AS rank
+  FROM pairs p JOIN esz e USING (eval_doc)
+)
+SELECT eval_doc, train_doc, n_shared, covered_permille, rank
+FROM ranked WHERE rank <= 5
+ORDER BY eval_doc, rank
+"""
+
+
+@query("t36_contamination_attribution", _T36_SQL)
+def t36_contamination_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per eval doc, the 5 train docs sharing the most distinct 5-gram
+    shingles (ties → lowest train doc id), with integer permille coverage
+    of the eval doc's shingle set."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    tr = dedup.shingle_hash_array(
+        d.filter(F.col("doc_id") % 20 != 0), "doc_id", "text", K_SHINGLE
+    )
+    ev = dedup.shingle_hash_array(
+        d.filter(F.col("doc_id") % 20 == 0), "doc_id", "text", K_SHINGLE
+    )
+    esh = ev.select(F.col("doc_id").alias("eval_doc"), F.explode("hs").alias("h"))
+    tsh = tr.select(F.col("doc_id").alias("train_doc"), F.explode("hs").alias("h"))
+    pairs = (
+        tsh.join(F.broadcast(esh), "h")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    esz = ev.select(
+        F.col("doc_id").alias("eval_doc"), F.size("hs").cast("long").alias("eval_n")
+    )
+    w = W.partitionBy("eval_doc").orderBy(F.desc("n_shared"), F.asc("train_doc"))
+    return (
+        pairs.join(F.broadcast(esz), "eval_doc")
+        .select(
+            "eval_doc",
+            "train_doc",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.expr("n_shared * 1000 div eval_n").alias("covered_permille"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("eval_doc", "train_doc", "n_shared", "covered_permille", "rank")
+        .orderBy("eval_doc", "rank")
+    )

@@ -293,3 +293,52 @@ def test_assign_cells_vectorized_rejects_bad_input(spark):
         assign_cells_vectorized(corpus, corpus.filter(F.col("vec_id") > 99))
     with pytest.raises(Exception, match="zero-norm"):
         assign_cells_vectorized(corpus, corpus.filter(F.col("vec_id") == 1)).collect()
+
+
+def test_serve_oracle_twins_match_full(spark, sf_dir, tmp_path):
+    """bench.py's serve-only oracle twins (assignment/codes/codebooks from
+    materialized artifacts) must return EXACTLY the registered oracles'
+    rows — otherwise the sf1 denominators time a different query. Also
+    guards the literal-precision trap: codebook values must survive the
+    SQL-literal path bit-exactly (bare decimals in multi-row VALUES unify
+    to DECIMAL and lose the last ulp)."""
+    import duckdb
+
+    from dask_lightgbm_spark.queries import _ship_package, all_oracles
+    from dask_lightgbm_spark.queries import similarity as S
+
+    _ship_package(spark)
+    ivf = str(tmp_path / "ivf")
+    codes = str(tmp_path / "codes")
+    S._ivf_index(spark, sf_dir).select("vec_id", "v", "cell").write.mode(
+        "overwrite"
+    ).parquet(ivf)
+    S._pq_codes(spark, sf_dir).select(
+        "vec_id", *[f"code_{m}" for m in range(S._PQ_M)]
+    ).write.mode("overwrite").parquet(codes)
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    con.sql(
+        f"CREATE TEMP TABLE ivf_assigned AS SELECT * FROM read_parquet('{ivf}/*.parquet')"
+    )
+    con.sql(
+        f"CREATE TEMP TABLE pq_codes AS SELECT * FROM read_parquet('{codes}/*.parquet')"
+    )
+    for stmt in S.export_pq_codebook_ddl(spark, sf_dir):
+        con.sql(stmt)
+    oracles = all_oracles()
+    serve_map = {**S.ivf_serve_oracle_sql(), **S.pq_serve_oracle_sql()}
+    assert set(serve_map) == {
+        "s02_knn_ivf",
+        "s11_knn_ivf_learned_nprobe",
+        "s17_knn_pq",
+        "s18_knn_ivf_pq",
+    }
+    for name, serve_sql in serve_map.items():
+        full = con.sql(oracles[name]).df()
+        cols = list(full.columns)
+        full = full.sort_values(cols).reset_index(drop=True)
+        serve = con.sql(serve_sql).df().sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(full, serve), name
