@@ -153,6 +153,7 @@ _GATE_FIRST: list[str] = [
     "q69_global_sorted_sink",
     "s21_knn_filtered",
     "t36_contamination_attribution",
+    "x12_stream_quality_scoring",
     # --- last verified r4 ---
     "t19_decontamination",
     "t20_cleaning_pipeline",

@@ -242,3 +242,43 @@ def x11_stream_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_lightgbm_spark.streaming.vectors import stream_ann_serving
 
     return stream_ann_serving(spark, sf_dir, _ivf_index(spark, sf_dir), k=3)
+
+
+# x12 reuses t35's oracle: the scorer is a stateless projection, so the
+# drained stream equals the batch scoring run row-for-row
+from dask_lightgbm_spark.queries.text import _T35_SQL as _X12_SQL  # noqa: E402
+
+
+@query("x12_stream_quality_scoring", _X12_SQL)
+def x12_stream_quality_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus-quality scoring: documents arrive as a bounded file
+    stream and flow through the t35 hashed-bigram linear scorer — the
+    stream side of the backfill-batch/serve-streaming pattern. The scorer
+    is shared code (queries.text.quality_score_projection), so batch and
+    stream are identical by construction: zero state, zero watermark,
+    append mode, constant memory on an unbounded stream."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from dask_lightgbm_spark.queries.text import quality_score_projection
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    scored = quality_score_projection(src)
+    name = f"stream_q_{uuid.uuid4().hex[:8]}"
+    q = (
+        scored.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("doc_id")

@@ -1739,9 +1739,11 @@ ORDER BY doc_id
 """
 
 
-@query("t35_quality_classifier", _T35_SQL)
-def t35_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+def quality_score_projection(d: DataFrame) -> DataFrame:
+    """The t35 scorer as a reusable STATELESS projection (docs in → scored
+    docs out, zero shuffle) — shared verbatim by the batch query and x12's
+    streaming twin, so batch backfill and streaming serve score
+    identically by construction."""
     toks = F.filter(
         F.split(F.trim(F.col("text")), r"[ \t\n\f\r]+"), lambda x: x != ""
     )
@@ -1775,7 +1777,13 @@ def t35_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_bigrams") > 0)
             & (F.expr("score_sum * 100 div n_bigrams") >= _T35_THRESH)
         ).alias("keep"),
-    ).orderBy("doc_id")
+    )
+
+
+@query("t35_quality_classifier", _T35_SQL)
+def t35_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return quality_score_projection(d).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
