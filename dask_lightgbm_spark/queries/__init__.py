@@ -148,6 +148,9 @@ def query(name: str, oracle: str | None = None):
 # round's rotation cannot be forgotten without a test failure.
 _GATE_FIRST: list[str] = [
     # --- new in r7, never driver-verified (prepend new queries here) ---
+    "q70_tpch_q7_volume_shipping",
+    "q71_tpch_q10_returned_items",
+    "q72_tpch_q8_market_share",
     "t34_semantic_dedup",
     "t35_quality_classifier",
     "q69_global_sorted_sink",

@@ -2511,3 +2511,235 @@ def q69_global_sorted_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q70 — TPC-H Q7 shape (volume shipping between geographies): lineitem's
+# revenue flows classified by SUPPLIER nation × CUSTOMER nation, i.e. two
+# independent joins against the same dimension (nation) under different
+# roles — the classic self-dimension aliasing query. Scale: nation/region
+# are broadcast twice (aliased), supplier is broadcast, so the fact table
+# shuffles exactly twice — lineitem⋈orders on orderkey, then ⋈customer on
+# custkey — the minimum for this shape (customer is data-sized, NOT
+# broadcast). Revenue is exact int64 fixed-point per the determinism
+# contract.
+# ---------------------------------------------------------------------------
+
+_Q70_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0
+         AS revenue,
+       COUNT(*) AS n_items
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+JOIN region r1 ON n1.n_regionkey = r1.r_regionkey AND r1.r_name = 'EUROPE'
+JOIN region r2 ON n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'ASIA'
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("q70_tpch_q7_volume_shipping", _Q70_SQL)
+def q70_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    # the same dim under two roles: alias columns before joining twice
+    n1 = n.join(
+        F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select(
+        F.col("n_nationkey").alias("supp_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = n.join(
+        F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select(
+        F.col("n_nationkey").alias("cust_nationkey"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    rev = _cents(F.col("l_extendedprice")) * (
+        F.lit(100) - _pct(F.col("l_discount"))
+    )
+    return (
+        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("supp_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cust_nationkey"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            (F.sum(rev).cast("double") / F.lit(10000.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q71 — TPC-H Q10 shape (returned-item reporting): top-20 customers by
+# revenue lost to returns in one quarter. Exercises agg-then-global-top-k:
+# the revenue ranking happens on int64 cents (exact ordering — no float
+# ties) with c_custkey as the deterministic tiebreak, and the LIMIT is a
+# TakeOrderedAndProject over the already-aggregated (small) result, never
+# a global sort of the fact table. Date filter pushed to orders; nation
+# broadcast.
+# ---------------------------------------------------------------------------
+
+_Q71_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+         AS revenue_x10k,
+       COUNT(*) AS n_items
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= DATE '1996-10-01' AND o_orderdate < DATE '1997-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue_x10k DESC, c_custkey
+LIMIT 20
+"""
+
+
+@query("q71_tpch_q10_returned_items", _Q71_SQL)
+def q71_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    rev = _cents(F.col("l_extendedprice")) * (
+        F.lit(100) - _pct(F.col("l_discount"))
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(rev).alias("revenue_x10k"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue_x10k").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q72 — TPC-H Q8 shape (national market share): of all ECONOMY-part revenue
+# sold to AMERICA-region customers, what fraction came from one supplier
+# nation, per year. The determinism-sensitive part is the share RATIO: both
+# numerator and denominator are exact int64 sums, and the share is ONE
+# division of those two integers — bit-identical across engines (IEEE 754
+# division is exactly specified given identical operands). Part filter
+# pushed to the part scan and broadcast; customer-side region restriction
+# rides the broadcast nation dim; the fact shuffles on orderkey/custkey
+# only.
+# ---------------------------------------------------------------------------
+
+_Q72_SQL = """
+WITH vol AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT)) AS volume,
+         n2.n_name AS supp_nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE p_type = 'ECONOMY'
+    AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+            AS DOUBLE)
+         / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+       CAST(SUM(volume) AS DOUBLE)/10000.0 AS total_volume,
+       COUNT(*) AS n_items
+FROM vol
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@query("q72_tpch_q8_market_share", _Q72_SQL)
+def q72_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    # customer-side nation restricted to the region; supplier-side nation
+    # under its own role alias
+    n1 = n.join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cust_nationkey"))
+    n2 = n.select(
+        F.col("n_nationkey").alias("supp_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    volume = _cents(F.col("l_extendedprice")) * (
+        F.lit(100) - _pct(F.col("l_discount"))
+    )
+    vol = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("supp_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cust_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
+                    .otherwise(F.lit(0).cast("long"))
+                ).cast("double")
+                / F.sum("volume").cast("double")
+            ).alias("mkt_share"),
+            (F.sum("volume").cast("double") / F.lit(10000.0)).alias(
+                "total_volume"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_year")
+    )
