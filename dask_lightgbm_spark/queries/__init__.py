@@ -151,6 +151,9 @@ _GATE_FIRST: list[str] = [
     "q70_tpch_q7_volume_shipping",
     "q71_tpch_q10_returned_items",
     "q72_tpch_q8_market_share",
+    "t37_ngram_lm_counts",
+    "t38_inverted_index",
+    "t39_chunk_dedup",
     "t34_semantic_dedup",
     "t35_quality_classifier",
     "q69_global_sorted_sink",

@@ -1859,3 +1859,272 @@ def t36_contamination_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("eval_doc", "train_doc", "n_shared", "covered_permille", "rank")
         .orderBy("eval_doc", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# t37 — n-gram LM count table (the classic MapReduce language-model job:
+# Brants et al., "Large Language Models in Machine Translation" — count all
+# 1..3-grams, prune by min-count, keep heavy hitters). One explode per
+# order, ONE shuffle on (n, gram) for the count, then a tiny top-k window
+# whose input is the pruned vocabulary — sublinear in the corpus by the
+# Zipf/heavy-hitter argument (min_count pruning is exactly what bounds the
+# tail at 100 TB; stupid-backoff LMs train from precisely this table).
+# n-gram construction is JVM array expressions (no Python, no join): the
+# token array is sliced/zipped against itself inside one projection.
+# ---------------------------------------------------------------------------
+
+_T37_MIN_COUNT = 3
+_T37_TOPK = 15
+
+_T37_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '[ \t\n\f\r]+'),
+                             x -> x <> '') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT 1 AS n, unnest(ts) AS gram FROM toks
+  UNION ALL
+  SELECT 2 AS n, unnest(list_transform(generate_series(1, len(ts) - 1),
+     g -> array_to_string(ts[g:g+1], ' '))) AS gram FROM toks
+  UNION ALL
+  SELECT 3 AS n, unnest(list_transform(generate_series(1, len(ts) - 2),
+     g -> array_to_string(ts[g:g+2], ' '))) AS gram FROM toks
+),
+counts AS (
+  SELECT n, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM grams GROUP BY n, gram
+  HAVING COUNT(*) >= {_T37_MIN_COUNT}
+),
+ranked AS (
+  SELECT n, gram, cnt,
+         CAST(row_number() OVER (PARTITION BY n ORDER BY cnt DESC, gram)
+              AS INTEGER) AS rank
+  FROM counts
+)
+SELECT n, gram, cnt, rank FROM ranked WHERE rank <= {_T37_TOPK}
+ORDER BY n, rank
+"""
+
+
+@query("t37_ngram_lm_counts", _T37_SQL)
+def t37_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    ts = F.filter(
+        F.split(F.trim(F.col("text")), r"[ \t\n\f\r]+"), lambda x: x != ""
+    )
+    docs = d.select(ts.alias("ts"))
+
+    def ngrams(n: int):
+        if n == 1:
+            return F.col("ts")
+        # slice to the n-gram window count, then join each start token with
+        # its n-1 successors — pure array expressions, zero Python
+        return F.transform(
+            F.slice(F.col("ts"), 1, F.greatest(F.size("ts") - (n - 1), F.lit(0))),
+            lambda x, i: F.array_join(
+                F.slice(F.col("ts"), i + 1, n), " "
+            ),
+        )
+
+    parts = [
+        docs.select(F.lit(n).alias("n"), F.explode(ngrams(n)).alias("gram"))
+        for n in (1, 2, 3)
+    ]
+    grams = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    counts = (
+        grams.groupBy("n", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= _T37_MIN_COUNT)
+    )
+    w = W.partitionBy("n").orderBy(F.desc("cnt"), F.asc("gram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _T37_TOPK)
+        .select("n", "gram", "cnt", "rank")
+        .orderBy("n", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t38 — inverted-index build (token → document-frequency + truncated
+# posting list): the retrieval-side data structure every corpus search /
+# BM25 / dedup-audit path needs. Postings are doc_id-ordered and HEAD-
+# TRUNCATED (first 8 ids) via a per-token rank window — the bounded
+# "posting segment" layout: per-token partitions are the natural index
+# shard, stopword-heavy tokens sort-spill rather than OOM, and production
+# would write successive rank-windows as chained segments. Serialized as a
+# comma-joined string so both engines compare exactly. df/tf_total come
+# from the same single (token,doc) aggregation — one shuffle on token.
+# ---------------------------------------------------------------------------
+
+_T38_HEAD = 8
+
+_T38_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '[ \t\n\f\r]+'),
+                                    x -> x <> '')) AS token
+  FROM documents
+),
+tf AS (SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM toks GROUP BY token, doc_id),
+ranked AS (
+  SELECT token, doc_id, tf,
+         row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rnk
+  FROM tf
+)
+SELECT token,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(tf) AS BIGINT) AS tf_total,
+       CAST(MAX(tf) AS BIGINT) AS max_tf,
+       COALESCE(string_agg(CASE WHEN rnk <= {_T38_HEAD}
+                                THEN CAST(doc_id AS VARCHAR) END,
+                           ',' ORDER BY doc_id), '') AS postings_head
+FROM ranked GROUP BY token ORDER BY token
+"""
+
+
+@query("t38_inverted_index", _T38_SQL)
+def t38_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.col("text")), r"[ \t\n\f\r]+"),
+                lambda x: x != "",
+            )
+        ).alias("token"),
+    )
+    tf = toks.groupBy("token", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    w = W.partitionBy("token").orderBy("doc_id")
+    ranked = tf.withColumn("rnk", F.row_number().over(w))
+    head_ids = F.array_sort(
+        F.collect_list(
+            F.when(F.col("rnk") <= _T38_HEAD, F.col("doc_id"))
+        )
+    )
+    return (
+        ranked.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("tf_total"),
+            F.max("tf").alias("max_tf"),
+            F.array_join(
+                F.transform(head_ids, lambda x: x.cast("string")), ","
+            ).alias("postings_head"),
+        )
+        .orderBy("token")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t39 — chunk-level exact dedup (the C4 / "three-sentence span" move,
+# Raffel et al. §2.2, applied at token-window granularity since the fixture
+# text has no sentence boundaries): every 8-token chunk that appears
+# anywhere earlier in the corpus (order = (doc_id, chunk_idx)) is dropped;
+# docs are reported with their surviving-chunk count and an md5 digest of
+# the reconstructed text so the oracle verifies the exact surviving
+# CONTENT, not just counts. Scale: one shuffle partitions chunks by their
+# text (identical chunks co-locate — the t01 exact-dedup shape), the
+# first-occurrence window runs per chunk-group, and reconstruction
+# re-groups by doc — no all-pairs anywhere, memory bounded per group.
+# ---------------------------------------------------------------------------
+
+_T39_W = 8
+
+_T39_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '[ \t\n\f\r]+'),
+                             x -> x <> '') AS ts
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, g AS chunk_idx,
+         array_to_string(ts[(g-1)*{_T39_W}+1 : least(g*{_T39_W}, len(ts))],
+                         ' ') AS chunk
+  FROM toks, LATERAL (SELECT unnest(generate_series(
+         1, CAST((len(ts) + {_T39_W} - 1) // {_T39_W} AS INT))) AS g)
+),
+kept AS (
+  SELECT doc_id, chunk_idx, chunk,
+         row_number() OVER (PARTITION BY chunk
+                            ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END,
+                                 ' ' ORDER BY chunk_idx), '')) AS kept_digest
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_chunks, 0) AS n_chunks,
+       COALESCE(p.n_kept, 0) AS n_kept,
+       COALESCE(p.kept_digest, md5('')) AS kept_digest
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+@query("t39_chunk_dedup", _T39_SQL)
+def t39_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    ts = F.filter(
+        F.split(F.trim(F.col("text")), r"[ \t\n\f\r]+"), lambda x: x != ""
+    )
+    n_chunks = F.expr(f"(size(ts) + {_T39_W - 1}) div {_T39_W}")
+    docs = d.select("doc_id", ts.alias("ts"))
+    # sequence(1, 0) would step BACKWARD in Spark — guard empty docs
+    chunk_arr = F.when(
+        n_chunks >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_chunks.cast("int")),
+            lambda g: F.array_join(
+                F.slice(F.col("ts"), (g - 1) * _T39_W + 1, _T39_W), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    chunks = docs.select(
+        "doc_id", F.posexplode(chunk_arr).alias("pos", "chunk")
+    ).select("doc_id", (F.col("pos") + 1).alias("chunk_idx"), "chunk")
+    w = W.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    kept = chunks.withColumn("rn", F.row_number().over(w))
+    # reconstruct surviving text per doc: per-doc state is bounded by the
+    # doc's own chunk count
+    surv = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("rn") == 1, F.struct("chunk_idx", "chunk")
+                )
+            )
+        ),
+        lambda s: s.chunk,
+    )
+    per_doc = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.md5(F.array_join(surv, " ")).alias("kept_digest"),
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("kept_digest", F.md5(F.lit(""))).alias("kept_digest"),
+        )
+        .orderBy("doc_id")
+    )
