@@ -87,8 +87,11 @@ def shingle_hash_array(
     so the array is too (~1 int64 per char); this is the carrier for the
     zero-shuffle signature + verify stages. Shingles are hashed with a
     32-bit rolling hash over a per-char code array (one pass per doc,
-    5 mult-adds per position — no per-shingle md5)."""
-    df = ensure_parallelism(df)
+    5 mult-adds per position — no per-shingle md5). Works on streaming
+    inputs too (pure projection; the parallelism spread is batch-only —
+    a stream's partitioning is the source's)."""
+    if not df.isStreaming:
+        df = ensure_parallelism(df)
     n_pos = F.greatest(F.length(text_col) - (k - 1), F.lit(1))
     codes = F.transform(F.split(F.col(text_col), ""), lambda c: F.ascii(c))
     return df.withColumn("__codes", codes).select(

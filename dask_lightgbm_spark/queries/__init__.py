@@ -151,6 +151,8 @@ _GATE_FIRST: list[str] = [
     "q70_tpch_q7_volume_shipping",
     "q71_tpch_q10_returned_items",
     "q72_tpch_q8_market_share",
+    "s22_knn_graph",
+    "x13_stream_decontamination",
     "t37_ngram_lm_counts",
     "t38_inverted_index",
     "t39_chunk_dedup",

@@ -1468,3 +1468,81 @@ def s21_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("qid", "nid", "rank", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# s22 — kNN-GRAPH construction (per-vector top-k neighbors, not per-query
+# serving): the batch artifact behind NN-Descent, graph-based ANN (HNSW
+# seeding), SemDeDup's neighbor lists, and label-propagation over
+# embeddings. Single-probe IVF composition: candidates are CELL-MATES only
+# (one equi-join on the cached index's cell key — never all-pairs), each
+# source vector ranks its candidates and keeps k. The rank window
+# partitions on the SOURCE vector id, so its input is bounded by the
+# source's own cell population (cell-size skew → the bucket_cap salting
+# argument from t05 applies verbatim). Cosines reuse the index's
+# build-time norms on both sides — zero per-pair norm work.
+# ---------------------------------------------------------------------------
+
+_S22_K = 3
+
+_S22_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+cell_scored AS (
+  SELECT e.vec_id, e.v, cent.cid, {_sql_cos('e.v', 'cent.cv')} AS cs
+  FROM e, cent
+),
+assigned AS (
+  SELECT vec_id, v, cid AS cell FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+    FROM cell_scored
+  ) WHERE rn = 1
+),
+edges AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, {_sql_cos('a.v', 'b.v')} AS cos
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT src, dst, cos,
+         CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst)
+              AS INTEGER) AS rank
+  FROM edges
+)
+SELECT src, dst, cos, rank FROM ranked WHERE rank <= {_S22_K}
+ORDER BY src, rank
+"""
+
+
+@query("s22_knn_graph", _S22_SQL)
+def s22_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    assigned = _ivf_index(spark, sf_dir)
+    a = assigned.select(
+        F.col("vec_id").alias("src"), F.col("v").alias("va"),
+        F.col("cell"), F.col("nn").alias("na"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("dst"), F.col("v").alias("vb"),
+        F.col("cell"), F.col("nn").alias("nb"),
+    )
+    edges = (
+        a.join(b, "cell")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.try_divide(
+                sim.dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")
+            ).alias("cos"),
+        )
+    )
+    w = W.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
+    return (
+        edges.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _S22_K)
+        .select("src", "dst", "cos", "rank")
+        .orderBy("src", "rank")
+    )

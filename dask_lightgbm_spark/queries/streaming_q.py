@@ -282,3 +282,76 @@ def x12_stream_quality_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).orderBy("doc_id")
+
+
+# x13 reuses t19's oracle verbatim: the streaming decontamination filter is
+# a stateless projection (row-local shingle set ∩ broadcast eval set), so
+# the drained stream equals the batch t19 report row-for-row
+from dask_lightgbm_spark.queries.text import _T19_SQL as _X13_SQL  # noqa: E402
+
+
+@query("x13_stream_decontamination", _X13_SQL)
+def x13_stream_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming train-corpus decontamination: train documents arrive as a
+    bounded file stream and each row is checked against the STATIC eval
+    shingle set — the online-ingest twin of batch t19 (contamination
+    screening at ingest time, before a doc ever lands in the corpus).
+
+    Shape: the eval split's distinct shingle hashes are collapsed into a
+    ONE-ROW static aggregate and broadcast into the stream via a keyed
+    stream-static join (the "broadcast a 1-row aggregate" pattern the
+    batch catalog already uses); overlap is then size(array_intersect(...))
+    inside a stateless projection — zero streaming state, no watermark,
+    append mode, constant memory on an unbounded ingest stream. The
+    shingle extractor is SHARED code (operators/dedup.shingle_hash_array),
+    so batch and stream shingle identically by construction. Eval sets are
+    small by nature (t19's scale argument); the broadcast is their distinct
+    hash set."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from dask_lightgbm_spark.operators import dedup
+    from dask_lightgbm_spark.queries.text import K_SHINGLE
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    # static side: the eval split's distinct shingle hashes as one row
+    ev = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % 20 == 0
+    )
+    ev_row = (
+        dedup.shingle_hash_array(ev, "doc_id", "text", K_SHINGLE)
+        .select(F.explode("hs").alias("h"))
+        .agg(F.array_sort(F.collect_set("h")).alias("ev"))
+        .withColumn("__k", F.lit(1))
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("doc_id") % 20 != 0)
+    )
+    tr = dedup.shingle_hash_array(src, "doc_id", "text", K_SHINGLE).withColumn(
+        "__k", F.lit(1)
+    )
+    joined = tr.join(F.broadcast(ev_row), "__k")
+    n_sh = F.size("hs").cast("long")
+    n_ov = F.size(F.array_intersect("hs", "ev")).cast("long")
+    scored = joined.select(
+        "doc_id",
+        n_sh.alias("n_shingles"),
+        n_ov.alias("n_overlap"),
+        (n_ov * F.lit(5) >= n_sh).alias("contaminated"),
+    )
+    name = f"stream_decon_{uuid.uuid4().hex[:8]}"
+    q = (
+        scored.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("doc_id")
