@@ -153,6 +153,8 @@ _GATE_FIRST: list[str] = [
     "q72_tpch_q8_market_share",
     "s22_knn_graph",
     "x13_stream_decontamination",
+    "q73_bucketed_join",
+    "q74_incremental_agg_merge",
     "t37_ngram_lm_counts",
     "t38_inverted_index",
     "t39_chunk_dedup",

@@ -2743,3 +2743,141 @@ def q72_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# q73 — BUCKETED co-located join (the shuffle-free join layout): both join
+# sides are written as tables bucketed on the join key into the same
+# bucket count, then joined — Spark reads bucket i of each side into the
+# same task and the SortMergeJoin runs with ZERO Exchange on either side
+# (tests/test_plans.py pins the absence). At 100 TB this is the layout
+# decision that matters most: a fact table bucketed on its FK turns every
+# recurring join against it from a full-network shuffle into a local merge.
+# The tables are external (explicit scratch path), bucket count 8, and the
+# result is the plain join+agg the oracle recomputes from the raw files.
+# ---------------------------------------------------------------------------
+
+_Q73_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0
+         AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+_Q73_BUCKETS = 8
+
+
+def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write lineitem/orders as orderkey-bucketed tables (once per
+    session+sf_dir) and return their table names. The write is the one-time
+    layout cost; every subsequent join on orderkey is exchange-free."""
+    from dask_lightgbm_spark.session import scratch_dir
+
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    lt, ot = f"q73_lineitem_{tag}", f"q73_orders_{tag}"
+    cache = getattr(spark, "_dls_bucketed_tables", None)
+    if cache is None:
+        cache = set()
+        spark._dls_bucketed_tables = cache
+    if (lt, ot) not in cache:
+        base = scratch_dir("q73_bucketed") + "/" + tag
+        l = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        (
+            l.write.mode("overwrite")
+            .bucketBy(_Q73_BUCKETS, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", f"{base}/lineitem")
+            .saveAsTable(lt)
+        )
+        (
+            o.write.mode("overwrite")
+            .bucketBy(_Q73_BUCKETS, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", f"{base}/orders")
+            .saveAsTable(ot)
+        )
+        cache.add((lt, ot))
+    return lt, ot
+
+
+@query("q73_bucketed_join", _Q73_SQL)
+def q73_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lt, ot = bucketed_tables(spark, sf_dir)
+    l, o = spark.table(lt), spark.table(ot)
+    rev = _cents(F.col("l_extendedprice")) * (
+        F.lit(100) - _pct(F.col("l_discount"))
+    )
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(rev).cast("double") / F.lit(10000.0)).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q74 — incremental aggregate maintenance (materialized-view delta merge):
+# the hourly rollup is maintained as base_agg ⊕ agg(delta) instead of
+# recomputing over all data — the algebraic property (SUM/COUNT are
+# commutative monoids, so partial aggregates merge by re-aggregation) that
+# underlies every incremental pipeline. Here the base aggregate is
+# MATERIALIZED to parquet (the stored MV), the delta (last day of events)
+# is aggregated alone, and the result is the re-aggregated union. The
+# oracle recomputes from ALL raw events — equality IS the merge law. At
+# 100 TB the delta is a day and the base is never rescanned.
+# ---------------------------------------------------------------------------
+
+_Q74_SPLIT = "2024-01-20 00:00:00"
+
+_Q74_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY hour, event_type
+ORDER BY hour, event_type
+"""
+
+
+@query("q74_incremental_agg_merge", _Q74_SQL)
+def q74_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_lightgbm_spark.session import scratch_dir
+
+    e = load_table(spark, sf_dir, "events")
+    split = F.lit(_Q74_SPLIT).cast("timestamp")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents(F.col("value"))).alias("value_cents"),
+        )
+
+    # the stored MV: aggregate of everything before the split, materialized
+    mv = scratch_dir("q74_mv") + "/" + sf_dir.strip("/").replace("/", "_")
+    agg(e.filter(F.col("ts") < split)).write.mode("overwrite").parquet(mv)
+    base = spark.read.parquet(mv)
+    delta = agg(e.filter(F.col("ts") >= split))
+    # merge law: partial aggregates re-aggregate (n: SUM, value: SUM)
+    return (
+        base.unionByName(delta)
+        .groupBy("hour", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("value_cents").alias("value_cents"),
+        )
+        .orderBy("hour", "event_type")
+    )

@@ -132,3 +132,32 @@ def test_sorted_sink_readback_rank_is_distributed(spark, sf_dir):
     df = all_queries()["q69_global_sorted_sink"](spark, sf_dir)
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir):
+    """q73's layout claim: with both sides bucketed on the join key, the
+    non-broadcast join must run WITHOUT a shuffle on either side — bucket i
+    joins bucket i locally. Broadcast is disabled to force the regime that
+    actually exists at 100 TB (neither side fits in memory); the join
+    subtree must then be a SortMergeJoin whose children contain no
+    Exchange."""
+    from pyspark.sql import functions as F
+
+    from dask_lightgbm_spark.queries.relational import bucketed_tables
+
+    lt, ot = bucketed_tables(spark, sf_dir)
+    orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    orig_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        j = spark.table(lt).join(
+            spark.table(ot), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert "SelectedBucketsCount" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", orig_aqe)
