@@ -491,3 +491,74 @@ def simhash_neardup_pairs(
         "id_b",
         F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long").alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def minhash_lsh_match_against(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int = 5,
+    num_perm: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.7,
+    est_min_matches: int | None = None,
+) -> DataFrame:
+    """INCREMENTAL ingest dedup: match a NEW batch against an EXISTING
+    corpus (two-sided LSH, not the t05 self-join) → (new_id, corpus_id,
+    jaccard ≥ threshold). The production shape for continuous ingestion:
+    the corpus side's signatures are the persisted dedup index (rebuilt
+    here from text because the fixture has no stored index; at scale the
+    corpus band table is read, not recomputed — it is exactly the banding
+    layout _band_views defines), the new batch is small, and the band
+    equi-join touches only colliding buckets. Same estimate-prefilter →
+    exact-verify ladder as minhash_lsh_neardup; no ordering constraint
+    because the two sides are disjoint id spaces."""
+    if est_min_matches is None:
+        est_min_matches = num_perm // 2
+    arr_new = shingle_hash_array(new_df, id_col, text_col, k_shingle).persist()
+    arr_cor = shingle_hash_array(corpus_df, id_col, text_col, k_shingle).persist()
+    sig_arr = F.array(*[F.col(f"mh{i}") for i in range(num_perm)])
+    bands_new = _band_views(
+        signatures_from_array(arr_new, id_col, num_perm),
+        id_col, num_perm, band_size, extra_cols=[sig_arr.alias("sigarr")],
+    )
+    bands_cor = _band_views(
+        signatures_from_array(arr_cor, id_col, num_perm),
+        id_col, num_perm, band_size, extra_cols=[sig_arr.alias("sigarr")],
+    )
+    a, b = bands_new.alias("a"), bands_cor.alias("b")
+    cond = F.col("a.band") == F.col("b.band")
+    for j in range(band_size):
+        cond = cond & (F.col(f"a.bv{j}") == F.col(f"b.bv{j}"))
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("a.sigarr"), F.col("b.sigarr"), lambda x, y: (x == y).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        a.join(b, cond)
+        .filter(matches >= est_min_matches)
+        .select(
+            F.col(f"a.{id_col}").alias("new_id"),
+            F.col(f"b.{id_col}").alias("corpus_id"),
+        )
+        .distinct()
+    )
+    an = arr_new.select(F.col(id_col).alias("new_id"), F.col("hs").alias("ha"))
+    bc = arr_cor.select(F.col(id_col).alias("corpus_id"), F.col("hs").alias("hb"))
+    inter = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
+    jac = (
+        cand.join(an, "new_id")
+        .join(bc, "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            (
+                inter / (F.size(F.col("ha")) + F.size(F.col("hb")) - inter)
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold)

@@ -155,6 +155,9 @@ _GATE_FIRST: list[str] = [
     "x13_stream_decontamination",
     "q73_bucketed_join",
     "q74_incremental_agg_merge",
+    "q75_constraint_audit",
+    "t40_incremental_ingest_dedup",
+    "s23_ivf_incremental_insert",
     "t37_ngram_lm_counts",
     "t38_inverted_index",
     "t39_chunk_dedup",

@@ -2881,3 +2881,132 @@ def q74_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q75 — data-quality constraint audit (the deequ/great-expectations shape):
+# a declarative battery of integrity checks — referential (FK anti-joins),
+# domain ranges, sign rules, key uniqueness — each evaluated as ONE
+# aggregate pass and unioned into a single report. Scale: every check is
+# scan+agg (no row-level output, counts only); the FK checks are LEFT ANTI
+# joins whose dim side broadcasts; the PK-uniqueness check is one groupBy
+# on the candidate key. The fixture genuinely fails two checks (negative
+# balances, duplicate (orderkey, linenumber) pairs) and passes the FK
+# checks — the audit finds real findings, it doesn't rubber-stamp.
+# ---------------------------------------------------------------------------
+
+_Q75_SQL = """
+WITH checks AS (
+  SELECT 'customer_acctbal_nonneg' AS constraint_name,
+         (SELECT COUNT(*) FROM customer) AS n_checked,
+         (SELECT COUNT(*) FROM customer WHERE c_acctbal < 0) AS n_violations
+  UNION ALL
+  SELECT 'lineitem_discount_range',
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*) FROM lineitem
+          WHERE l_discount < 0 OR l_discount > 0.1)
+  UNION ALL
+  SELECT 'lineitem_orderkey_fk',
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey))
+  UNION ALL
+  SELECT 'lineitem_pk_unique',
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COALESCE(SUM(cnt - 1), 0) FROM (
+            SELECT COUNT(*) AS cnt FROM lineitem
+            GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1))
+  UNION ALL
+  SELECT 'lineitem_quantity_max45',
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*) FROM lineitem WHERE l_quantity > 45)
+  UNION ALL
+  SELECT 'orders_custkey_fk',
+         (SELECT COUNT(*) FROM orders),
+         (SELECT COUNT(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey))
+)
+SELECT constraint_name, CAST(n_checked AS BIGINT) AS n_checked,
+       CAST(n_violations AS BIGINT) AS n_violations,
+       n_violations = 0 AS passed
+FROM checks
+ORDER BY constraint_name
+"""
+
+
+@query("q75_constraint_audit", _Q75_SQL)
+def q75_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+
+    def check(name: str, base: DataFrame, viol) -> DataFrame:
+        return base.agg(
+            F.count(F.lit(1)).alias("n_checked"),
+            F.coalesce(
+                F.sum(F.when(viol, 1).otherwise(0)), F.lit(0)
+            ).cast("long").alias("n_violations"),
+        ).select(F.lit(name).alias("constraint_name"), "n_checked", "n_violations")
+
+    checks = [
+        check("customer_acctbal_nonneg", c, F.col("c_acctbal") < 0),
+        check(
+            "lineitem_discount_range",
+            l,
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1),
+        ),
+        # FK: count rows whose key has no match — LEFT ANTI against the
+        # broadcast parent key set
+        l.join(
+            o.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .crossJoin(F.broadcast(l.agg(F.count(F.lit(1)).alias("n_checked"))))
+        .select(
+            F.lit("lineitem_orderkey_fk").alias("constraint_name"),
+            "n_checked",
+            "n_violations",
+        ),
+        l.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.sum(F.col("cnt")).alias("n_checked"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("cnt") > 1, F.col("cnt") - 1).otherwise(0)
+                ),
+                F.lit(0),
+            ).cast("long").alias("n_violations"),
+        )
+        .select(
+            F.lit("lineitem_pk_unique").alias("constraint_name"),
+            "n_checked",
+            "n_violations",
+        ),
+        check("lineitem_quantity_max45", l, F.col("l_quantity") > 45),
+        o.join(
+            F.broadcast(c.select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .crossJoin(F.broadcast(o.agg(F.count(F.lit(1)).alias("n_checked"))))
+        .select(
+            F.lit("orders_custkey_fk").alias("constraint_name"),
+            "n_checked",
+            "n_violations",
+        ),
+    ]
+    out = checks[0]
+    for chk in checks[1:]:
+        out = out.unionByName(chk)
+    return out.select(
+        "constraint_name",
+        "n_checked",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    ).orderBy("constraint_name")

@@ -1546,3 +1546,46 @@ def s22_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst", "cos", "rank")
         .orderBy("src", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# s23 — incremental IVF index INSERT (index maintenance, not rebuild): a
+# new vector batch (vec_id % 10 == 7, ~10%) arrives after the base index
+# was built; the new vectors are assigned to the EXISTING centroids (IVF
+# centroids are fixed between retrains — FAISS add()) and appended to the
+# storage assignment; queries then serve against base ∪ delta. The insert
+# cost is one centroid scan over the DELTA ONLY — the base corpus is never
+# re-scored, which is the entire point of incremental maintenance at
+# 100 TB. No centroid has vec_id % 10 == 7 (25k mod 10 ∈ {0, 5}), so the
+# incremental index's cells are IDENTICAL to a from-scratch build and the
+# batch s02 oracle verifies the merged index bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_S23_SQL = _S02_SQL
+
+
+@query("s23_ivf_incremental_insert", _S23_SQL)
+def s23_ivf_incremental_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cache = getattr(spark, "_dls_ivf_incr_cache", None)
+    if cache is None:
+        cache = {}
+        spark._dls_ivf_incr_cache = cache
+    if sf_dir not in cache:
+        e = load_table(spark, sf_dir, "embeddings")
+        cents = e.filter(F.col("vec_id") % 25 == 0)
+        base = sim.assign_cells_vectorized(
+            e.filter(F.col("vec_id") % 10 != 7), cents
+        )
+        # the INSERT: delta-only assignment against the frozen centroids
+        delta = sim.assign_cells_vectorized(
+            e.filter(F.col("vec_id") % 10 == 7), cents
+        )
+        cache[sf_dir] = base.unionByName(delta).persist()
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.ivf_knn(
+        e,
+        queries_filter=F.col("vec_id") < 10,
+        centroid_filter=F.col("vec_id") % 25 == 0,
+        k=3,
+        assigned=cache[sf_dir],
+    )

@@ -2128,3 +2128,98 @@ def t39_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# t40 — INCREMENTAL ingest dedup (new batch vs existing corpus): the
+# continuous-ingestion counterpart of t05's batch self-dedup. The arriving
+# batch (source = 'src0', small) is LSH-matched against the EXISTING
+# corpus's signature index — a two-sided band equi-join, disjoint id
+# spaces, so no self-join and no ordering constraint — then each new doc
+# gets an admit/reject verdict with its best-matching corpus doc (highest
+# verified Jaccard, ties → lowest corpus id). At scale the corpus band
+# table is the persisted dedup index read from storage; only colliding
+# buckets are touched, and the new batch never scans the corpus text
+# except for the verified candidates' arrays.
+# ---------------------------------------------------------------------------
+
+_T40_SQL = (
+    "WITH" + _SQL_SHINGLE_ARR + "," + _SQL_MINHASH_WIDE + f""",
+bands AS ({_bands_sql}),
+newdocs AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+cand0 AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bv0 = b.bv0 AND a.bv1 = b.bv1
+   AND a.bv2 = b.bv2 AND a.bv3 = b.bv3
+  WHERE a.doc_id IN (SELECT doc_id FROM newdocs)
+    AND b.doc_id NOT IN (SELECT doc_id FROM newdocs)
+),
+cand AS (
+  SELECT new_id, corpus_id FROM cand0
+  JOIN m ma ON ma.doc_id = new_id
+  JOIN m mb ON mb.doc_id = corpus_id
+  WHERE ({_est_matches}) >= {NUM_PERM // 2}
+),
+verified AS (
+  SELECT c.new_id, c.corpus_id,
+         len(list_intersect(a.hs, b.hs)) AS inter,
+         len(a.hs) AS na, len(b.hs) AS nb
+  FROM cand c
+  JOIN arr a ON a.doc_id = c.new_id
+  JOIN arr b ON b.doc_id = c.corpus_id
+),
+hits AS (
+  SELECT new_id, corpus_id, inter / (na + nb - inter) AS jaccard
+  FROM verified WHERE inter / (na + nb - inter) >= 0.7
+),
+best AS (
+  SELECT new_id, corpus_id, jaccard,
+         CAST(COUNT(*) OVER (PARTITION BY new_id) AS BIGINT) AS n_matches,
+         row_number() OVER (PARTITION BY new_id
+                            ORDER BY jaccard DESC, corpus_id) AS rn
+  FROM hits
+)
+SELECT n.doc_id,
+       COALESCE(b.n_matches, 0) AS n_matches,
+       b.corpus_id AS best_match_id,
+       b.jaccard AS best_jaccard,
+       b.new_id IS NOT NULL AS is_dup
+FROM newdocs n LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+  ON n.doc_id = b.new_id
+ORDER BY n.doc_id
+"""
+)
+
+
+@query("t40_incremental_ingest_dedup", _T40_SQL)
+def t40_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("source") == "src0")
+    corpus = d.filter(F.col("source") != "src0")
+    hits = dedup.minhash_lsh_match_against(
+        new, corpus, "doc_id", "text",
+        k_shingle=K_SHINGLE, num_perm=NUM_PERM, band_size=BAND_SIZE,
+        threshold=0.7,
+    )
+    w = W.partitionBy("new_id")
+    wr = W.partitionBy("new_id").orderBy(F.desc("jaccard"), F.asc("corpus_id"))
+    best = (
+        hits.withColumn("n_matches", F.count(F.lit(1)).over(w).cast("long"))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        new.select("doc_id")
+        .join(best, F.col("doc_id") == F.col("new_id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+            F.col("corpus_id").alias("best_match_id"),
+            F.col("jaccard").alias("best_jaccard"),
+            F.col("new_id").isNotNull().alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )
