@@ -105,9 +105,14 @@ def shingle_hash_array(
     )
 
 
-def signatures_from_array(arr: DataFrame, id_col: str, num_perm: int) -> DataFrame:
+def signatures_from_array(
+    arr: DataFrame, id_col: str, num_perm: int, keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Wide minhash signature from per-doc hash arrays: (id, mh0..mh{n-1}).
-    array_min over a row-local transform — NO shuffle at all."""
+    array_min over a row-local transform — NO shuffle at all. ``keep_cols``
+    carries input columns (e.g. the hs array itself) alongside the
+    signature — the streaming ingest path needs the verify-stage array on
+    the same row because a second stream-side join is not an option."""
     from dask_lightgbm_spark.functions.hashing import MINHASH_COEF
 
     if not 1 <= num_perm <= len(MINHASH_COEF):
@@ -125,7 +130,9 @@ def signatures_from_array(arr: DataFrame, id_col: str, num_perm: int) -> DataFra
         F.array_min(F.transform(F.col("hs"), perm_fn(i))).alias(f"mh{i}")
         for i in range(num_perm)
     ]
-    return arr.select(F.col(id_col), *cols)
+    return arr.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols], *cols
+    )
 
 
 def minhash_signatures(

@@ -158,6 +158,8 @@ _GATE_FIRST: list[str] = [
     "q75_constraint_audit",
     "t40_incremental_ingest_dedup",
     "s23_ivf_incremental_insert",
+    "ml04_hashed_bow_features",
+    "x14_stream_ingest_dedup",
     "t37_ngram_lm_counts",
     "t38_inverted_index",
     "t39_chunk_dedup",

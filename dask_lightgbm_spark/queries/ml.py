@@ -155,3 +155,41 @@ def ml03_pipeline_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("acc_ge_095")
     )
     return stats.crossJoin(F.broadcast(gate))
+
+
+# ---------------------------------------------------------------------------
+# ml04 — hashed bag-of-words featurization (HashingTF layout): the bridge
+# from the documents corpus to the ML estimators. The query returns the
+# sparse-COO relational view (doc_id, bucket, cnt) that the oracle
+# recomputes exactly (md5-prefix bucket hash — the t35 formula — instead
+# of murmur3 precisely so both engines agree); the MLlib carrier
+# (hashed_bow_vectors → array_to_vector, zero-shuffle, no Python UDF) is
+# proven equivalent to this view by tests/test_features.py and feeds
+# SparkLGBMClassifier / LogisticRegression directly.
+# ---------------------------------------------------------------------------
+
+_ML04_B = 32
+
+_ML04_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(text), '[ \t\n\f\r]+'),
+                            x -> x <> '')) AS token
+  FROM documents
+)
+SELECT doc_id,
+       CAST((('0x' || substr(md5(token), 1, 8))::BIGINT % {_ML04_B}) AS INT)
+         AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM toks
+GROUP BY doc_id, bucket
+ORDER BY doc_id, bucket
+"""
+
+
+@query("ml04_hashed_bow_features", _ML04_SQL)
+def ml04_hashed_bow_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_lightgbm_spark.operators.features import hashed_bow
+
+    d = load_table(spark, sf_dir, "documents")
+    return hashed_bow(d, "doc_id", "text", _ML04_B).orderBy("doc_id", "bucket")

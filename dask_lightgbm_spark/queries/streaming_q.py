@@ -355,3 +355,122 @@ def x13_stream_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).orderBy("doc_id")
+
+
+# x14's oracle is t40's verified-pairs CTE chain: the stream emits exactly
+# the batch pipeline's hits
+from dask_lightgbm_spark.queries.text import _T40_HITS_SQL  # noqa: E402
+
+_X14_SQL = (
+    _T40_HITS_SQL
+    + "\nSELECT new_id, corpus_id, jaccard FROM hits ORDER BY new_id, corpus_id"
+)
+
+
+@query("x14_stream_ingest_dedup", _X14_SQL)
+def x14_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup: arriving documents are LSH-checked against
+    the STATIC corpus signature index *as they stream in* — the online twin
+    of batch t40 and the shape of a production admission gate (a doc is
+    admitted/rejected before it lands in the corpus).
+
+    Plan per micro-batch: row-local shingle array → row-local minhash →
+    band explode (all stateless projections, shared operator code), then a
+    STREAM-STATIC equi-join against the corpus band table (static side
+    computed once from the session-cached batch plan), a stateful
+    dropDuplicates on the candidate pair (multiple bands can propose the
+    same pair — in production bounded by a watermark on ingest time; the
+    pair stream is band-collision-sized, not corpus-sized), and a second
+    stream-static join to the corpus shingle arrays for the exact-Jaccard
+    verify. Zero corpus scans per batch beyond the verified candidates'
+    arrays; the emitted append stream is bit-identical to the batch
+    pipeline's verified pairs, which IS the oracle."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from dask_lightgbm_spark.operators import dedup
+    from dask_lightgbm_spark.operators.dedup import (
+        _band_views,
+        signatures_from_array,
+    )
+    from dask_lightgbm_spark.queries.text import BAND_SIZE, K_SHINGLE, NUM_PERM
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = d.filter(F.col("source") != "src0")
+    arr_cor = dedup.shingle_hash_array(corpus, "doc_id", "text", K_SHINGLE)
+    sig_arr = F.array(*[F.col(f"mh{i}") for i in range(NUM_PERM)])
+    bands_cor = _band_views(
+        signatures_from_array(arr_cor, "doc_id", NUM_PERM),
+        "doc_id", NUM_PERM, BAND_SIZE, extra_cols=[sig_arr.alias("sigarr")],
+    ).select(
+        F.col("doc_id").alias("corpus_id"), "band",
+        *[F.col(f"bv{j}") for j in range(BAND_SIZE)],
+        F.col("sigarr").alias("sig_cor"),
+    )
+    src = (
+        spark.readStream.schema(d.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("source") == "src0")
+    )
+    arr_new = dedup.shingle_hash_array(src, "doc_id", "text", K_SHINGLE)
+    # the new doc's shingle array rides the band rows (keep_cols): the
+    # verify stage must NOT re-join the stream to itself — a second
+    # stream-side join would be a stream-stream join
+    bands_new = _band_views(
+        signatures_from_array(arr_new, "doc_id", NUM_PERM, keep_cols=("hs",)),
+        "doc_id", NUM_PERM, BAND_SIZE,
+        extra_cols=[sig_arr.alias("sigarr"), F.col("hs").alias("ha")],
+    ).select(
+        F.col("doc_id").alias("new_id"), "band",
+        *[F.col(f"bv{j}") for j in range(BAND_SIZE)],
+        F.col("sigarr").alias("sig_new"), "ha",
+    )
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("sig_new"), F.col("sig_cor"), lambda x, y: (x == y).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        bands_new.join(
+            F.broadcast(bands_cor),
+            ["band"] + [f"bv{j}" for j in range(BAND_SIZE)],
+        )
+        .filter(matches >= NUM_PERM // 2)
+        # the ONE stateful op: multiple bands propose the same pair; the
+        # duplicate-pair state is band-collision-sized (watermarked on
+        # ingest time in production). ha is functionally determined by
+        # new_id, so keeping the first row keeps the right array.
+        .dropDuplicates(["new_id", "corpus_id"])
+        .select("new_id", "corpus_id", "ha")
+    )
+    bc = arr_cor.select(
+        F.col("doc_id").alias("corpus_id"), F.col("hs").alias("hb")
+    )
+    inter = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
+    verified = (
+        cand.join(F.broadcast(bc), "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            (
+                inter / (F.size(F.col("ha")) + F.size(F.col("hb")) - inter)
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.7)
+    )
+    name = f"stream_ingest_{uuid.uuid4().hex[:8]}"
+    q = (
+        verified.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("new_id", "corpus_id")

@@ -2143,7 +2143,9 @@ def t39_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # except for the verified candidates' arrays.
 # ---------------------------------------------------------------------------
 
-_T40_SQL = (
+# shared WITH-chain through the verified pairs ("hits") — x14's streaming
+# twin reuses it verbatim as its own oracle
+_T40_HITS_SQL = (
     "WITH" + _SQL_SHINGLE_ARR + "," + _SQL_MINHASH_WIDE + f""",
 bands AS ({_bands_sql}),
 newdocs AS (SELECT doc_id FROM documents WHERE source = 'src0'),
@@ -2172,7 +2174,12 @@ verified AS (
 hits AS (
   SELECT new_id, corpus_id, inter / (na + nb - inter) AS jaccard
   FROM verified WHERE inter / (na + nb - inter) >= 0.7
-),
+)"""
+)
+
+_T40_SQL = (
+    _T40_HITS_SQL
+    + """,
 best AS (
   SELECT new_id, corpus_id, jaccard,
          CAST(COUNT(*) OVER (PARTITION BY new_id) AS BIGINT) AS n_matches,
