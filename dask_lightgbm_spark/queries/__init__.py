@@ -160,6 +160,9 @@ _GATE_FIRST: list[str] = [
     "s23_ivf_incremental_insert",
     "ml04_hashed_bow_features",
     "x14_stream_ingest_dedup",
+    "t41_gopher_quality_rules",
+    "s24_knn_truncated_rerank",
+    "q76_orc_roundtrip",
     "t37_ngram_lm_counts",
     "t38_inverted_index",
     "t39_chunk_dedup",

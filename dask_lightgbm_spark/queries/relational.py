@@ -3010,3 +3010,45 @@ def q75_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     ).orderBy("constraint_name")
+
+
+# ---------------------------------------------------------------------------
+# q76 — ORC sink + scan round-trip: the second columnar format (Spark ships
+# a native vectorized ORC reader/writer). The lineitem projection is
+# written as zstd ORC partitioned work, read back, and aggregated — the
+# oracle computes the same aggregate from the original parquet, so the
+# round-trip proves lossless storage of doubles/strings/longs across the
+# format boundary. At scale the interesting property is preserved
+# vectorization: the read-back plan is a columnar ORC scan with the
+# returnflag filter pushed down, same as parquet.
+# ---------------------------------------------------------------------------
+
+_Q76_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM lineitem
+WHERE l_returnflag <> 'N'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("q76_orc_roundtrip", _Q76_SQL)
+def q76_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_lightgbm_spark.session import scratch_dir
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice"
+    )
+    out = scratch_dir("q76_orc") + "/" + sf_dir.strip("/").replace("/", "_")
+    l.write.mode("overwrite").option("compression", "zstd").orc(out)
+    back = spark.read.orc(out).filter(F.col("l_returnflag") != "N")
+    return (
+        back.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("price_cents"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

@@ -1589,3 +1589,102 @@ def s23_ivf_incremental_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         assigned=cache[sf_dir],
     )
+
+
+# ---------------------------------------------------------------------------
+# s24 — truncated-dimension two-stage rerank (the Matryoshka / "reduced-dim
+# prefilter" serving pattern): stage 1 scores ALL corpus vectors with only
+# the FIRST 16 of 64 dims (4× less arithmetic and memory traffic — at
+# scale, the truncated columns are a separate, smaller physical artifact),
+# keeps the top-m candidates per query, and stage 2 reranks only those m
+# with the exact full-dim cosine. Recall is governed by m (here m=10 for
+# k=3); the oracle recomputes both stages, so the result verifies the
+# exact candidate-set semantics, not just the final ranking. Both stages
+# are the same fold expressions as s01 — slicing commutes with the
+# determinism contract.
+# ---------------------------------------------------------------------------
+
+_S24_TRUNC = 16
+_S24_M = 10
+_S24_K = 3
+
+_S24_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  (embedding::DOUBLE[])[1:{_S24_TRUNC}] AS vt
+           FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv, vt AS qvt FROM e WHERE vec_id < 10),
+stage1 AS (
+  SELECT q.qid, e.vec_id AS nid, {_sql_cos('q.qvt', 'e.vt')} AS cos_trunc
+  FROM q, e WHERE e.vec_id <> q.qid
+),
+cand AS (
+  SELECT qid, nid, cos_trunc FROM (
+    SELECT qid, nid, cos_trunc,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cos_trunc DESC, nid) AS rn
+    FROM stage1
+  ) WHERE rn <= {_S24_M}
+),
+stage2 AS (
+  SELECT c.qid, c.nid, c.cos_trunc, {_sql_cos('q.qv', 'e.v')} AS cos
+  FROM cand c JOIN q ON q.qid = c.qid JOIN e ON e.vec_id = c.nid
+)
+SELECT qid, nid, cos, cos_trunc,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT qid, nid, cos, cos_trunc,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+  FROM stage2
+) WHERE rank <= {_S24_K}
+ORDER BY qid, rank
+"""
+
+
+@query("s24_knn_truncated_rerank", _S24_SQL)
+def s24_knn_truncated_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    e = e.withColumn("vt", F.slice("v", 1, _S24_TRUNC))
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("vt").alias("qvt"),
+    )
+    stage1 = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.try_divide(
+                sim.dot(F.col("qvt"), F.col("vt")),
+                sim.norm(F.col("qvt")) * sim.norm(F.col("vt")),
+            ).alias("cos_trunc"),
+            "qv",
+        )
+    )
+    w1 = W.partitionBy("qid").orderBy(F.desc("cos_trunc"), F.asc("nid"))
+    cand = (
+        stage1.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= _S24_M)
+        .select("qid", "nid", "cos_trunc", "qv")
+    )
+    full = e.select(F.col("vec_id").alias("nid"), F.col("v").alias("nv"))
+    stage2 = cand.join(full, "nid").select(
+        "qid",
+        "nid",
+        "cos_trunc",
+        F.try_divide(
+            sim.dot(F.col("qv"), F.col("nv")),
+            sim.norm(F.col("qv")) * sim.norm(F.col("nv")),
+        ).alias("cos"),
+    )
+    w2 = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        stage2.withColumn("rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rank") <= _S24_K)
+        .select("qid", "nid", "cos", "cos_trunc", "rank")
+        .orderBy("qid", "rank")
+    )

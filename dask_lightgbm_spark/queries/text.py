@@ -2230,3 +2230,104 @@ def t40_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# t41 — Gopher-style document quality rules (Rae et al. 2021, App. A1):
+# the rule-based filter battery every corpus pipeline runs before the
+# model-based scorer (t35) — word-count bounds, mean-word-length band,
+# short-word ratio, minimum stop-word evidence, max single-token share.
+# Every rule is INTEGER arithmetic on row-local token statistics (the
+# cross-multiplied form: 10·Σlen ∈ [42n, 48n] instead of a float mean), so
+# the whole battery is one zero-shuffle projection — scan speed at 100 TB
+# — and bit-exact against the oracle. Per-rule booleans are emitted (not
+# just the final keep) because production debugging needs per-rule drop
+# attribution. Thresholds tuned to the fixture so every rule has a
+# non-trivial pass/fail split.
+# ---------------------------------------------------------------------------
+
+_T41_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '[ \t\n\f\r]+'),
+                             x -> x <> '') AS ts
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         CAST(len(ts) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(ts, t -> length(t))) AS BIGINT) AS sum_chars,
+         CAST(len(list_filter(ts, t -> length(t) <= 2)) AS BIGINT) AS n_short,
+         CAST(len(list_filter(ts, t -> t = 'the' OR t = 'a' OR t = 'data'))
+              AS BIGINT) AS n_stop,
+         CAST(list_max(list_transform(list_distinct(ts),
+                 t -> len(list_filter(ts, x -> x = t)))) AS BIGINT) AS max_tf
+  FROM toks
+)
+SELECT doc_id, n_words,
+       n_words >= 25 AS rule_word_count,
+       10*sum_chars >= 42*n_words AND 10*sum_chars <= 48*n_words
+         AS rule_mean_word_len,
+       5*n_short <= n_words AS rule_short_ratio,
+       n_stop >= 2 AS rule_stopwords,
+       100*max_tf <= 11*n_words AS rule_max_token_share,
+       (n_words >= 25
+        AND 10*sum_chars >= 42*n_words AND 10*sum_chars <= 48*n_words
+        AND 5*n_short <= n_words
+        AND n_stop >= 2
+        AND 100*max_tf <= 11*n_words) AS keep
+FROM feat
+ORDER BY doc_id
+"""
+
+
+@query("t41_gopher_quality_rules", _T41_SQL)
+def t41_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ts = F.filter(
+        F.split(F.trim(F.col("text")), r"[ \t\n\f\r]+"), lambda x: x != ""
+    )
+    feat = d.select("doc_id", ts.alias("ts")).select(
+        "doc_id",
+        F.size("ts").cast("long").alias("n_words"),
+        F.aggregate(
+            F.col("ts"), F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+        ).alias("sum_chars"),
+        F.size(F.filter(F.col("ts"), lambda t: F.length(t) <= 2))
+        .cast("long")
+        .alias("n_short"),
+        F.size(
+            F.filter(
+                F.col("ts"),
+                lambda t: (t == "the") | (t == "a") | (t == "data"),
+            )
+        )
+        .cast("long")
+        .alias("n_stop"),
+        F.array_max(
+            F.transform(
+                F.array_distinct("ts"),
+                lambda t: F.size(
+                    F.filter(F.col("ts"), lambda x: x == t)
+                ),
+            )
+        )
+        .cast("long")
+        .alias("max_tf"),
+    )
+    r1 = F.col("n_words") >= 25
+    r2 = (10 * F.col("sum_chars") >= 42 * F.col("n_words")) & (
+        10 * F.col("sum_chars") <= 48 * F.col("n_words")
+    )
+    r3 = 5 * F.col("n_short") <= F.col("n_words")
+    r4 = F.col("n_stop") >= 2
+    r5 = 100 * F.col("max_tf") <= 11 * F.col("n_words")
+    return feat.select(
+        "doc_id",
+        "n_words",
+        r1.alias("rule_word_count"),
+        r2.alias("rule_mean_word_len"),
+        r3.alias("rule_short_ratio"),
+        r4.alias("rule_stopwords"),
+        r5.alias("rule_max_token_share"),
+        (r1 & r2 & r3 & r4 & r5).alias("keep"),
+    ).orderBy("doc_id")
