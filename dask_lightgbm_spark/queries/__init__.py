@@ -163,6 +163,8 @@ _GATE_FIRST: list[str] = [
     "t41_gopher_quality_rules",
     "s24_knn_truncated_rerank",
     "q76_orc_roundtrip",
+    "q77_csv_gzip_roundtrip",
+    "x15_stream_ivf_insert",
     "t37_ngram_lm_counts",
     "t38_inverted_index",
     "t39_chunk_dedup",

@@ -3052,3 +3052,59 @@ def q76_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# q77 — gzip CSV sink + glob scan round-trip: the reference's ONLY source
+# format driven through the oracle gate (B1 — dd.read_csv('*.gz',
+# compression='gzip'), system_tests/test_fit_predict.py:26). The orders
+# projection is written as multiple gzip CSV part files, read back through
+# the same read_csv_glob the library exposes (explicit schema — the scale
+# path; inference double-reads), and aggregated. Gzip parts are
+# unsplittable (one file = one partition — exactly the reference's
+# blocksize=None semantics), so the writer controls read parallelism by
+# part count; doubles survive because Spark's CSV writer emits full
+# precision and the reader parses to the same IEEE doubles.
+# ---------------------------------------------------------------------------
+
+_Q77_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE o_orderstatus <> 'F'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("q77_csv_gzip_roundtrip", _Q77_SQL)
+def q77_csv_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_lightgbm_spark.session import scratch_dir
+    from dask_lightgbm_spark.sources.readers import read_csv_glob
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus", "o_totalprice"
+    )
+    out = scratch_dir("q77_csv") + "/" + sf_dir.strip("/").replace("/", "_")
+    (
+        o.repartition(4)  # 4 gzip parts = 4 read partitions (unsplittable)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("compression", "gzip")
+        .csv(out)
+    )
+    back = read_csv_glob(
+        spark,
+        out + "/*.csv.gz",
+        header=True,
+        schema="o_orderpriority string, o_orderstatus string, o_totalprice double",
+    ).filter(F.col("o_orderstatus") != "F")
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

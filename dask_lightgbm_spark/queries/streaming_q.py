@@ -474,3 +474,19 @@ def x14_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).orderBy("new_id", "corpus_id")
+
+
+# x15 reuses s02's oracle (same argument as s23: the streamed-in delta
+# joins an index that is provably identical to the from-scratch build)
+from dask_lightgbm_spark.queries.similarity import _S02_SQL as _X15_SQL  # noqa: E402
+
+
+@query("x15_stream_ivf_insert", _X15_SQL)
+def x15_stream_ivf_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVF index insert: arriving vectors are assigned to frozen
+    centroids per micro-batch and appended to the index's parquet layout
+    (batch=<id> overwrite — retry-idempotent); serve against base ∪ delta
+    equals the batch s02 result exactly."""
+    from dask_lightgbm_spark.streaming.vectors import stream_ivf_insert
+
+    return stream_ivf_insert(spark, sf_dir, k=3)

@@ -96,3 +96,71 @@ def stream_ann_serving(
         q.stop()
     rows = [r for b in sorted(results) for r in results[b]]
     return spark.createDataFrame(rows, out_schema)
+
+
+def stream_ivf_insert(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+) -> DataFrame:
+    """Streaming IVF index MAINTENANCE (the online twin of batch s23):
+    vectors arrive as a stream and are inserted into the index as they
+    land — each micro-batch is assigned against the FROZEN centroids
+    (vectorized, bit-identical to the batch build) and appended to the
+    index's parquet layout under a ``batch=<id>`` directory (overwrite per
+    batch id, so a micro-batch RETRY overwrites its own output instead of
+    duplicating rows — sink idempotency by layout). After the stream
+    drains, queries serve against base ∪ streamed-delta; no centroid has
+    vec_id % 10 == 7, so the merged index is identical to a from-scratch
+    build and the batch s02 oracle verifies the serve result bit-for-bit.
+
+    At scale: per-batch work is one centroid scan over the BATCH only
+    (the base corpus is never touched), state is zero, and the index
+    grows by parquet appends — exactly how a production IVF ingest path
+    behaves between centroid retrains."""
+    import os
+
+    from dask_lightgbm_spark.operators.similarity import (
+        assign_cells_vectorized,
+        ivf_knn,
+    )
+    from dask_lightgbm_spark.session import scratch_dir
+    from dask_lightgbm_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") % 25 == 0)
+    base = assign_cells_vectorized(e.filter(F.col("vec_id") % 10 != 7), cents)
+
+    out = scratch_dir("x15_ivf_delta") + "/" + sf_dir.strip("/").replace("/", "_")
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("vec_id") % 10 == 7)
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        assigned = assign_cells_vectorized(batch_df, cents)
+        assigned.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
+
+    q = src.writeStream.foreachBatch(handle).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    delta_dirs = [
+        f"{out}/{d}" for d in sorted(os.listdir(out)) if d.startswith("batch=")
+    ]
+    index = base
+    if delta_dirs:
+        delta = spark.read.parquet(*delta_dirs).select(*base.columns)
+        index = base.unionByName(delta)
+    return ivf_knn(
+        e,
+        queries_filter=F.col("vec_id") < 10,
+        centroid_filter=F.col("vec_id") % 25 == 0,
+        k=k,
+        assigned=index,
+    )
