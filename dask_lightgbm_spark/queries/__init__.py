@@ -165,6 +165,9 @@ _GATE_FIRST: list[str] = [
     "q76_orc_roundtrip",
     "q77_csv_gzip_roundtrip",
     "x15_stream_ivf_insert",
+    "x16_stream_upsert_state",
+    "ml05_holdout_eval",
+    "q78_small_files_compaction",
     "t37_ngram_lm_counts",
     "t38_inverted_index",
     "t39_chunk_dedup",

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dask_lightgbm_spark.functions.hashing import sql_hash32
 from dask_lightgbm_spark.queries import query
 from dask_lightgbm_spark.sources.readers import load_table
 
@@ -193,3 +194,70 @@ def ml04_hashed_bow_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return hashed_bow(d, "doc_id", "text", _ML04_B).orderBy("doc_id", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# ml05 — OUT-OF-SAMPLE evaluation harness: the full train pipeline
+# composition — deterministic hash split (t17's md5 bucket) → hashed-BOW
+# featurization (ml04's zero-shuffle vector path) → MLlib training on the
+# train split only → accuracy measured on the HELD-OUT split. ml01–ml03
+# gate in-sample; this is the generalization gate a real corpus pipeline
+# ships with. Data-determined columns (split sizes, positive counts) are
+# exact on both engines; model quality enters as the wide-margin boolean
+# (holdout accuracy ≥ 0.6; the length-proxy label is learnable from token
+# counts at ~0.9+).
+# ---------------------------------------------------------------------------
+
+_ML05_SQL = f"""
+WITH s AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN ({sql_hash32("CAST(doc_id AS VARCHAR)")}) % 100 < 80
+              THEN 'train' ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_positive,
+       TRUE AS holdout_acc_ge_060
+FROM s GROUP BY split ORDER BY split
+"""
+
+
+@query("ml05_holdout_eval", _ML05_SQL)
+def ml05_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.classification import LogisticRegression
+
+    from dask_lightgbm_spark.functions.hashing import md5_hash32
+    from dask_lightgbm_spark.operators.features import hashed_bow_vectors
+
+    d = load_table(spark, sf_dir, "documents")
+    d = d.withColumn(
+        "split",
+        F.when(
+            F.pmod(md5_hash32(F.col("doc_id").cast("string")), F.lit(100))
+            < 80,
+            F.lit("train"),
+        ).otherwise(F.lit("test")),
+    ).withColumn("label", (F.col("n_chars") >= 200).cast("double"))
+    feats = hashed_bow_vectors(d, "doc_id", "text", 32).join(
+        d.select("doc_id", "split", "label"), "doc_id"
+    )
+    train = feats.filter(F.col("split") == "train")
+    test = feats.filter(F.col("split") == "test")
+    model = LogisticRegression(maxIter=10, regParam=0.01).fit(train)
+    acc_gate = (
+        model.transform(test)
+        .agg(
+            (
+                F.avg(
+                    (F.col("prediction") == F.col("label")).cast("double")
+                )
+                >= F.lit(0.6)
+            ).alias("holdout_acc_ge_060")
+        )
+    )
+    per_split = feats.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("label").cast("long")).alias("n_positive"),
+    )
+    return per_split.crossJoin(F.broadcast(acc_gate)).orderBy("split")

@@ -3108,3 +3108,67 @@ def q77_csv_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q78 — small-files compaction (the table-maintenance op every long-lived
+# lake table needs): a fragmented layout (64 tiny parquet files — the
+# residue of streaming ingest or over-parallel writes) is compacted to a
+# few scan-sized files with a single narrow repartition, and the
+# compacted table is verified content-identical by aggregation. At 100 TB
+# the metadata + open-cost of millions of small files dominates scan time;
+# compaction trades one bounded shuffle for permanently cheaper scans.
+# tests/test_plans.py pins the file counts (fragmented 64 → compacted ≤ 4).
+# ---------------------------------------------------------------------------
+
+_Q78_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+_Q78_FRAGMENTS = 64
+_Q78_TARGET = 4
+
+
+def compact_files(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write the fragmented layout once per session+sf_dir, compact it, and
+    return (fragmented_dir, compacted_dir)."""
+    from dask_lightgbm_spark.session import scratch_dir
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    base = scratch_dir("q78_compact") + "/" + tag
+    frag, compacted = f"{base}/fragmented", f"{base}/compacted"
+    cache = getattr(spark, "_dls_compacted", None)
+    if cache is None:
+        cache = set()
+        spark._dls_compacted = cache
+    if base not in cache:
+        e = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        e.repartition(_Q78_FRAGMENTS).write.mode("overwrite").parquet(frag)
+        (
+            spark.read.parquet(frag)
+            .repartition(_Q78_TARGET)
+            .write.mode("overwrite")
+            .parquet(compacted)
+        )
+        cache.add(base)
+    return frag, compacted
+
+
+@query("q78_small_files_compaction", _Q78_SQL)
+def q78_small_files_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, compacted = compact_files(spark, sf_dir)
+    return (
+        spark.read.parquet(compacted)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents(F.col("value"))).alias("value_cents"),
+        )
+        .orderBy("event_type")
+    )

@@ -490,3 +490,27 @@ def x15_stream_ivf_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_lightgbm_spark.streaming.vectors import stream_ivf_insert
 
     return stream_ivf_insert(spark, sf_dir, k=3)
+
+
+_X16_SQL = """
+SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+       value AS last_value
+FROM (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+@query("x16_stream_upsert_state", _X16_SQL)
+def x16_stream_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert into a keyed state table (CDC-apply): per
+    micro-batch read-merge-swap of a latest-value-per-user parquet state;
+    latest-wins on the (ts, event_id) total order makes the merge
+    idempotent, and the drained state equals the batch argmax oracle."""
+    from dask_lightgbm_spark.streaming.events import stream_upsert_state_sink
+
+    return stream_upsert_state_sink(spark, sf_dir)

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 
@@ -391,3 +391,81 @@ def stream_stream_left_outer_join(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def stream_upsert_state_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming UPSERT into a keyed state table (the CDC-apply sink — the
+    streaming twin of batch q61): each micro-batch folds its events into a
+    latest-value-per-user parquet state via read-merge-overwrite in
+    ``foreachBatch``. Latest-wins is decided by (ts, event_id) — a total
+    order — so the merge is IDEMPOTENT: re-applying a batch whose rows the
+    state already absorbed changes nothing (micro-batch retry safe), and
+    the final state equals the batch argmax regardless of batch
+    boundaries. At scale the state table is keyed and small relative to
+    the event stream (one row per user); production swaps the overwrite
+    for a storage-layer MERGE, same semantics."""
+    import os
+
+    from dask_lightgbm_spark.session import scratch_dir
+
+    out = (
+        scratch_dir("x16_state") + "/" + sf_dir.strip("/").replace("/", "_")
+    )
+    src = read_events_stream(spark, sf_dir)
+
+    def latest(df: DataFrame) -> DataFrame:
+        w = W.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "user_id",
+                F.col("ts").alias("last_ts"),
+                F.col("event_id").alias("last_event_id"),
+                F.col("value").alias("last_value"),
+            )
+        )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        upserts = latest(batch_df.select("user_id", "ts", "event_id", "value"))
+        if os.path.exists(out):
+            state = spark.read.parquet(out).select(
+                "user_id",
+                F.col("last_ts").alias("ts"),
+                F.col("last_event_id").alias("event_id"),
+                F.col("last_value").alias("value"),
+            )
+            merged = latest(
+                state.unionByName(
+                    upserts.select(
+                        "user_id",
+                        F.col("last_ts").alias("ts"),
+                        F.col("last_event_id").alias("event_id"),
+                        F.col("last_value").alias("value"),
+                    )
+                )
+            )
+        else:
+            merged = upserts
+        # the merge plan READS the state dir it replaces — write to a side
+        # dir first, then swap (never overwrite an input in-flight)
+        import shutil
+
+        tmp = out + ".next"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(out):
+            shutil.rmtree(out)
+        os.rename(tmp, out)
+
+    q = src.writeStream.foreachBatch(handle).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.read.parquet(out)
+        .select("user_id", "last_ts", "last_event_id", "last_value")
+        .orderBy("user_id")
+    )
