@@ -168,6 +168,8 @@ _GATE_FIRST: list[str] = [
     "x16_stream_upsert_state",
     "ml05_holdout_eval",
     "q78_small_files_compaction",
+    "q79_analytic_battery",
+    "t42_editdist_verify",
     "t37_ngram_lm_counts",
     "t38_inverted_index",
     "t39_chunk_dedup",

@@ -3172,3 +3172,53 @@ def q78_small_files_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q79 — analytic-function battery: the ranking/distribution window surface
+# not yet covered elsewhere (q45 has rank/dense_rank/lag; q50 has
+# stddev/moments): ntile, percent_rank, cume_dist, first/last_value with
+# an explicit full-partition frame, and nth_value. All are exact — the
+# distribution functions are single divisions of window-derived integers,
+# so doubles are bit-identical. Per-segment windows partition on
+# mktsegment (5 groups): at scale the window input is per-partition sorted
+# once; no global sort.
+# ---------------------------------------------------------------------------
+
+_Q79_SQL = """
+SELECT c_custkey, c_mktsegment,
+       CAST(round(c_acctbal*100) AS BIGINT) AS acctbal_cents,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       first_value(c_custkey) OVER w2 AS poorest_cust,
+       last_value(c_custkey) OVER w2 AS richest_cust,
+       nth_value(c_custkey, 2) OVER w2 AS second_cust
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment
+             ORDER BY round(c_acctbal*100), c_custkey),
+       w2 AS (PARTITION BY c_mktsegment
+              ORDER BY round(c_acctbal*100), c_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY c_mktsegment, acctbal_cents, c_custkey
+"""
+
+
+@query("q79_analytic_battery", _Q79_SQL)
+def q79_analytic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    c = c.withColumn("acctbal_cents", cents)
+    w = W.partitionBy("c_mktsegment").orderBy("acctbal_cents", "c_custkey")
+    w2 = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "acctbal_cents",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("c_custkey").over(w2).alias("poorest_cust"),
+        F.last("c_custkey").over(w2).alias("richest_cust"),
+        F.nth_value("c_custkey", 2).over(w2).alias("second_cust"),
+    ).orderBy("c_mktsegment", "acctbal_cents", "c_custkey")

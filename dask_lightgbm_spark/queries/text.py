@@ -2331,3 +2331,57 @@ def t41_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         r5.alias("rule_max_token_share"),
         (r1 & r2 & r3 & r4 & r5).alias("keep"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# t42 — edit-distance verification of near-dup pairs: the LSH pipeline's
+# verified pairs (t05's output — already bounded by banding + Jaccard)
+# annotated with EXACT Levenshtein distance and an integer permille of the
+# longer text — the character-level confirmation layer used when shingle
+# Jaccard is too coarse (e.g. small local edits vs block moves).
+# Levenshtein is the classic O(len²) DP per pair: affordable precisely
+# because it runs on the verified-pair set, never the corpus — the staged
+# cheap-filter → expensive-verify discipline that makes quadratic
+# primitives usable at 100 TB. Both engines implement the same DP
+# (unit-cost insert/delete/substitute), so the integers agree exactly.
+# ---------------------------------------------------------------------------
+
+_T42_SQL = f"""
+WITH pairs AS ({_T05_SQL})
+SELECT p.id_a, p.id_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+       CAST(levenshtein(a.text, b.text) * 1000
+            // greatest(length(a.text), length(b.text)) AS BIGINT)
+         AS dist_permille
+FROM pairs p
+JOIN documents a ON a.doc_id = p.id_a
+JOIN documents b ON b.doc_id = p.id_b
+ORDER BY p.id_a, p.id_b
+"""
+
+
+@query("t42_editdist_verify", _T42_SQL)
+def t42_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_neardup(
+        d, "doc_id", "text",
+        k_shingle=K_SHINGLE, num_perm=NUM_PERM, band_size=BAND_SIZE,
+        threshold=0.7,
+    ).select("id_a", "id_b")
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    dist = F.levenshtein(F.col("ta"), F.col("tb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            dist.cast("long").alias("edit_dist"),
+            F.expr(
+                "CAST(levenshtein(ta, tb) * 1000 div "
+                "greatest(length(ta), length(tb)) AS BIGINT)"
+            ).alias("dist_permille"),
+        )
+        .orderBy("id_a", "id_b")
+    )
