@@ -170,6 +170,7 @@ _GATE_FIRST: list[str] = [
     "q78_small_files_compaction",
     "q79_analytic_battery",
     "t42_editdist_verify",
+    "s25_label_propagation",
     "t37_ngram_lm_counts",
     "t38_inverted_index",
     "t39_chunk_dedup",

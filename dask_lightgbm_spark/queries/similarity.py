@@ -1688,3 +1688,112 @@ def s24_knn_truncated_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "nid", "cos", "cos_trunc", "rank")
         .orderBy("qid", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# s25 — label propagation over the kNN graph (weak supervision / SSL): 20%
+# of vectors keep their true label as SEEDS; two synchronous rounds of
+# majority vote among each node's s22 neighbors spread labels to the rest
+# (ties → lowest label id; seeds are clamped; nodes with no labeled
+# neighbor stay NULL). Every step is integer counting + deterministic
+# tie-breaks, so the oracle chains the s22 graph CTE with two propagation
+# CTEs and matches bit-for-bit. Scale: each round is one edge⋈labels join
+# (shuffle on dst) + a per-node majority window — linear in edges, the
+# standard Pregel-style iteration expressed relationally; rounds are a
+# fixed small constant (label spreading converges in a few hops).
+# ---------------------------------------------------------------------------
+
+_S25_ROUNDS = 2
+
+_S25_SQL = f"""
+WITH graph AS ({_S22_SQL}),
+allv AS (SELECT vec_id FROM embeddings),
+l0 AS (SELECT vec_id, CAST(label AS INT) AS lab FROM embeddings
+       WHERE vec_id % 5 = 0),
+n1 AS (
+  SELECT g.src, l.lab, COUNT(*) AS cnt
+  FROM graph g JOIN l0 l ON g.dst = l.vec_id
+  GROUP BY g.src, l.lab
+),
+p1 AS (
+  SELECT src AS vec_id, lab FROM (
+    SELECT src, lab,
+           row_number() OVER (PARTITION BY src ORDER BY cnt DESC, lab) AS rn
+    FROM n1) WHERE rn = 1
+),
+l1 AS (
+  SELECT a.vec_id, COALESCE(s.lab, p.lab) AS lab
+  FROM allv a
+  LEFT JOIN l0 s ON s.vec_id = a.vec_id
+  LEFT JOIN p1 p ON p.vec_id = a.vec_id
+),
+n2 AS (
+  SELECT g.src, l.lab, COUNT(*) AS cnt
+  FROM graph g JOIN (SELECT vec_id, lab FROM l1 WHERE lab IS NOT NULL) l
+    ON g.dst = l.vec_id
+  GROUP BY g.src, l.lab
+),
+p2 AS (
+  SELECT src AS vec_id, lab FROM (
+    SELECT src, lab,
+           row_number() OVER (PARTITION BY src ORDER BY cnt DESC, lab) AS rn
+    FROM n2) WHERE rn = 1
+),
+l2 AS (
+  SELECT a.vec_id, COALESCE(s.lab, p.lab) AS lab
+  FROM allv a
+  LEFT JOIN l0 s ON s.vec_id = a.vec_id
+  LEFT JOIN p2 p ON p.vec_id = a.vec_id
+)
+SELECT vec_id, lab AS label_out, vec_id % 5 = 0 AS is_seed
+FROM l2 ORDER BY vec_id
+"""
+
+
+@query("s25_label_propagation", _S25_SQL)
+def s25_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    # persist: each round joins the graph once, and without a cache every
+    # round would recompute the full kNN-graph lineage (cell join + scoring)
+    graph = s22_knn_graph(spark, sf_dir).select("src", "dst").persist()
+    allv = e.select("vec_id")
+    seeds = e.filter(F.col("vec_id") % 5 == 0).select(
+        "vec_id", F.col("label").cast("int").alias("lab")
+    )
+    from pyspark.sql import Window as W
+
+    labels = seeds
+    for _ in range(_S25_ROUNDS):
+        votes = (
+            graph.join(
+                labels.select(
+                    F.col("vec_id").alias("dst"), F.col("lab")
+                ),
+                "dst",
+            )
+            .groupBy("src", "lab")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = W.partitionBy("src").orderBy(F.desc("cnt"), F.asc("lab"))
+        prop = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("src").alias("vec_id"), F.col("lab").alias("plab"))
+        )
+        labels = (
+            allv.join(seeds.withColumnRenamed("lab", "slab"), "vec_id", "left")
+            .join(prop, "vec_id", "left")
+            .select(
+                "vec_id", F.coalesce("slab", "plab").alias("lab")
+            )
+            .filter(F.col("lab").isNotNull())
+        )
+    return (
+        allv.join(labels, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("lab").alias("label_out"),
+            (F.col("vec_id") % 5 == 0).alias("is_seed"),
+        )
+        .orderBy("vec_id")
+    )
