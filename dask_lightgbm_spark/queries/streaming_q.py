@@ -434,9 +434,12 @@ def x14_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0),
         lambda acc, x: acc + x,
     )
+    # no broadcast hint: the corpus band table is data-sized at scale —
+    # let the planner pick (it broadcasts at fixture size anyway); the
+    # stream-static join is an equi-join either way
     cand = (
         bands_new.join(
-            F.broadcast(bands_cor),
+            bands_cor,
             ["band"] + [f"bv{j}" for j in range(BAND_SIZE)],
         )
         .filter(matches >= NUM_PERM // 2)
@@ -452,7 +455,7 @@ def x14_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inter = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
     verified = (
-        cand.join(F.broadcast(bc), "corpus_id")
+        cand.join(bc, "corpus_id")
         .select(
             "new_id",
             "corpus_id",

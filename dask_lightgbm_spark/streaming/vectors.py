@@ -150,9 +150,11 @@ def stream_ivf_insert(
     finally:
         q.stop()
 
-    delta_dirs = [
-        f"{out}/{d}" for d in sorted(os.listdir(out)) if d.startswith("batch=")
-    ]
+    delta_dirs = (
+        [f"{out}/{d}" for d in sorted(os.listdir(out)) if d.startswith("batch=")]
+        if os.path.isdir(out)
+        else []  # zero micro-batches → index is just the base
+    )
     index = base
     if delta_dirs:
         delta = spark.read.parquet(*delta_dirs).select(*base.columns)
