@@ -171,6 +171,7 @@ _GATE_FIRST: list[str] = [
     "q79_analytic_battery",
     "t42_editdist_verify",
     "s25_label_propagation",
+    "q80_gapfill_timeseries",
     "t37_ngram_lm_counts",
     "t38_inverted_index",
     "t39_chunk_dedup",

@@ -3222,3 +3222,83 @@ def q79_analytic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("c_custkey").over(w2).alias("richest_cust"),
         F.nth_value("c_custkey", 2).over(w2).alias("second_cust"),
     ).orderBy("c_mktsegment", "acctbal_cents", "c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# q80 — gap-filled time series (resample + forward fill): the warehouse op
+# behind every per-entity hourly dashboard — a dense hour spine ×
+# entity-set scaffold LEFT-joined to the sparse observations, missing
+# hours carried forward with last_value IGNORE NULLS. The scaffold is a
+# generated sequence (no table scan) crossed with the BOUNDED entity set;
+# the observation side is one hourly aggregation; the fill window runs per
+# entity over the dense series. Output size = entities × hours by
+# construction — the op's cost is declared up front, not data-dependent.
+# ---------------------------------------------------------------------------
+
+_Q80_START = "2024-01-01 00:00:00"
+_Q80_END_EXCL = "2024-01-08 00:00:00"
+
+_Q80_SQL = f"""
+WITH hours AS (
+  SELECT unnest(generate_series(TIMESTAMP '{_Q80_START}',
+                                TIMESTAMP '2024-01-07 23:00:00',
+                                INTERVAL 1 HOUR)) AS hour
+),
+users AS (SELECT DISTINCT user_id FROM events WHERE user_id < 50),
+agg AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour,
+         CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE user_id < 50 AND ts < TIMESTAMP '{_Q80_END_EXCL}'
+  GROUP BY user_id, hour
+)
+SELECT u.user_id AS user_id, h.hour AS hour,
+       COALESCE(a.n, 0) AS n,
+       last_value(a.cents IGNORE NULLS)
+         OVER (PARTITION BY u.user_id ORDER BY h.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS filled_cents
+FROM hours h CROSS JOIN users u
+LEFT JOIN agg a ON a.user_id = u.user_id AND a.hour = h.hour
+ORDER BY user_id, hour
+"""
+
+
+@query("q80_gapfill_timeseries", _Q80_SQL)
+def q80_gapfill_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 50)
+        & (F.col("ts") < F.lit(_Q80_END_EXCL).cast("timestamp"))
+    )
+    hours = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(_Q80_START).cast("timestamp"),
+                F.lit("2024-01-07 23:00:00").cast("timestamp"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour")
+    )
+    users = e.select("user_id").distinct()
+    agg = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.sum(_cents(F.col("value"))).alias("cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    scaffold = hours.crossJoin(users)  # bounded: hours × entity set
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        scaffold.join(agg, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.last("cents", ignorenulls=True).over(w).alias("filled_cents"),
+        )
+        .orderBy("user_id", "hour")
+    )
