@@ -172,6 +172,7 @@ _GATE_FIRST: list[str] = [
     "t42_editdist_verify",
     "s25_label_propagation",
     "q80_gapfill_timeseries",
+    "t43_dataset_card",
     "t37_ngram_lm_counts",
     "t38_inverted_index",
     "t39_chunk_dedup",

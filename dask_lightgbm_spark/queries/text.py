@@ -2385,3 +2385,84 @@ def t42_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# t43 — dataset card (per-source corpus summary): the one-page statistical
+# summary every released dataset ships — per source: volume (docs/tokens),
+# language spread, exact-duplicate exposure, and model-quality retention
+# (t35's scorer, SHARED code). Composes three one-shuffle passes: a
+# zero-shuffle token/quality projection, one md5-digest groupBy for dup
+# exposure, and the final per-source aggregation. Everything is integer
+# (token counts, distinct counts, dup counts, keep counts), so the card is
+# bit-exact; output is one row per source — the audit artifact, not data.
+# ---------------------------------------------------------------------------
+
+_T43_SQL = f"""
+WITH q AS ({_T35_SQL.replace("ORDER BY doc_id", "")}),
+base AS (
+  SELECT d.doc_id, d.source, d.lang,
+         len(list_filter(string_split_regex(trim(d.text), '[ \t\n\f\r]+'),
+                         x -> x <> '')) AS n_tokens,
+         md5(d.text) AS digest
+  FROM documents d
+),
+dupes AS (
+  SELECT digest FROM base GROUP BY digest HAVING COUNT(*) > 1
+)
+SELECT b.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(b.n_tokens) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT b.lang) AS BIGINT) AS n_langs,
+       CAST(SUM(CASE WHEN dup.digest IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_exact_dup_docs,
+       CAST(SUM(CASE WHEN q.keep THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quality_keep
+FROM base b
+LEFT JOIN dupes dup ON dup.digest = b.digest
+JOIN q ON q.doc_id = b.doc_id
+GROUP BY b.source
+ORDER BY b.source
+"""
+
+
+@query("t43_dataset_card", _T43_SQL)
+def t43_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"[ \t\n\f\r]+"), lambda x: x != ""
+    )
+    base = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.md5("text").alias("digest"),
+    )
+    dupes = (
+        base.groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .select("digest", F.lit(True).alias("__dup"))
+    )
+    quality = quality_score_projection(d).select("doc_id", "keep")
+    return (
+        # no broadcast hint: the dup-digest set is data-dependent (could be
+        # corpus-scale on a duplicate-heavy crawl) — the digest join reuses
+        # the groupBy's hash partitioning anyway
+        base.join(dupes, "digest", "left")
+        .join(quality, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.sum(
+                F.when(F.col("__dup"), 1).otherwise(0)
+            ).cast("long").alias("n_exact_dup_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_quality_keep"),
+        )
+        .orderBy("source")
+    )
