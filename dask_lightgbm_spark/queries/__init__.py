@@ -173,6 +173,7 @@ _GATE_FIRST: list[str] = [
     "s25_label_propagation",
     "q80_gapfill_timeseries",
     "t43_dataset_card",
+    "q81_k_anonymity_audit",
     "t37_ngram_lm_counts",
     "t38_inverted_index",
     "t39_chunk_dedup",

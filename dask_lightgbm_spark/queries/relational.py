@@ -3302,3 +3302,53 @@ def q80_gapfill_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# q81 — k-anonymity audit (the privacy gate a dataset release runs next to
+# t18's PII scan): group the table by its QUASI-IDENTIFIERS (segment ×
+# nation × coarse balance band — attributes that jointly re-identify) and
+# report how many equivalence classes fall below k, and how many rows they
+# expose. One groupBy + one summary aggregate, counts only — the audit
+# never materializes row-level output, so it runs at scan speed on any
+# table size. The fixture genuinely violates k=5 at every SF.
+# ---------------------------------------------------------------------------
+
+_Q81_K = 5
+
+_Q81_SQL = f"""
+WITH g AS (
+  SELECT c_mktsegment, c_nationkey,
+         CAST(floor(c_acctbal/1000) AS INT) AS bal_band,
+         COUNT(*) AS n
+  FROM customer GROUP BY c_mktsegment, c_nationkey, bal_band
+)
+SELECT CAST({_Q81_K} AS INT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MIN(n) AS BIGINT) AS min_group_size,
+       CAST(SUM(CASE WHEN n < {_Q81_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_groups,
+       CAST(SUM(CASE WHEN n < {_Q81_K} THEN n ELSE 0 END) AS BIGINT)
+         AS n_exposed_rows,
+       MIN(n) >= {_Q81_K} AS is_k_anonymous
+FROM g
+"""
+
+
+@query("q81_k_anonymity_audit", _Q81_SQL)
+def q81_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("int").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    viol = F.col("n") < _Q81_K
+    return g.agg(
+        F.lit(_Q81_K).cast("int").alias("k"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("n").alias("min_group_size"),
+        F.sum(viol.cast("long")).alias("n_violating_groups"),
+        F.sum(F.when(viol, F.col("n")).otherwise(0)).alias("n_exposed_rows"),
+        (F.min("n") >= _Q81_K).alias("is_k_anonymous"),
+    )
