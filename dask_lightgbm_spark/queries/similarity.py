@@ -1797,3 +1797,98 @@ def s25_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# s26 — nprobe recall curve (the IVF tuning study): aggregate recall@3
+# against brute-force ground truth at nprobe = 1 and 2 in ONE result — the
+# table a deployment reads to pick its recall/cost point (s19 gives the
+# per-query view at nprobe=1; s07/s20 exercise multiprobe serving; this is
+# the dial sweep). Ground truth is computed once on the sampled query set
+# and reused for both levels; corpus vectors live in exactly one cell, so
+# multiprobe candidates need no dedup. Recall is a single division of two
+# integers. At scale this runs on a sampled query set by construction —
+# the standard ANN evaluation protocol.
+# ---------------------------------------------------------------------------
+
+_S26_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+brute AS (
+  SELECT qid, nid FROM (
+    SELECT q.qid, e.vec_id AS nid,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY {_sql_cos('q.qv', 'e.v')} DESC, e.vec_id) AS rank
+    FROM q, e WHERE e.vec_id <> q.qid
+  ) WHERE rank <= 3
+),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+cell_scored AS (
+  SELECT e.vec_id, e.v, cent.cid, {_sql_cos('e.v', 'cent.cv')} AS cs
+  FROM e, cent
+),
+ranked_cells AS (
+  SELECT vec_id, v, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+  FROM cell_scored
+),
+assigned AS (SELECT vec_id, v, cid AS cell FROM ranked_cells WHERE rn = 1),
+probes AS (
+  SELECT r.vec_id AS qid, r.v AS qv, r.cid AS cell, r.rn AS probe
+  FROM ranked_cells r WHERE r.rn <= 2 AND r.vec_id < 10
+),
+ivf AS (
+  SELECT np, qid, nid FROM (
+    SELECT lv.np, p.qid, n.vec_id AS nid,
+           row_number() OVER (PARTITION BY lv.np, p.qid
+                              ORDER BY {_sql_cos('p.qv', 'n.v')} DESC, n.vec_id) AS rank
+    FROM (SELECT 1 AS np UNION ALL SELECT 2) lv
+    JOIN probes p ON p.probe <= lv.np
+    JOIN assigned n ON n.cell = p.cell AND n.vec_id <> p.qid
+  ) WHERE rank <= 3
+)
+SELECT lv.np AS nprobe,
+       CAST((SELECT COUNT(*) FROM q) AS BIGINT) AS n_queries,
+       CAST(3 AS INT) AS k,
+       CAST(COUNT(i.nid) AS BIGINT) AS n_hits,
+       COUNT(i.nid) / CAST((SELECT COUNT(*) FROM q) * 3 AS DOUBLE) AS recall
+FROM (SELECT 1 AS np UNION ALL SELECT 2) lv
+CROSS JOIN brute b
+LEFT JOIN ivf i ON i.np = lv.np AND i.qid = b.qid AND i.nid = b.nid
+GROUP BY lv.np
+ORDER BY nprobe
+"""
+
+
+@query("s26_nprobe_recall_curve", _S26_SQL)
+def s26_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    brute = sim.brute_force_knn(e, e.filter(F.col("vec_id") < 10), k=3).select(
+        "qid", "nid"
+    )
+    n_q = 10  # sampled query-set size (vec_id < 10 — fixture ids are dense)
+    out = None
+    for np_ in (1, 2):
+        ivf = sim.ivf_knn(
+            e,
+            queries_filter=F.col("vec_id") < 10,
+            centroid_filter=F.col("vec_id") % 25 == 0,
+            k=3,
+            nprobe=np_,
+            assigned=_ivf_index(spark, sf_dir),
+        ).select("qid", "nid", F.lit(np_).alias("np"))
+        hits = (
+            brute.join(ivf, ["qid", "nid"], "left")
+            .agg(
+                F.lit(np_).cast("int").alias("nprobe"),
+                F.lit(n_q).cast("long").alias("n_queries"),
+                F.lit(3).cast("int").alias("k"),
+                F.count(F.col("np")).alias("n_hits"),
+                (
+                    F.count(F.col("np"))
+                    / F.lit(float(n_q * 3))
+                ).alias("recall"),
+            )
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out.orderBy("nprobe")
