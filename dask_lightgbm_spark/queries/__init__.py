@@ -175,6 +175,7 @@ _GATE_FIRST: list[str] = [
     "t43_dataset_card",
     "q81_k_anonymity_audit",
     "s26_nprobe_recall_curve",
+    "t44_boilerplate_chunk_removal",
     "t37_ngram_lm_counts",
     "t38_inverted_index",
     "t39_chunk_dedup",

@@ -2466,3 +2466,94 @@ def t43_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# t44 — boilerplate removal by document frequency (the RefinedWeb/Dolma
+# line rule at t39's chunk granularity): a chunk appearing in ≥ DF_MIN
+# DISTINCT documents is boilerplate (nav text, license blurbs, templates)
+# and is removed from EVERY document — including its first occurrence,
+# which is what distinguishes this from t39's keep-first dedup. Plan: the
+# same single chunk-text shuffle as t39 computes distinct-doc frequency,
+# boilerplate flags join back on the already-partitioned chunk key, and
+# the cleaned text is digest-verified per doc. The df table is
+# vocabulary-, not corpus-sized.
+# ---------------------------------------------------------------------------
+
+_T44_DF_MIN = 3
+
+_T44_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '[ \t\n\f\r]+'),
+                             x -> x <> '') AS ts
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, g AS chunk_idx,
+         array_to_string(ts[(g-1)*{_T39_W}+1 : least(g*{_T39_W}, len(ts))],
+                         ' ') AS chunk
+  FROM toks, LATERAL (SELECT unnest(generate_series(
+         1, CAST((len(ts) + {_T39_W} - 1) // {_T39_W} AS INT))) AS g)
+),
+df AS (
+  SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM chunks GROUP BY chunk
+),
+flagged AS (
+  SELECT c.doc_id, c.chunk_idx, c.chunk, d.df >= {_T44_DF_MIN} AS boiler
+  FROM chunks c JOIN df d ON d.chunk = c.chunk
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       md5(COALESCE(string_agg(CASE WHEN NOT boiler THEN chunk END,
+                               ' ' ORDER BY chunk_idx), '')) AS cleaned_digest
+FROM flagged GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@query("t44_boilerplate_chunk_removal", _T44_SQL)
+def t44_boilerplate_chunk_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    ts = F.filter(
+        F.split(F.trim(F.col("text")), r"[ \t\n\f\r]+"), lambda x: x != ""
+    )
+    n_chunks = F.expr(f"(size(ts) + {_T39_W - 1}) div {_T39_W}")
+    docs = d.select("doc_id", ts.alias("ts"))
+    chunk_arr = F.when(
+        n_chunks >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_chunks.cast("int")),
+            lambda g: F.array_join(
+                F.slice(F.col("ts"), (g - 1) * _T39_W + 1, _T39_W), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    chunks = docs.select(
+        "doc_id", F.posexplode(chunk_arr).alias("pos", "chunk")
+    ).select("doc_id", (F.col("pos") + 1).alias("chunk_idx"), "chunk")
+    df = chunks.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    flagged = chunks.join(df, "chunk").withColumn(
+        "boiler", F.col("df") >= _T44_DF_MIN
+    )
+    surv = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(~F.col("boiler"), F.struct("chunk_idx", "chunk"))
+            )
+        ),
+        lambda s: s.chunk,
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("boiler"), 1).otherwise(0)).alias("n_removed"),
+            F.md5(F.array_join(surv, " ")).alias("cleaned_digest"),
+        )
+        .orderBy("doc_id")
+    )
