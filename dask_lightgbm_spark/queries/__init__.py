@@ -176,6 +176,8 @@ _GATE_FIRST: list[str] = [
     "q81_k_anonymity_audit",
     "s26_nprobe_recall_curve",
     "t44_boilerplate_chunk_removal",
+    "q82_exact_bivariate_stats",
+    "s27_ivf_tombstone_delete",
     "t37_ngram_lm_counts",
     "t38_inverted_index",
     "t39_chunk_dedup",

@@ -3352,3 +3352,80 @@ def q81_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(viol, F.col("n")).otherwise(0)).alias("n_exposed_rows"),
         (F.min("n") >= _Q81_K).alias("is_k_anonymous"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q82 — bivariate statistics from EXACT integer moments: corr/covariance
+# are normally float aggregations (summation-order-dependent — banned by
+# the determinism contract), but over fixed-point ints the five moments
+# (Σx, Σy, Σxy, Σx², Σy², n) are exact, and Pearson r / covariance become
+# single deterministic expressions of them. Units are chosen for int64
+# headroom in the n·Σ products on BOTH engines (DuckDB promotes SUM to
+# int128, Spark does not — the narrower engine sets the budget): x = whole
+# quantity units (~50), y = whole kilodollars (~100), so n·Σy² ≈ 4e17 at
+# sf1; DECIMAL(38) takes over at sf100. The statistic is then the exact
+# correlation OF THE SCALED VALUES — a defined, engine-identical quantity.
+# Same map-side-combine scan as any SUM; per-group stat-table output.
+# ---------------------------------------------------------------------------
+
+_Q82_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(round(l_quantity) AS BIGINT)) AS sx,
+         SUM(CAST(round(l_extendedprice/1000) AS BIGINT)) AS sy,
+         SUM(CAST(round(l_quantity) AS BIGINT)
+             * CAST(round(l_extendedprice/1000) AS BIGINT)) AS sxy,
+         SUM(CAST(round(l_quantity) AS BIGINT)
+             * CAST(round(l_quantity) AS BIGINT)) AS sxx,
+         SUM(CAST(round(l_extendedprice/1000) AS BIGINT)
+             * CAST(round(l_extendedprice/1000) AS BIGINT)) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       CAST(n*sxy - sx*sy AS DOUBLE)
+         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS covariance,
+       CAST(n*sxy - sx*sy AS DOUBLE)
+         / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+            * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS pearson_r
+FROM m ORDER BY l_returnflag
+"""
+
+
+@query("q82_exact_bivariate_stats", _Q82_SQL)
+def q82_exact_bivariate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity")).cast("long")
+    y = F.round(F.col("l_extendedprice") / 1000).cast("long")
+    m = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    return m.select(
+        "l_returnflag",
+        "n",
+        (
+            num
+            / (F.col("n").cast("double") * F.col("n").cast("double"))
+        ).alias("covariance"),
+        (
+            num
+            / (
+                F.sqrt(
+                    (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                        "double"
+                    )
+                )
+                * F.sqrt(
+                    (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                        "double"
+                    )
+                )
+            )
+        ).alias("pearson_r"),
+    ).orderBy("l_returnflag")

@@ -1892,3 +1892,83 @@ def s26_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = hits if out is None else out.unionByName(hits)
     return out.orderBy("nprobe")
+
+
+# ---------------------------------------------------------------------------
+# s27 — IVF index DELETION (tombstones), completing the maintenance trio
+# with s23/x15's inserts: deleted ids (vec_id % 7 == 3) are recorded as a
+# tombstone set and ANTI-JOINED out of the storage assignment at serve
+# time — the index files are untouched (FAISS remove_ids / lakehouse
+# deletion-vector semantics: logical delete now, physical compaction
+# later). Queries still come from the full fixture (an external query may
+# well equal a deleted vector); only the SERVED corpus shrinks. The
+# oracle is s02's serve restricted to the surviving assignment.
+# ---------------------------------------------------------------------------
+
+_S27_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+cell_scored AS (
+  SELECT e.vec_id, e.v, cent.cid, {_sql_cos('e.v', 'cent.cv')} AS cs
+  FROM e, cent
+),
+assigned AS (
+  SELECT vec_id, v, cid AS cell FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+    FROM cell_scored
+  ) WHERE rn = 1
+),
+live AS (SELECT * FROM assigned WHERE vec_id % 7 <> 3),
+qc AS (SELECT a.vec_id AS qid, a.v AS qv, a.cell
+       FROM assigned a WHERE a.vec_id < 10)
+SELECT qid, nid, CAST(rank AS INT) AS rank, cos FROM (
+  SELECT q.qid, n.vec_id AS nid, {_sql_cos('q.qv', 'n.v')} AS cos,
+         row_number() OVER (PARTITION BY q.qid
+                            ORDER BY {_sql_cos('q.qv', 'n.v')} DESC, n.vec_id)
+           AS rank
+  FROM qc q JOIN live n ON q.cell = n.cell AND n.vec_id <> q.qid
+) WHERE rank <= 3
+ORDER BY qid, rank
+"""
+
+
+@query("s27_ivf_tombstone_delete", _S27_SQL)
+def s27_ivf_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    index = _ivf_index(spark, sf_dir)  # (vec_id, v, cell, nn) — untouched
+    tombstones = e.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    live = index.join(tombstones, "vec_id", "left_anti")
+    q = index.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("cell"),
+        F.col("nn").alias("qn"),
+    )
+    scored = (
+        live.select(
+            F.col("vec_id").alias("nid"),
+            F.col("v").alias("nv"),
+            F.col("cell"),
+            F.col("nn"),
+        )
+        .join(F.broadcast(q), "cell")
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.try_divide(
+                sim.dot(F.col("qv"), F.col("nv")), F.col("qn") * F.col("nn")
+            ).alias("cos"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "nid", "rank", "cos")
+        .orderBy("qid", "rank")
+    )
