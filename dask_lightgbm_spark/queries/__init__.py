@@ -178,6 +178,8 @@ _GATE_FIRST: list[str] = [
     "t44_boilerplate_chunk_removal",
     "q82_exact_bivariate_stats",
     "s27_ivf_tombstone_delete",
+    "q83_table_diff",
+    "t45_filter_drift_report",
     "t37_ngram_lm_counts",
     "t38_inverted_index",
     "t39_chunk_dedup",

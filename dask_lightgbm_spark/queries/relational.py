@@ -3429,3 +3429,103 @@ def q82_exact_bivariate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pearson_r"),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# q83 — table diff / reconciliation (the migration-validation op: "did the
+# new system load exactly what the old one had?"): two table versions are
+# compared by a FULL OUTER join on the key with row-content digests —
+# classifying every key as unchanged / changed / only_left / only_right
+# and reporting counts per class. Content is compared by md5 of a
+# canonical column concatenation, so the join carries 2 digests per key,
+# never the rows. v2 is derived deterministically from orders (updates on
+# orderkey % 100 == 0, deletes on % 97 == 0, inserts as shifted keys) so
+# the diff is non-trivial and the oracle reproduces it exactly. At scale
+# this is one co-partitioned shuffle join on the key + a counts-only agg.
+# ---------------------------------------------------------------------------
+
+_Q83_DIGEST = (
+    "md5(concat_ws('|', CAST(o_custkey AS VARCHAR), o_orderstatus, "
+    "CAST(CAST(round(o_totalprice*100) AS BIGINT) AS VARCHAR), "
+    "o_orderpriority))"
+)
+
+_Q83_SQL = f"""
+WITH v1 AS (
+  SELECT o_orderkey AS k, {_Q83_DIGEST} AS digest FROM orders
+),
+v2src AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 10.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 97 <> 0
+),
+v2 AS (
+  SELECT o_orderkey AS k, {_Q83_DIGEST} AS digest FROM v2src
+  UNION ALL
+  SELECT o_orderkey + 100000000 AS k,
+         md5(concat_ws('|', CAST(o_custkey AS VARCHAR), 'NEW')) AS digest
+  FROM orders WHERE o_orderkey % 101 = 0
+),
+d AS (
+  SELECT COALESCE(v1.k, v2.k) AS k,
+         CASE WHEN v1.k IS NULL THEN 'only_right'
+              WHEN v2.k IS NULL THEN 'only_left'
+              WHEN v1.digest = v2.digest THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(k) AS BIGINT) AS min_key, CAST(MAX(k) AS BIGINT) AS max_key
+FROM d GROUP BY status ORDER BY status
+"""
+
+
+@query("q83_table_diff", _Q83_SQL)
+def q83_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    digest = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            _cents(F.col("o_totalprice")).cast("string"),
+            F.col("o_orderpriority"),
+        )
+    )
+    v1 = o.select(F.col("o_orderkey").alias("k"), digest.alias("d1"))
+    v2base = (
+        o.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 100 == 0, F.col("o_totalprice") + 10.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .select(F.col("o_orderkey").alias("k"), digest.alias("d2"))
+    )
+    v2new = o.filter(F.col("o_orderkey") % 101 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("k"),
+        F.md5(
+            F.concat_ws("|", F.col("o_custkey").cast("string"), F.lit("NEW"))
+        ).alias("d2"),
+    )
+    v2 = v2base.unionByName(v2new)
+    d = v1.join(v2, "k", "full_outer").select(
+        "k",
+        F.when(F.col("d1").isNull(), "only_right")
+        .when(F.col("d2").isNull(), "only_left")
+        .when(F.col("d1") == F.col("d2"), "unchanged")
+        .otherwise("changed")
+        .alias("status"),
+    )
+    return (
+        d.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_key"),
+            F.max("k").alias("max_key"),
+        )
+        .orderBy("status")
+    )

@@ -2557,3 +2557,70 @@ def t44_boilerplate_chunk_removal(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# t45 — filter-impact drift report (the monitoring artifact a filtering
+# stage ships with): how does the t35 quality gate shift the corpus's
+# LANGUAGE MIX? Per language: docs before/after, each side's share of its
+# own total (integer permille), the shift, and per-language retention —
+# the numbers a data team reads before accepting a filter that silently
+# skews multilinguality (the known failure mode of quality classifiers).
+# The scorer is t35's SHARED projection; totals ride a 1-row broadcast
+# aggregate; all columns are integer-exact.
+# ---------------------------------------------------------------------------
+
+_T45_SQL = f"""
+WITH q AS ({_T35_SQL.replace("ORDER BY doc_id", "")}),
+j AS (SELECT d.lang, q.keep FROM documents d JOIN q ON q.doc_id = d.doc_id),
+per_lang AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_before,
+         CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+  FROM j GROUP BY lang
+),
+tot AS (SELECT SUM(n_before) AS tb, SUM(n_after) AS ta FROM per_lang)
+SELECT lang, n_before, n_after,
+       CAST(n_before * 1000 // tot.tb AS BIGINT) AS share_before_permille,
+       CAST(n_after * 1000 // tot.ta AS BIGINT) AS share_after_permille,
+       CAST(n_after * 1000 // tot.ta - n_before * 1000 // tot.tb AS BIGINT)
+         AS shift_permille,
+       CAST(n_after * 1000 // n_before AS BIGINT) AS retention_permille
+FROM per_lang CROSS JOIN tot
+ORDER BY lang
+"""
+
+
+@query("t45_filter_drift_report", _T45_SQL)
+def t45_filter_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    q = quality_score_projection(d).select("doc_id", "keep")
+    per_lang = (
+        d.select("doc_id", "lang")
+        .join(q, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_before"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_after"),
+        )
+    )
+    tot = per_lang.agg(
+        F.sum("n_before").alias("tb"), F.sum("n_after").alias("ta")
+    )
+    sb = F.expr("n_before * 1000 div tb")
+    sa = F.expr("n_after * 1000 div ta")
+    return (
+        per_lang.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_before",
+            "n_after",
+            sb.alias("share_before_permille"),
+            sa.alias("share_after_permille"),
+            (sa - sb).alias("shift_permille"),
+            F.expr("n_after * 1000 div n_before").alias("retention_permille"),
+        )
+        .orderBy("lang")
+    )
