@@ -180,6 +180,8 @@ _GATE_FIRST: list[str] = [
     "s27_ivf_tombstone_delete",
     "q83_table_diff",
     "t45_filter_drift_report",
+    "q84_twap_irregular_events",
+    "t46_curriculum_stages",
     "t37_ngram_lm_counts",
     "t38_inverted_index",
     "t39_chunk_dedup",

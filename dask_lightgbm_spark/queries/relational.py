@@ -3529,3 +3529,63 @@ def q83_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# ---------------------------------------------------------------------------
+# q84 — time-weighted average (TWAP) over IRREGULAR event times: each
+# event's value is weighted by how long it "held" (seconds until the
+# user's next event — lead over the per-user time order), and the average
+# is ΣvΔt/ΣΔt — the financial/telemetry aggregation a plain AVG gets
+# wrong on irregular sampling. Determinism: Δt is exact integer
+# MICROSECONDS (epoch_us — DuckDB's epoch() returns fractional doubles
+# whose BIGINT cast ROUNDS while Spark's unix_timestamp truncates, so
+# seconds are not parity-safe), value is exact cents, the weighted sum is
+# int64 (~1e10/row → ~6e16 headroom at sf1), and the TWAP is ONE division. A user's last event has no successor and drops
+# out (both engines agree). Per-user windows then one small agg.
+# ---------------------------------------------------------------------------
+
+_Q84_SQL = """
+WITH t AS (
+  SELECT user_id,
+         CAST(round(value*100) AS BIGINT) AS v_cents,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id))
+           - epoch_us(ts) AS dt_us
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_held,
+       CAST(SUM(dt_us) AS BIGINT) AS total_us,
+       CAST(SUM(v_cents * dt_us) AS DOUBLE)
+         / CAST(SUM(dt_us) AS DOUBLE) / 100.0 AS twap
+FROM t WHERE dt_us IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@query("q84_twap_irregular_events", _Q84_SQL)
+def q84_twap_irregular_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select(
+        "user_id",
+        _cents(F.col("value")).alias("v_cents"),
+        (
+            F.unix_micros(F.lead("ts").over(w))
+            - F.unix_micros(F.col("ts"))
+        ).cast("long").alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    return (
+        t.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_held"),
+            F.sum("dt_us").alias("total_us"),
+            (
+                F.sum(F.col("v_cents") * F.col("dt_us")).cast("double")
+                / F.sum("dt_us").cast("double")
+                / F.lit(100.0)
+            ).alias("twap"),
+        )
+        .orderBy("user_id")
+    )

@@ -2624,3 +2624,52 @@ def t45_filter_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# t46 — curriculum staging (length-based curriculum learning prep): every
+# document gets a stage 1..4 = its length quartile WITHIN ITS LANGUAGE
+# (ntile with doc_id tiebreak — per-language because raw length quartiles
+# would just reproduce the language mix), plus each stage's doc/token
+# budget — the schedule table a curriculum-ordered training run consumes.
+# One per-language window (languages are the partitions — bounded) and
+# one small aggregation.
+# ---------------------------------------------------------------------------
+
+_T46_SQL = """
+WITH staged AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(ntile(4) OVER (PARTITION BY lang
+                             ORDER BY n_chars, doc_id) AS INT) AS stage
+  FROM documents
+)
+SELECT lang, stage,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM staged
+GROUP BY lang, stage
+ORDER BY lang, stage
+"""
+
+
+@query("t46_curriculum_stages", _T46_SQL)
+def t46_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    staged = d.select(
+        "lang", "n_chars", F.ntile(4).over(w).cast("int").alias("stage")
+    )
+    return (
+        staged.groupBy("lang", "stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars_total"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang", "stage")
+    )
