@@ -182,6 +182,9 @@ _GATE_FIRST: list[str] = [
     "t45_filter_drift_report",
     "q84_twap_irregular_events",
     "t46_curriculum_stages",
+    "s28_ivf_compaction",
+    "t47_tokenizer_fertility",
+    "q85_join_key_skew_report",
     "t37_ngram_lm_counts",
     "t38_inverted_index",
     "t39_chunk_dedup",

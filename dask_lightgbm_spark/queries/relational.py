@@ -3589,3 +3589,72 @@ def q84_twap_irregular_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q85 — join-key skew report (the diagnostic run BEFORE choosing q53/q62's
+# salting): per-key frequency stats for a prospective join key — top-5
+# heaviest keys, and the skew ratio (max key count ×1000 ÷ mean key
+# count, integer) that decides whether AQE skew handling or explicit
+# salting is needed. The heavy-key list is a rank window over the
+# per-key counts (key-cardinality-sized, not row-sized); ratios are
+# integer permille per the determinism contract.
+# ---------------------------------------------------------------------------
+
+_Q85_SQL = """
+WITH counts AS (
+  SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY o_custkey
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_rows,
+         CAST(MAX(n) AS BIGINT) AS max_n
+  FROM counts
+),
+ranked AS (
+  SELECT key, n,
+         CAST(row_number() OVER (ORDER BY n DESC, key) AS INT) AS rank
+  FROM counts
+)
+SELECT r.rank, r.key, r.n,
+       s.n_keys, s.n_rows,
+       CAST(s.max_n * 1000 * s.n_keys // s.n_rows AS BIGINT)
+         AS skew_ratio_permille
+FROM ranked r CROSS JOIN stats s
+WHERE r.rank <= 5
+ORDER BY r.rank
+"""
+
+
+@query("q85_join_key_skew_report", _Q85_SQL)
+def q85_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_n"),
+    )
+    w = W.orderBy(F.desc("n"), F.asc("key"))
+    # no-partition window input is the per-key count table (key
+    # cardinality), and only to rank 5 — at 100 TB the top-k would ride
+    # the same two-level pattern as q05 if key cardinality were row-scale
+    ranked = counts.withColumn("rank", F.row_number().over(w).cast("int")).filter(
+        F.col("rank") <= 5
+    )
+    return (
+        ranked.crossJoin(F.broadcast(stats))
+        .select(
+            "rank",
+            "key",
+            "n",
+            "n_keys",
+            "n_rows",
+            F.expr("max_n * 1000 * n_keys div n_rows").alias(
+                "skew_ratio_permille"
+            ),
+        )
+        .orderBy("rank")
+    )

@@ -1972,3 +1972,69 @@ def s27_ivf_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "nid", "rank", "cos")
         .orderBy("qid", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# s28 — IVF index COMPACTION (the physical rewrite that follows s27's
+# logical deletes): the live (non-tombstoned) assignment is rewritten to a
+# fresh parquet index layout — tombstones gone from storage, not just
+# masked — and serving reads the compacted files. Serve results must equal
+# s27's tombstone-masked serve EXACTLY (same oracle): compaction is a
+# physical-layout change with zero semantic content. This completes the
+# index lifecycle: build (s02/s15) → insert (s23/x15) → delete (s27) →
+# compact (s28). At scale compaction is the background job that keeps
+# deletion-vector overhead bounded; cost is one pass over live rows.
+# ---------------------------------------------------------------------------
+
+_S28_SQL = _S27_SQL
+
+
+@query("s28_ivf_compaction", _S28_SQL)
+def s28_ivf_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from dask_lightgbm_spark.session import scratch_dir
+
+    e = load_table(spark, sf_dir, "embeddings")
+    index = _ivf_index(spark, sf_dir)
+    tombstones = e.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    out = scratch_dir("s28_compacted") + "/" + sf_dir.strip("/").replace("/", "_")
+    # the compaction: live rows only, rewritten cell-partitioned so each
+    # cell's postings are one directory (serve prunes to probed cells)
+    (
+        index.join(tombstones, "vec_id", "left_anti")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(out)
+    )
+    live = spark.read.parquet(out).select("vec_id", "v", "cell", "nn")
+    q = index.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("cell"),
+        F.col("nn").alias("qn"),
+    )
+    scored = (
+        live.select(
+            F.col("vec_id").alias("nid"),
+            F.col("v").alias("nv"),
+            F.col("cell"),
+            F.col("nn"),
+        )
+        .join(F.broadcast(q), "cell")
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.try_divide(
+                sim.dot(F.col("qv"), F.col("nv")), F.col("qn") * F.col("nn")
+            ).alias("cos"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "nid", "rank", "cos")
+        .orderBy("qid", "rank")
+    )

@@ -2673,3 +2673,55 @@ def t46_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "stage")
     )
+
+
+# ---------------------------------------------------------------------------
+# t47 — tokenizer fertility report (chars-per-token by language): the
+# standard tokenizer-evaluation metric (how many characters one token
+# covers — low fertility on a language means the tokenizer fragments it,
+# inflating its effective sequence length and training cost). Uses t28's
+# BPE-style regex tokenizer; fertility is reported as integer permille
+# (chars·1000 ÷ tokens) per the determinism contract. One zero-shuffle
+# projection + a per-language aggregate.
+# ---------------------------------------------------------------------------
+
+_T47_SQL = f"""
+WITH tok AS (
+  SELECT lang,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) * 1000 // SUM(n_tokens) AS BIGINT)
+         AS chars_per_token_permille
+FROM tok GROUP BY lang ORDER BY lang
+"""
+
+
+@query("t47_tokenizer_fertility", _T47_SQL)
+def t47_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0)
+        ).cast("long").alias("n_tokens"),
+    )
+    return (
+        tok.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.expr("sum(n_chars) * 1000 div sum(n_tokens)").alias(
+                "chars_per_token_permille"
+            ),
+        )
+        .orderBy("lang")
+    )
