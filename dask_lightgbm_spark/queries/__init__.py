@@ -185,6 +185,8 @@ _GATE_FIRST: list[str] = [
     "s28_ivf_compaction",
     "t47_tokenizer_fertility",
     "q85_join_key_skew_report",
+    "q86_moving_bands_exact",
+    "t48_duplication_profile",
     "t37_ngram_lm_counts",
     "t38_inverted_index",
     "t39_chunk_dedup",

@@ -3658,3 +3658,71 @@ def q85_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q86 — moving statistical bands from EXACT window moments (the Bollinger
+# shape over irregular event values): per user, a trailing 4-row window
+# carries integer Σv and Σv² (cents), and mean/variance come out of the
+# exact-moment identity as single expressions — the q82 trick applied to
+# MOVING frames, where a naive stddev window would be float-fold-order
+# dependent. Upper/lower bands = mean ± 2σ, each ONE expression over the
+# integer sums. Window input is per-user ordered — the q39 frame shape.
+# ---------------------------------------------------------------------------
+
+_Q86_SQL = """
+WITH t AS (
+  SELECT user_id, event_id, ts,
+         CAST(round(value*100) AS BIGINT) AS v,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT) AS sv,
+         CAST(SUM(CAST(round(value*100) AS BIGINT)
+                  * CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT) AS svv
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, n,
+       CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mov_mean,
+       (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)
+        + 2.0 * sqrt(CAST(n*svv - sv*sv AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) / 100.0
+         AS upper_band,
+       (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)
+        - 2.0 * sqrt(CAST(n*svv - sv*sv AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) / 100.0
+         AS lower_band
+FROM t
+ORDER BY user_id, event_id
+"""
+
+
+@query("q86_moving_bands_exact", _Q86_SQL)
+def q86_moving_bands_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = _cents(F.col("value"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, W.currentRow)
+    )
+    t = e.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(v).over(w).alias("sv"),
+        F.sum(v * v).over(w).alias("svv"),
+    )
+    mean_c = F.col("sv").cast("double") / F.col("n").cast("double")
+    sd_c = 2.0 * F.sqrt(
+        (F.col("n") * F.col("svv") - F.col("sv") * F.col("sv")).cast("double")
+        / (F.col("n").cast("double") * F.col("n").cast("double"))
+    )
+    return t.select(
+        "user_id",
+        "event_id",
+        "n",
+        (mean_c / F.lit(100.0)).alias("mov_mean"),
+        ((mean_c + sd_c) / F.lit(100.0)).alias("upper_band"),
+        ((mean_c - sd_c) / F.lit(100.0)).alias("lower_band"),
+    ).orderBy("user_id", "event_id")

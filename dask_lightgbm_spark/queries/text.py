@@ -2725,3 +2725,53 @@ def t47_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# t48 — duplication profile (the power-law audit of corpus duplication):
+# histogram of exact-duplicate GROUP SIZES — how many contents appear
+# once, twice, ... — plus each band's share of total docs in integer
+# permille. The chart a dedup report leads with (crawl corpora follow a
+# heavy-tailed copy distribution; a spike at high n_copies means a
+# template or mirror). Composes t02's digest groups; the histogram input
+# is content-cardinality-sized.
+# ---------------------------------------------------------------------------
+
+_T48_SQL = """
+WITH g AS (
+  SELECT md5(text) AS digest, CAST(COUNT(*) AS BIGINT) AS n_copies
+  FROM documents GROUP BY digest
+),
+tot AS (SELECT CAST(SUM(n_copies) AS BIGINT) AS n_docs FROM g)
+SELECT n_copies,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(COUNT(*) * n_copies AS BIGINT) AS n_docs_in_band,
+       CAST(COUNT(*) * n_copies * 1000 // tot.n_docs AS BIGINT)
+         AS share_permille
+FROM g CROSS JOIN tot
+GROUP BY n_copies, tot.n_docs
+ORDER BY n_copies
+"""
+
+
+@query("t48_duplication_profile", _T48_SQL)
+def t48_duplication_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy(F.md5("text").alias("digest")).agg(
+        F.count(F.lit(1)).alias("n_copies")
+    )
+    tot = g.agg(F.sum("n_copies").alias("n_docs"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy("n_copies", "n_docs")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+        .select(
+            "n_copies",
+            "n_groups",
+            (F.col("n_groups") * F.col("n_copies")).alias("n_docs_in_band"),
+            F.expr("n_groups * n_copies * 1000 div n_docs").alias(
+                "share_permille"
+            ),
+        )
+        .orderBy("n_copies")
+    )
