@@ -187,6 +187,9 @@ _GATE_FIRST: list[str] = [
     "q85_join_key_skew_report",
     "q86_moving_bands_exact",
     "t48_duplication_profile",
+    "t49_stopword_induction",
+    "t50_langid_confusion",
+    "s29_knn_thresholded",
     "t37_ngram_lm_counts",
     "t38_inverted_index",
     "t39_chunk_dedup",

@@ -2038,3 +2038,86 @@ def s28_ivf_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "nid", "rank", "cos")
         .orderBy("qid", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# s29 — thresholded top-k serving (the hybrid of s01's top-k and s12's
+# range search): return UP TO k neighbors per query but only those above a
+# similarity floor — the retrieval-augmentation contract ("at most k
+# passages, none below relevance τ"; plain top-k pads with junk when a
+# query has few relevant neighbors, plain range search is unbounded on
+# dense regions). Plan: the s02 serve join with the threshold pushed
+# BEFORE the rank window, so the window input shrinks to the qualifying
+# pairs. Queries with zero qualifying neighbors drop out (both engines).
+# ---------------------------------------------------------------------------
+
+_S29_TAU = 0.30
+_S29_K = 3
+
+_S29_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+cell_scored AS (
+  SELECT e.vec_id, e.v, cent.cid, {_sql_cos('e.v', 'cent.cv')} AS cs
+  FROM e, cent
+),
+assigned AS (
+  SELECT vec_id, v, cid AS cell FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+    FROM cell_scored
+  ) WHERE rn = 1
+),
+qc AS (SELECT vec_id AS qid, v AS qv, cell FROM assigned WHERE vec_id < 10),
+pairs AS (
+  SELECT q.qid, n.vec_id AS nid, {_sql_cos('q.qv', 'n.v')} AS cos
+  FROM qc q JOIN assigned n ON q.cell = n.cell AND n.vec_id <> q.qid
+),
+qual AS (SELECT * FROM pairs WHERE cos >= {_S29_TAU})
+SELECT qid, nid, cos, CAST(rank AS INT) AS rank FROM (
+  SELECT qid, nid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+  FROM qual
+) WHERE rank <= {_S29_K}
+ORDER BY qid, rank
+"""
+
+
+@query("s29_knn_thresholded", _S29_SQL)
+def s29_knn_thresholded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    index = _ivf_index(spark, sf_dir)
+    q = index.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("cell"),
+        F.col("nn").alias("qn"),
+    )
+    pairs = (
+        index.select(
+            F.col("vec_id").alias("nid"),
+            F.col("v").alias("nv"),
+            F.col("cell"),
+            F.col("nn"),
+        )
+        .join(F.broadcast(q), "cell")
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.try_divide(
+                sim.dot(F.col("qv"), F.col("nv")), F.col("qn") * F.col("nn")
+            ).alias("cos"),
+        )
+        # threshold BEFORE the window: the rank input shrinks to
+        # qualifying pairs
+        .filter(F.col("cos") >= _S29_TAU)
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _S29_K)
+        .select("qid", "nid", "cos", "rank")
+        .orderBy("qid", "rank")
+    )

@@ -2775,3 +2775,118 @@ def t48_duplication_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_copies")
     )
+
+
+# ---------------------------------------------------------------------------
+# t49 — data-driven stopword induction: tokens whose DOCUMENT frequency
+# exceeds a permille threshold of the corpus are corpus-specific
+# stopwords (the IDF-based list that replaces t41's hardcoded stoplist on
+# a new corpus — CCNet builds its per-language lists exactly this way).
+# One (token, doc) distinct shuffle then a vocabulary-sized aggregate;
+# thresholds in integer permille per the determinism contract.
+# ---------------------------------------------------------------------------
+
+_T49_DF_PERMILLE = 600
+
+_T49_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(string_split_regex(trim(text), '[ \t\n\f\r]+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+df AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY token
+)
+SELECT token, df,
+       CAST(df * 1000 // tot.n_docs AS BIGINT) AS df_permille,
+       df * 1000 // tot.n_docs >= {_T49_DF_PERMILLE} AS is_stopword
+FROM df CROSS JOIN tot
+ORDER BY token
+"""
+
+
+@query("t49_stopword_induction", _T49_SQL)
+def t49_stopword_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.trim(F.col("text")), r"[ \t\n\f\r]+"),
+                    lambda x: x != "",
+                )
+            )
+        ).alias("token"),
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    df = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        df.crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            "df",
+            F.expr("df * 1000 div n_docs").alias("df_permille"),
+            (F.expr("df * 1000 div n_docs") >= _T49_DF_PERMILLE).alias(
+                "is_stopword"
+            ),
+        )
+        .orderBy("token")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t50 — language-ID confusion audit: t08's marker-argmax classifier
+# evaluated against the fixture's TRUE lang labels as a full confusion
+# matrix (true lang × predicted lang, exact integer counts + row-permille
+# rates) — the eval harness that tells you WHICH languages the heuristic
+# confuses before you trust its routing (the s19/t33 evaluation pattern
+# applied to the lang-ID component). Shares the operator with t08
+# verbatim; one small aggregation over the predictions.
+# ---------------------------------------------------------------------------
+
+_T50_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+       {_score_cols}
+  FROM documents
+),
+pred AS (
+  SELECT doc_id, lang,
+         CASE {_case_chain}
+              ELSE '{_langs[0]}' END AS pred_lang
+  FROM scored
+),
+rowtot AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang FROM pred GROUP BY lang
+)
+SELECT p.lang AS true_lang, p.pred_lang,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) * 1000 // r.n_lang AS BIGINT) AS rate_permille
+FROM pred p JOIN rowtot r ON r.lang = p.lang
+GROUP BY p.lang, p.pred_lang, r.n_lang
+ORDER BY true_lang, pred_lang
+"""
+
+
+@query("t50_langid_confusion", _T50_SQL)
+def t50_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    pred = text_ops.lang_id(d, "doc_id", "text", truth_col="lang")
+    w = W.partitionBy("lang")
+    return (
+        pred.groupBy(F.col("lang").alias("true_lang"), "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("n_lang", F.sum("n").over(W.partitionBy("true_lang")))
+        .select(
+            "true_lang",
+            "pred_lang",
+            "n",
+            F.expr("n * 1000 div n_lang").alias("rate_permille"),
+        )
+        .orderBy("true_lang", "pred_lang")
+    )
