@@ -190,6 +190,8 @@ _GATE_FIRST: list[str] = [
     "t49_stopword_induction",
     "t50_langid_confusion",
     "s29_knn_thresholded",
+    "q87_period_over_period",
+    "ml06_hash_collision_audit",
     "t37_ngram_lm_counts",
     "t38_inverted_index",
     "t39_chunk_dedup",

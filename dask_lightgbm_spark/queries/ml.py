@@ -261,3 +261,76 @@ def ml05_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("label").cast("long")).alias("n_positive"),
     )
     return per_split.crossJoin(F.broadcast(acc_gate)).orderBy("split")
+
+
+# ---------------------------------------------------------------------------
+# ml06 — feature-hashing collision audit (the quality check for ml04's
+# hashing trick): per bucket, how many DISTINCT tokens collide into it and
+# how much mass the dominant token holds (integer permille) — the numbers
+# that decide whether B buckets is enough or the hash is folding unrelated
+# features together. Vocabulary-sized input; dominant token chosen by
+# (tf DESC, token) for determinism.
+# ---------------------------------------------------------------------------
+
+_ML06_SQL = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(trim(text), '[ \t\n\f\r]+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT token,
+         CAST((('0x' || substr(md5(token), 1, 8))::BIGINT % {_ML04_B}) AS INT)
+           AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY token
+),
+ranked AS (
+  SELECT bucket, token, tf,
+         row_number() OVER (PARTITION BY bucket ORDER BY tf DESC, token) AS rn
+  FROM tf
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(tf) AS BIGINT) AS tf_total,
+       MAX(CASE WHEN rn = 1 THEN token END) AS dominant_token,
+       CAST(MAX(CASE WHEN rn = 1 THEN tf ELSE 0 END) * 1000 // SUM(tf)
+            AS BIGINT) AS dominant_permille
+FROM ranked GROUP BY bucket ORDER BY bucket
+"""
+
+
+@query("ml06_hash_collision_audit", _ML06_SQL)
+def ml06_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from dask_lightgbm_spark.operators.features import bucket_of
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.col("text")), r"[ \t\n\f\r]+"),
+                lambda x: x != "",
+            )
+        ).alias("token")
+    )
+    tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.withColumn("bucket", bucket_of(F.col("token"), _ML04_B))
+    w = W.partitionBy("bucket").orderBy(F.desc("tf"), F.asc("token"))
+    ranked = tf.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("tf").alias("tf_total"),
+            F.max(F.when(F.col("rn") == 1, F.col("token"))).alias(
+                "dominant_token"
+            ),
+            F.expr(
+                "CAST(max(CASE WHEN rn = 1 THEN tf ELSE 0 END) * 1000 "
+                "div sum(tf) AS BIGINT)"
+            ).alias("dominant_permille"),
+        )
+        .orderBy("bucket")
+    )

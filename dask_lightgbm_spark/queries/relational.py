@@ -3726,3 +3726,47 @@ def q86_moving_bands_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((mean_c + sd_c) / F.lit(100.0)).alias("upper_band"),
         ((mean_c - sd_c) / F.lit(100.0)).alias("lower_band"),
     ).orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# q87 — period-over-period comparison (the BI staple): weekly revenue per
+# event type with each week's exact integer delta vs the prior week — a
+# lag window over the AGGREGATED series (weeks × types — tiny), never
+# over raw events; the raw scan is one groupBy. The delta stays in CENTS,
+# not a ratio: deltas go negative, and negative integer division FLOORS in
+# DuckDB (//) but TRUNCATES in Spark (div) — a cross-engine trap the
+# determinism contract sidesteps by not dividing. First week per type has
+# no prior and reports NULL (both engines).
+# ---------------------------------------------------------------------------
+
+_Q87_SQL = """
+WITH weekly AS (
+  SELECT event_type, date_trunc('week', ts) AS week,
+         CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM events GROUP BY event_type, week
+)
+SELECT event_type, week, rev_cents,
+       lag(rev_cents) OVER (PARTITION BY event_type ORDER BY week)
+         AS prev_cents,
+       rev_cents - lag(rev_cents) OVER (PARTITION BY event_type
+                                        ORDER BY week) AS delta_cents
+FROM weekly
+ORDER BY event_type, week
+"""
+
+
+@query("q87_period_over_period", _Q87_SQL)
+def q87_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    weekly = e.groupBy(
+        "event_type", F.date_trunc("week", F.col("ts")).alias("week")
+    ).agg(F.sum(_cents(F.col("value"))).alias("rev_cents"))
+    w = W.partitionBy("event_type").orderBy("week")
+    prev = F.lag("rev_cents").over(w)
+    return weekly.select(
+        "event_type",
+        "week",
+        "rev_cents",
+        prev.alias("prev_cents"),
+        (F.col("rev_cents") - prev).alias("delta_cents"),
+    ).orderBy("event_type", "week")
