@@ -1478,12 +1478,20 @@ def s21_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (one equi-join on the cached index's cell key — never all-pairs), each
 # source vector ranks its candidates and keeps k. The rank window
 # partitions on the SOURCE vector id, so its input is bounded by the
-# source's own cell population (cell-size skew → the bucket_cap salting
-# argument from t05 applies verbatim). Cosines reuse the index's
+# source's own cell population. Hot-cell guard (r7 judge task 4): a cell
+# larger than _S22_SHELL is deterministically SPLIT into shells of at most
+# _S22_SHELL members (row_number by vec_id within the cell, div SHELL) and
+# candidates come from the source's own shell — per-shell pair work is
+# ≤ SHELL², so a skewed embedding space (one cell swallowing the corpus)
+# degrades the graph's recall gracefully instead of going quadratic.
+# Cells at or under the shell size are bit-identical to the unsplit graph
+# (every fixture ≤ sf0.1 has max cell ≪ SHELL); the oracle applies the
+# same split, so every SF verifies exactly. Cosines reuse the index's
 # build-time norms on both sides — zero per-pair norm work.
 # ---------------------------------------------------------------------------
 
 _S22_K = 3
+_S22_SHELL = 256
 
 _S22_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1499,10 +1507,16 @@ assigned AS (
     FROM cell_scored
   ) WHERE rn = 1
 ),
+sharded AS (
+  SELECT vec_id, v, cell,
+         CAST((row_number() OVER (PARTITION BY cell ORDER BY vec_id) - 1)
+              // {_S22_SHELL} AS INT) AS shell
+  FROM assigned
+),
 edges AS (
   SELECT a.vec_id AS src, b.vec_id AS dst, {_sql_cos('a.v', 'b.v')} AS cos
-  FROM assigned a JOIN assigned b
-    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+  FROM sharded a JOIN sharded b
+    ON a.cell = b.cell AND a.shell = b.shell AND a.vec_id <> b.vec_id
 ),
 ranked AS (
   SELECT src, dst, cos,
@@ -1519,17 +1533,23 @@ ORDER BY src, rank
 def s22_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    assigned = _ivf_index(spark, sf_dir)
-    a = assigned.select(
-        F.col("vec_id").alias("src"), F.col("v").alias("va"),
-        F.col("cell"), F.col("nn").alias("na"),
+    wcell = W.partitionBy("cell").orderBy("vec_id")
+    sharded = _ivf_index(spark, sf_dir).select(
+        "vec_id", "v", "cell", "nn",
+        F.floor((F.row_number().over(wcell) - 1) / F.lit(_S22_SHELL))
+        .cast("int")
+        .alias("shell"),
     )
-    b = assigned.select(
+    a = sharded.select(
+        F.col("vec_id").alias("src"), F.col("v").alias("va"),
+        F.col("cell"), F.col("shell"), F.col("nn").alias("na"),
+    )
+    b = sharded.select(
         F.col("vec_id").alias("dst"), F.col("v").alias("vb"),
-        F.col("cell"), F.col("nn").alias("nb"),
+        F.col("cell"), F.col("shell"), F.col("nn").alias("nb"),
     )
     edges = (
-        a.join(b, "cell")
+        a.join(b, ["cell", "shell"])
         .filter(F.col("src") != F.col("dst"))
         .select(
             "src",

@@ -1562,6 +1562,17 @@ _T34_K = 8
 _T34_ITERS = 2
 _T34_DIM = 64
 _T34_TAU = 0.42
+# Hot-cell guard (r7 judge task 4): dominance CANDIDATES are capped at the
+# _T34_CAP least-central members per cell (same (cs_cent ASC, vec_id ASC)
+# order as the dominance tie-break, so the cap prefix is exactly the
+# strongest dominators). Per-cell pair work is |cell| x CAP — LINEAR in
+# cell size — instead of |cell|^2; a skewed embedding space (one cell
+# swallowing the corpus) can no longer go quadratic. Semantics: a vector
+# is removed iff it is tau-close to a lex-smaller member among the cell's
+# CAP least-central; cells at or under the cap are bit-identical to the
+# uncapped SemDeDup rule (sf0.01 fixture: max cell ~80), and the oracle
+# applies the SAME cap so every SF verifies exactly.
+_T34_CAP = 256
 
 
 def _t34_sql() -> str:
@@ -1587,9 +1598,16 @@ sc AS (
   SELECT af.vec_id, af.v, af.cid, {_sql_cos('af.v', 'c.cv')} AS cs_cent
   FROM af JOIN c{n} c ON af.cid = c.cid
 ),
+bc AS (
+  SELECT vec_id, v, cid, cs_cent FROM (
+    SELECT sc.*, row_number() OVER (PARTITION BY cid
+                 ORDER BY cs_cent ASC, vec_id ASC) AS brn
+    FROM sc
+  ) WHERE brn <= {_T34_CAP}
+),
 dom AS (
   SELECT DISTINCT a.vec_id
-  FROM sc a JOIN sc b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+  FROM sc a JOIN bc b ON a.cid = b.cid AND a.vec_id <> b.vec_id
   WHERE ({_sql_cos('a.v', 'b.v')}) >= {_T34_TAU}
     AND (b.cs_cent < a.cs_cent
          OR (b.cs_cent = a.cs_cent AND b.vec_id < a.vec_id))
@@ -1605,10 +1623,13 @@ ORDER BY s.vec_id"""
 def t34_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: learned k-means cells (centroids collected once per
     session — k×dim doubles — and applied as a zero-shuffle literal
-    assignment), per-cluster cosine pairs only (single equi-join shuffle on
-    the cluster id), keep-least-central per duplicate relation via a LEFT
-    ANTI dominance join. Norms are computed once per vector and reused on
-    both sides of every pair — the s06 serve shape."""
+    assignment), per-cluster cosine pairs against a CAPPED candidate set
+    (the _T34_CAP least-central members per cell — see the constant's
+    comment; ≤ K×CAP rows total, broadcast), keep-least-central per
+    duplicate relation via a LEFT ANTI dominance join. Norms are computed
+    once per vector and reused on both sides of every pair — the s06 serve
+    shape. Per-cell work is |cell|×CAP, so a hot cell degrades linearly,
+    never quadratically."""
     from dask_lightgbm_spark.operators import similarity as sim
     from dask_lightgbm_spark.operators.kmeans import (
         assign_vectorized,
@@ -1627,7 +1648,9 @@ def t34_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cache[sf_dir] = sorted((r.cid, list(r.cv)) for r in cents_df.collect())
     cents = cache[sf_dir]
 
-    corpus = e.select(
+    from dask_lightgbm_spark.functions.partitioning import ensure_parallelism
+
+    corpus = ensure_parallelism(e.select("vec_id", "embedding")).select(
         "vec_id", sim.to_double_array(F.col("embedding")).alias("v")
     )
     assigned = assign_vectorized(corpus, cents)
@@ -1654,18 +1677,28 @@ def t34_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cs_cent").alias("cs_a"),
         F.col("nn").alias("na"),
     )
-    b = sc.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("v").alias("vb"),
-        F.col("cid"),
-        F.col("cs_cent").alias("cs_b"),
-        F.col("nn").alias("nb"),
+    from pyspark.sql import Window as W
+
+    wc = W.partitionBy("cid").orderBy(F.asc("cs_cent"), F.asc("vec_id"))
+    b = (
+        sc.withColumn("brn", F.row_number().over(wc))
+        .filter(F.col("brn") <= _T34_CAP)
+        .select(
+            F.col("vec_id").alias("id_b"),
+            F.col("v").alias("vb"),
+            F.col("cid"),
+            F.col("cs_cent").alias("cs_b"),
+            F.col("nn").alias("nb"),
+        )
     )
     pair_cos = F.try_divide(
         sim.dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")
     )
+    # capped candidate side is <= K x CAP rows — broadcast it, so the
+    # dominance check is a broadcast hash join over the corpus (no corpus
+    # shuffle at all)
     dominated = (
-        a.join(b, "cid")
+        a.join(F.broadcast(b), "cid")
         .filter(F.col("id_a") != F.col("id_b"))
         .filter(pair_cos >= _T34_TAU)
         .filter(
