@@ -46,6 +46,10 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     round-robin shuffle is tiny relative to the compute it parallelizes;
     inputs that are already wide pass through untouched (at 100 TB the scan
     is thousands of partitions and this is a no-op)."""
+    if df.isStreaming:
+        # micro-batch partitioning is the source's business; also .rdd is
+        # illegal on a streaming frame
+        return df
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df

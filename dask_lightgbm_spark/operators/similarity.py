@@ -164,9 +164,16 @@ def brute_force_knn(
                     }
                 )
 
-        scored = corpus.select(
-            F.col(id_col).cast("long").alias(id_col),
-            to_double_array(F.col(vec_col)).alias(vec_col),
+        from dask_lightgbm_spark.functions.partitioning import (
+            ensure_parallelism,
+        )
+
+        # spread a single-partition scan so every core scores a block
+        scored = ensure_parallelism(
+            corpus.select(
+                F.col(id_col).cast("long").alias(id_col),
+                to_double_array(F.col(vec_col)).alias(vec_col),
+            )
         ).mapInPandas(kernel, "qid long, nid long, cos double")
     else:
         c = corpus.select(
@@ -311,7 +318,13 @@ def assign_cells_vectorized(
                 }
             )
 
-    src = corpus.select(F.col(id_col).cast("long").alias(id_col), F.col(vec_col))
+    from dask_lightgbm_spark.functions.partitioning import ensure_parallelism
+
+    # a small compressed embedding file scans as ONE partition — spread it
+    # so the kernel scores on every core (no-op on a wide 100 TB scan)
+    src = ensure_parallelism(
+        corpus.select(F.col(id_col).cast("long").alias(id_col), F.col(vec_col))
+    )
     return src.mapInPandas(kernel, f"{id_col} long, v array<double>, cell long, nn double")
 
 
