@@ -568,4 +568,13 @@ def minhash_lsh_match_against(
             ).alias("jaccard"),
         )
     )
-    return jac.filter(F.col("jaccard") >= threshold)
+    # materialize the verdict, then free the corpus-scale shingle arrays
+    # eagerly (r7 advisor: repeated invocations were accumulating cached
+    # blocks for the session's lifetime). The returned table stays cached
+    # but is match-sized — bounded by the batch's duplicate count, not by
+    # the corpus.
+    out = jac.filter(F.col("jaccard") >= threshold).persist()
+    out.count()
+    arr_new.unpersist()
+    arr_cor.unpersist()
+    return out

@@ -56,9 +56,22 @@ def hashed_bow_vectors(
     with ZERO shuffle: per row, token buckets are computed once and the
     count vector is a row-local array fold; ``array_to_vector`` converts
     JVM-side. Identical counts to :func:`hashed_bow` by construction
-    (same bucket expression)."""
+    (same bucket expression).
+
+    SMALL-B CONTRACT (r7 advisor): the row-local build does O(B × tokens)
+    work and emits a DENSE B-dim vector per row — the right layout for
+    model-sized bucket counts (B ≤ ~4k), where "featurize at scan speed"
+    holds. At HashingTF-scale B (2^18+) dense rows blow memory regardless
+    of how the counts are built; that regime belongs to :func:`hashed_bow`
+    (the sparse COO relational form — one shuffle, output sized by
+    NON-ZERO entries), so this function refuses rather than degrade."""
     from pyspark.ml.functions import array_to_vector
 
+    if n_buckets > 4096:
+        raise ValueError(
+            f"hashed_bow_vectors: dense build is for small B (got "
+            f"{n_buckets} > 4096); use hashed_bow's sparse COO layout"
+        )
     buckets = F.transform(_tokens(text_col), lambda t: bucket_of(t, n_buckets))
     counts = F.transform(
         F.sequence(F.lit(0), F.lit(n_buckets - 1)),

@@ -1886,7 +1886,10 @@ def s26_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute = sim.brute_force_knn(e, e.filter(F.col("vec_id") < 10), k=3).select(
         "qid", "nid"
     )
-    n_q = 10  # sampled query-set size (vec_id < 10 — fixture ids are dense)
+    # count the ACTUAL query set (the oracle computes COUNT(*) FROM q) —
+    # a literal 10 silently diverges on any fixture with sparse low ids
+    # (r7 advisor finding); one tiny driver-side count per invocation
+    n_q = e.filter(F.col("vec_id") < 10).count()
     out = None
     for np_ in (1, 2):
         ivf = sim.ivf_knn(

@@ -429,6 +429,11 @@ def stream_upsert_state_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        # an aborted previous run may have left a stale .next — never let
+        # it masquerade as (or collide with) this run's side dir
+        shutil.rmtree(out + ".next", ignore_errors=True)
         upserts = latest(batch_df.select("user_id", "ts", "event_id", "value"))
         if os.path.exists(out):
             state = spark.read.parquet(out).select(
@@ -450,14 +455,19 @@ def stream_upsert_state_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             merged = upserts
         # the merge plan READS the state dir it replaces — write to a side
-        # dir first, then swap (never overwrite an input in-flight)
-        import shutil
-
+        # dir first, then swap via TWO RENAMES (r7 advisor: rmtree-then-
+        # rename had a window where a crash loses the state entirely; a
+        # rename pair leaves either old or new state present at all times,
+        # and the displaced old dir is deleted only after the new one is
+        # in place)
         tmp = out + ".next"
         merged.write.mode("overwrite").parquet(tmp)
+        old = out + ".old"
+        shutil.rmtree(old, ignore_errors=True)
         if os.path.exists(out):
-            shutil.rmtree(out)
+            os.rename(out, old)
         os.rename(tmp, out)
+        shutil.rmtree(old, ignore_errors=True)
 
     q = src.writeStream.foreachBatch(handle).start()
     try:

@@ -132,6 +132,13 @@ def stream_ivf_insert(
     base = assign_cells_vectorized(e.filter(F.col("vec_id") % 10 != 7), cents)
 
     out = scratch_dir("x15_ivf_delta") + "/" + sf_dir.strip("/").replace("/", "_")
+    # fresh delta dir per invocation (r7 advisor): batch=<id> overwrite is
+    # retry-idempotent WITHIN a run, but a re-invocation that drains into
+    # fewer micro-batches would leave stale batch=N dirs from the previous
+    # run and the union below would serve duplicated delta rows
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
     schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
     src = (
         spark.readStream.schema(schema)
