@@ -56,6 +56,28 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     return df.repartition(target)
 
 
+def key_skew_stats(
+    df: DataFrame, key_cols: list[str], by: list[str] | None = None
+) -> DataFrame:
+    """Frequency-skew stats for a prospective shuffle/join/dedup key — the
+    q85 diagnostic as a reusable operator, living next to the salting
+    utilities it decides between. One row per ``by`` group (or one row
+    total): ``n_keys``, ``n_rows``, ``max_n`` (heaviest key), and
+    ``skew_ratio_permille`` = max key count ×1000 ÷ mean key count
+    (integer — 1000 = perfectly uniform). Both aggregations partial-combine
+    map-side; output is key-cardinality-, then group-cardinality-sized."""
+    grp = list(by or [])
+    counts = df.groupBy(*grp, *key_cols).agg(F.count(F.lit(1)).alias("n"))
+    return counts.groupBy(*grp).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_n"),
+        F.expr(
+            "max(n) * 1000 * count(*) div sum(n)"
+        ).alias("skew_ratio_permille"),
+    )
+
+
 def repartition_for_join(df: DataFrame, keys: list[str], n: int | None = None) -> DataFrame:
     """Hash-partition on the join keys ahead of multiple joins/aggs on the
     same keys so the exchange is reused across stages (bucketing-without-

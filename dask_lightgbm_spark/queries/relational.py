@@ -3598,7 +3598,10 @@ def q84_twap_irregular_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # count, integer) that decides whether AQE skew handling or explicit
 # salting is needed. The heavy-key list is a rank window over the
 # per-key counts (key-cardinality-sized, not row-sized); ratios are
-# integer permille per the determinism contract.
+# integer permille per the determinism contract. The stats-only form is
+# functions/partitioning.key_skew_stats, which t43's dataset card uses to
+# auto-flag skewed dedup keys per source (r7 judge task 6) — this query
+# keeps its inline shape because it additionally ranks the heavy keys.
 # ---------------------------------------------------------------------------
 
 _Q85_SQL = """

@@ -20,6 +20,7 @@ from dask_lightgbm_spark.functions.hashing import (
     sql_hash60,
     sql_poly_shingle_hash,
 )
+from dask_lightgbm_spark.functions.partitioning import key_skew_stats
 from dask_lightgbm_spark.operators import dedup, text_ops
 from dask_lightgbm_spark.operators.dedup import SIMHASH_BITS
 from dask_lightgbm_spark.operators.text_ops import LANG_MARKERS
@@ -2497,13 +2498,22 @@ def t42_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # t43 — dataset card (per-source corpus summary): the one-page statistical
 # summary every released dataset ships — per source: volume (docs/tokens),
-# language spread, exact-duplicate exposure, and model-quality retention
-# (t35's scorer, SHARED code). Composes three one-shuffle passes: a
-# zero-shuffle token/quality projection, one md5-digest groupBy for dup
-# exposure, and the final per-source aggregation. Everything is integer
-# (token counts, distinct counts, dup counts, keep counts), so the card is
+# language spread, exact-duplicate exposure, model-quality retention
+# (t35's scorer, SHARED code), and — r7 judge task 6 — the DEDUP-KEY SKEW
+# VERDICT: q85's skew diagnostic (key_skew_stats, the operator form living
+# next to the salting utilities in functions/partitioning.py) applied to
+# the md5 digest the t01-style exact dedup shuffles on. A source whose
+# heaviest digest group exceeds _T43_SKEW_PERMILLE ×mean (a viral template
+# / empty-page pile-up) is flagged dedup_key_skewed=true — the signal to
+# reach for q53/q62's salting or AQE skew-join before running the dedup at
+# scale. Composes one-shuffle passes: a zero-shuffle token/quality
+# projection, one md5-digest groupBy for dup exposure + skew, and the
+# final per-source aggregation. Everything is integer, so the card is
 # bit-exact; output is one row per source — the audit artifact, not data.
 # ---------------------------------------------------------------------------
+
+# heaviest dedup-key group ≥ 20x the mean ⇒ salt the dedup shuffle
+_T43_SKEW_PERMILLE = 20000
 
 _T43_SQL = f"""
 WITH q AS ({_T35_SQL.replace("ORDER BY doc_id", "")}),
@@ -2516,20 +2526,39 @@ base AS (
 ),
 dupes AS (
   SELECT digest FROM base GROUP BY digest HAVING COUNT(*) > 1
+),
+skew AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(n) AS BIGINT) AS n_rows,
+         CAST(MAX(n) AS BIGINT) AS max_n
+  FROM (SELECT source, digest, COUNT(*) AS n FROM base
+        GROUP BY source, digest)
+  GROUP BY source
+),
+card AS (
+  SELECT b.source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(b.n_tokens) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT b.lang) AS BIGINT) AS n_langs,
+         CAST(SUM(CASE WHEN dup.digest IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_exact_dup_docs,
+         CAST(SUM(CASE WHEN q.keep THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_quality_keep
+  FROM base b
+  LEFT JOIN dupes dup ON dup.digest = b.digest
+  JOIN q ON q.doc_id = b.doc_id
+  GROUP BY b.source
 )
-SELECT b.source,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(b.n_tokens) AS BIGINT) AS n_tokens,
-       CAST(COUNT(DISTINCT b.lang) AS BIGINT) AS n_langs,
-       CAST(SUM(CASE WHEN dup.digest IS NOT NULL THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_exact_dup_docs,
-       CAST(SUM(CASE WHEN q.keep THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_quality_keep
-FROM base b
-LEFT JOIN dupes dup ON dup.digest = b.digest
-JOIN q ON q.doc_id = b.doc_id
-GROUP BY b.source
-ORDER BY b.source
+SELECT c.source, c.n_docs, c.n_tokens, c.n_langs, c.n_exact_dup_docs,
+       c.n_quality_keep,
+       s.max_n AS max_dup_group,
+       CAST(s.max_n * 1000 * s.n_keys // s.n_rows AS BIGINT)
+         AS dedup_skew_permille,
+       (s.max_n * 1000 * s.n_keys // s.n_rows) >= {_T43_SKEW_PERMILLE}
+         AS dedup_key_skewed
+FROM card c JOIN skew s ON s.source = c.source
+ORDER BY c.source
 """
 
 
@@ -2553,7 +2582,7 @@ def t43_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("digest", F.lit(True).alias("__dup"))
     )
     quality = quality_score_projection(d).select("doc_id", "keep")
-    return (
+    card = (
         # no broadcast hint: the dup-digest set is data-dependent (could be
         # corpus-scale on a duplicate-heavy crawl) — the digest join reuses
         # the groupBy's hash partitioning anyway
@@ -2571,8 +2600,17 @@ def t43_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_quality_keep"),
         )
-        .orderBy("source")
     )
+    skew = key_skew_stats(base, ["digest"], by=["source"]).select(
+        "source",
+        F.col("max_n").alias("max_dup_group"),
+        F.col("skew_ratio_permille").alias("dedup_skew_permille"),
+        (F.col("skew_ratio_permille") >= _T43_SKEW_PERMILLE).alias(
+            "dedup_key_skewed"
+        ),
+    )
+    # per-source frames are group-cardinality-sized; the join is trivial
+    return card.join(skew, "source").orderBy("source")
 
 
 # ---------------------------------------------------------------------------

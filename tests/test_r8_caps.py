@@ -129,3 +129,42 @@ def test_t34_dominance_cap_binds_and_matches_oracle(spark, skew_dir):
     kept = spark_pdf[spark_pdf.kept]
     assert len(kept) < len(spark_pdf) * 0.2
     assert len(kept) >= 1
+
+
+def test_t43_dedup_skew_verdict_flips(spark, tmp_path):
+    """The dataset card's dedup-key skew verdict (q85's diagnostic wired
+    into t43): a source where one viral text dominates the digest key
+    flags dedup_key_skewed=true; a healthy all-distinct source stays
+    false — and the whole card still matches the DuckDB oracle."""
+    rows = []
+    for i in range(200):  # viral template: one digest owns 200 rows
+        rows.append((i, "breaking news template shared verbatim", "en", "hot"))
+    for i in range(200, 230):
+        rows.append((i, f"distinct hot-source doc number {i} words", "en", "hot"))
+    for i in range(230, 330):
+        rows.append((i, f"unique healthy corpus document {i} tokens", "de", "ok"))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    spark_pdf = all_queries()["t43_dataset_card"](spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    duck_pdf = con.sql(all_oracles()["t43_dataset_card"]).df()
+    con.close()
+    assert not compare("t43_dataset_card", spark_pdf, duck_pdf)
+
+    verdict = spark_pdf.set_index("source")["dedup_key_skewed"]
+    assert bool(verdict["hot"]) is True
+    assert bool(verdict["ok"]) is False
+    assert spark_pdf.set_index("source")["max_dup_group"]["hot"] == 200
