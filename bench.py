@@ -126,6 +126,13 @@ SF1_SPOT = [
     "q01_pricing_summary",
     "q58_tpch_q5_local_supplier",
     "q64_tpch_q9_profit",
+    # r8: the heavy corpus ops added since the r3 headline freeze now have
+    # GATED bench representation (r7 judge task #3) — chunk-level exact
+    # dedup, incremental LSH ingest dedup, and capped SemDeDup, all with
+    # full-oracle DuckDB denominators well above the gate floor
+    "t39_chunk_dedup",
+    "t40_incremental_ingest_dedup",
+    "t34_semantic_dedup",
 ]
 # Every sf1 query has a DuckDB denominator (r6 judge task #4): the IVF/PQ
 # family is timed with SERVE-ONLY oracle twins against materialized index
@@ -185,6 +192,14 @@ SF10_TABLES = (
 )
 SF10_SCALING_LIMIT = 6.0
 
+# sf10 corpus spot (r7 judge task #5): a dedup op at 100x the sf0.1 corpus
+# (~500k docs), GATED on the sf1→sf10 Spark scaling shape exactly like the
+# relational stanza — the curve, not the single-node ratio, is the 100 TB
+# claim. No DuckDB denominator here: the full two-sided LSH oracle does
+# ~40 s of work at sf1 already (it IS gated there, in SF1_SPOT) and would
+# add minutes at sf10 for no additional signal.
+SF10_CORPUS = ["t40_incremental_ingest_dedup"]
+
 
 def ensure_sf1(src_dir: str) -> str:
     """Materialize a deterministic sf1-scale fixture: the sf0.1 documents/
@@ -212,17 +227,7 @@ def ensure_sf1(src_dir: str) -> str:
 
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
-    src_docs = f"{src_dir}/documents.parquet"
-    n_docs = con.sql(f"SELECT max(doc_id) + 1 FROM read_parquet('{src_docs}')").fetchone()[0]
-    con.sql(f"""
-        COPY (
-          SELECT doc_id + k * {n_docs} AS doc_id,
-                 CASE WHEN k = 0 THEN text ELSE text || ' rep' || k END AS text,
-                 lang, source,
-                 CAST(length(CASE WHEN k = 0 THEN text ELSE text || ' rep' || k END) AS BIGINT) AS n_chars
-          FROM read_parquet('{src_docs}'), (SELECT unnest(generate_series(0, 9)) AS k)
-          ORDER BY doc_id
-        ) TO '{out}/documents.parquet' (FORMAT PARQUET)""")
+    _scale_documents(con, src_dir, out, 10)
     src_vec = f"{src_dir}/embeddings.parquet"
     n_vec = con.sql(f"SELECT max(vec_id) + 1 FROM read_parquet('{src_vec}')").fetchone()[0]
     con.sql(f"""
@@ -246,6 +251,25 @@ def ensure_sf1(src_dir: str) -> str:
     with open(marker, "w") as f:
         f.write(fp)
     return out
+
+
+def _scale_documents(con, src_dir: str, out: str, n: int) -> None:
+    """Replicate documents ``n``x with shifted ids; replica text gets a
+    one-token suffix so replicas are near- but not exact duplicates —
+    realistic crawl duplication for the dedup paths."""
+    src_docs = f"{src_dir}/documents.parquet"
+    n_docs = con.sql(
+        f"SELECT max(doc_id) + 1 FROM read_parquet('{src_docs}')"
+    ).fetchone()[0]
+    con.sql(f"""
+        COPY (
+          SELECT doc_id + k * {n_docs} AS doc_id,
+                 CASE WHEN k = 0 THEN text ELSE text || ' rep' || k END AS text,
+                 lang, source,
+                 CAST(length(CASE WHEN k = 0 THEN text ELSE text || ' rep' || k END) AS BIGINT) AS n_chars
+          FROM read_parquet('{src_docs}'), (SELECT unnest(generate_series(0, {n - 1})) AS k)
+          ORDER BY doc_id
+        ) TO '{out}/documents.parquet' (FORMAT PARQUET)""")
 
 
 def _scale_tpch_facts(con, src_dir: str, out: str, n: int, dims: list[str]) -> None:
@@ -277,13 +301,14 @@ def _scale_tpch_facts(con, src_dir: str, out: str, n: int, dims: list[str]) -> N
 
 def ensure_sf10(src_dir: str) -> str:
     """Materialize the 100x-replicated TPC-H facts (~60M lineitem rows)
-    for the compute-bound relational spot; same fingerprint-cache contract
-    as :func:`ensure_sf1`. ~1.7 GB lineitem, built once (~60 s)."""
+    for the compute-bound relational spot, plus the 100x documents corpus
+    (~500k docs) for the sf10 corpus scaling stanza; same fingerprint-cache
+    contract as :func:`ensure_sf1`. ~1.7 GB lineitem, built once (~60 s)."""
     out = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/dls_bench_sf10")
     marker = os.path.join(out, "_DONE")
     fp = ",".join(
         f"{t}:{os.path.getmtime(p)}:{os.path.getsize(p)}"
-        for t in SF10_TABLES
+        for t in SF10_TABLES + ("documents",)
         for p in [os.path.join(src_dir, f"{t}.parquet")]
     )
     if os.path.exists(marker):
@@ -297,6 +322,7 @@ def ensure_sf10(src_dir: str) -> str:
     _scale_tpch_facts(
         con, src_dir, out, 100, [t for t in SF10_TABLES if t not in ("lineitem", "orders")]
     )
+    _scale_documents(con, src_dir, out, 100)
     con.close()
     with open(marker, "w") as f:
         f.write(fp)
@@ -595,6 +621,35 @@ def main():
         except Exception as exc:  # noqa: BLE001
             out["sf10_relational"] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
 
+    # sf10 corpus spot: the dedup scaling curve at 100x the sf0.1 corpus
+    if at_sf01 and os.environ.get("SPARK_GRAFT_SF10_SPOT", "1") != "0":
+        try:
+            sf10_dir = ensure_sf10(sf_dir)
+            spc: dict[str, float] = {}
+            errc: dict[str, str] = {}
+            for name in SF10_CORPUS:
+                try:
+                    t0 = time.time()
+                    n = len(qs[name](spark, sf10_dir).toPandas())
+                    spc[name] = round(time.time() - t0, 3)
+                    print(f"# sf10 {name}: {spc[name]:.2f}s ({n} rows)", file=sys.stderr)
+                except Exception as exc:  # noqa: BLE001
+                    errc[name] = f"{type(exc).__name__}: {exc}"[:300]
+                    print(f"# sf10 {name}: ERROR {type(exc).__name__}", file=sys.stderr)
+            sf1_q = out.get("sf1_spot", {}).get("queries", {})
+            scaling_c = {
+                n: round(spc[n] / sf1_q[n], 2) for n in spc if sf1_q.get(n)
+            }
+            out["sf10_corpus"] = {
+                "sf": 10.0,
+                "queries": spc,
+                "total": round(sum(spc.values()), 3),
+                "spark_scaling_vs_sf1": scaling_c,
+                "errors": errc,
+            }
+        except Exception as exc:  # noqa: BLE001
+            out["sf10_corpus"] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+
     # gated breaches (r6 judge task #8 — the scale stanzas are gated, not
     # informational): sf1 compute-bound ratios beyond 2x (denominator
     # floor: see GATE_DENOM_FLOOR) and sf10 scaling beyond the limit
@@ -621,6 +676,15 @@ def main():
     )
     if sf10_rel:
         sf10_rel["scaling_breaches"] = sf10_breaches
+    sf10_corp = out.get("sf10_corpus", {})
+    corp_breaches = sorted(
+        n
+        for n, r in sf10_corp.get("spark_scaling_vs_sf1", {}).items()
+        if r > SF10_SCALING_LIMIT
+    )
+    if sf10_corp:
+        sf10_corp["scaling_breaches"] = corp_breaches
+    sf10_breaches = sf10_breaches + corp_breaches
     print(json.dumps(out))
     # compact summary line LAST (< 500 B): the driver records only a stdout
     # tail and the full line above outgrew it ("parsed": null in r6) — this
@@ -644,7 +708,9 @@ def main():
     if "--enforce" in sys.argv and at_sf01:
         live = out["vs_duckdb_live_total"]
         sf1_errs = sorted(sf1_spot.get("errors", {}))
-        sf10_errs = sorted(sf10_rel.get("errors", {}))
+        sf10_errs = sorted(sf10_rel.get("errors", {})) + sorted(
+            sf10_corp.get("errors", {})
+        )
         if (
             (live is not None and live > 2.0)
             or regressions

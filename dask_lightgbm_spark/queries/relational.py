@@ -3540,8 +3540,9 @@ def q83_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MICROSECONDS (epoch_us — DuckDB's epoch() returns fractional doubles
 # whose BIGINT cast ROUNDS while Spark's unix_timestamp truncates, so
 # seconds are not parity-safe), value is exact cents, the weighted sum is
-# int64 (~1e10/row → ~6e16 headroom at sf1), and the TWAP is ONE division. A user's last event has no successor and drops
-# out (both engines agree). Per-user windows then one small agg.
+# int64 (~1e10/row → ~6e16 headroom at sf1), and the TWAP is ONE
+# division. A user's last event has no successor and drops out (both
+# engines agree). Per-user windows then one small agg.
 # ---------------------------------------------------------------------------
 
 _Q84_SQL = """

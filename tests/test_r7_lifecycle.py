@@ -1,8 +1,6 @@
 """Lifecycle equivalences for the round-7 index/state operators — the
 semantic claims the oracle verifies indirectly, asserted directly."""
 
-from pyspark.sql import functions as F
-
 
 def _rows(df):
     return sorted(tuple(r) for r in df.collect())
