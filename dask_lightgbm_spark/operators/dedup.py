@@ -523,8 +523,15 @@ def minhash_lsh_match_against(
     because the two sides are disjoint id spaces."""
     if est_min_matches is None:
         est_min_matches = num_perm // 2
-    arr_new = shingle_hash_array(new_df, id_col, text_col, k_shingle).persist()
-    arr_cor = shingle_hash_array(corpus_df, id_col, text_col, k_shingle).persist()
+    # NO persist (r8): the shingle arrays are scan-local projections, so
+    # the verify join's second use recomputes them — at 100 TB, re-running
+    # a projection beats caching corpus-sized arrays in executor memory,
+    # and repeated invocations leave nothing behind in the CacheManager
+    # (the r7 advisor's accumulation finding; an earlier persist here also
+    # let identical re-invocations silently serve from cache, which is not
+    # a result a benchmark or a retry should get for free).
+    arr_new = shingle_hash_array(new_df, id_col, text_col, k_shingle)
+    arr_cor = shingle_hash_array(corpus_df, id_col, text_col, k_shingle)
     sig_arr = F.array(*[F.col(f"mh{i}") for i in range(num_perm)])
     bands_new = _band_views(
         signatures_from_array(arr_new, id_col, num_perm),
@@ -568,13 +575,4 @@ def minhash_lsh_match_against(
             ).alias("jaccard"),
         )
     )
-    # materialize the verdict, then free the corpus-scale shingle arrays
-    # eagerly (r7 advisor: repeated invocations were accumulating cached
-    # blocks for the session's lifetime). The returned table stays cached
-    # but is match-sized — bounded by the batch's duplicate count, not by
-    # the corpus.
-    out = jac.filter(F.col("jaccard") >= threshold).persist()
-    out.count()
-    arr_new.unpersist()
-    arr_cor.unpersist()
-    return out
+    return jac.filter(F.col("jaccard") >= threshold)

@@ -3286,7 +3286,14 @@ def q80_gapfill_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_cents(F.col("value"))).alias("cents"),
         F.count(F.lit(1)).alias("n"),
     )
-    scaffold = hours.crossJoin(users)  # bounded: hours × entity set
+    # scaffold cardinality = |spine| × |entities| BY CONSTRUCTION — the
+    # caller's filter bounds the entity set (here 50 users × 168 hours).
+    # A generic gap-fill API must carry that bound as an explicit contract:
+    # the scaffold is the OUTPUT's own size (every gap-filled series has
+    # one row per (entity, tick)), so it is never a blow-up relative to the
+    # result — but an unfiltered entity set × a fine-grained spine IS the
+    # result being huge, and the caller owns that choice.
+    scaffold = hours.crossJoin(users)
     w = (
         W.partitionBy("user_id")
         .orderBy("hour")
