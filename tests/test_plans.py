@@ -189,13 +189,12 @@ def test_t39_t44_dedup_shuffles_keyed_by_digest(spark, sf_dir):
 
     for name in ("t39_chunk_dedup", "t44_boilerplate_chunk_removal"):
         plan = formatted_plan(all_queries()[name](spark, sf_dir))
-        ex = [
-            line
-            for line in plan.splitlines()
-            if "Exchange hashpartitioning" in line
-        ]
-        assert any("dg#" in line for line in ex), (name, ex[:4])
-        assert not any("chunk#" in line for line in ex), (name, ex[:4])
+        ex = [line for line in plan.splitlines() if "hashpartitioning" in line]
+        assert any("hashpartitioning(dg#" in line for line in ex), (name, ex[:5])
+        assert not any("hashpartitioning(chunk#" in line for line in ex), (
+            name,
+            ex[:5],
+        )
 
 
 def test_t34_dominance_candidates_broadcast(spark, sf_dir):
@@ -212,9 +211,11 @@ def test_s22_pairs_join_includes_shell_key(spark, sf_dir):
     from dask_lightgbm_spark.plans.explain import formatted_plan
 
     plan = formatted_plan(all_queries()["s22_knn_graph"](spark, sf_dir))
-    join_lines = [
+    key_lines = [
         line
         for line in plan.splitlines()
-        if "Join" in line and "cell" in line
+        if "keys" in line and "cell#" in line
     ]
-    assert any("shell" in line for line in join_lines), join_lines[:4]
+    assert key_lines and all("shell#" in line for line in key_lines), (
+        key_lines[:4]
+    )
