@@ -192,13 +192,16 @@ SF10_TABLES = (
 )
 SF10_SCALING_LIMIT = 6.0
 
-# sf10 corpus spot (r7 judge task #5): a dedup op at 100x the sf0.1 corpus
+# sf10 corpus spot (r7 judge task #5): dedup ops at 100x the sf0.1 corpus
 # (~500k docs), GATED on the sf1→sf10 Spark scaling shape exactly like the
 # relational stanza — the curve, not the single-node ratio, is the 100 TB
-# claim. No DuckDB denominator here: the full two-sided LSH oracle does
-# ~40 s of work at sf1 already (it IS gated there, in SF1_SPOT) and would
-# add minutes at sf10 for no additional signal.
-SF10_CORPUS = ["t40_incremental_ingest_dedup"]
+# claim. Two shapes: chunk-level exact dedup (digest-keyed shuffle,
+# measured ~2x for 10x data) and two-sided LSH ingest dedup (~4.5x — the
+# fixture's 100-deep replica buckets make candidate pairs superlinear by
+# construction, and the curve still clears the gate). No DuckDB
+# denominators here: both full oracles are already gated at sf1 in
+# SF1_SPOT, and at sf10 they would add minutes for no additional signal.
+SF10_CORPUS = ["t39_chunk_dedup", "t40_incremental_ingest_dedup"]
 
 
 def ensure_sf1(src_dir: str) -> str:

@@ -305,3 +305,107 @@ def test_pack_sequences_invariants(spark, counts, seq_len):
         assert r.first_chunk == r.start_tok // seq_len
         assert r.last_chunk == (r.end_tok - 1) // seq_len
         assert r.n_chunks == r.last_chunk - r.first_chunk + 1
+
+
+@st.composite
+def keyed_frames(draw):
+    n = draw(st.integers(1, 60))
+    return pd.DataFrame(
+        {
+            "grp": [draw(st.sampled_from(["a", "b"])) for _ in range(n)],
+            "key": [draw(st.integers(0, 5)) for _ in range(n)],
+        }
+    )
+
+
+@settings(max_examples=6, deadline=None)
+@given(keyed_frames())
+def test_key_skew_stats_matches_pandas(spark, pdf):
+    from dask_lightgbm_spark.functions.partitioning import key_skew_stats
+
+    got = (
+        key_skew_stats(spark.createDataFrame(pdf), ["key"], by=["grp"])
+        .toPandas()
+        .set_index("grp")
+        .sort_index()
+    )
+    for grp, sub in pdf.groupby("grp"):
+        counts = sub.groupby("key").size()
+        row = got.loc[grp]
+        assert row["n_keys"] == len(counts)
+        assert row["n_rows"] == len(sub)
+        assert row["max_n"] == counts.max()
+        assert row["skew_ratio_permille"] == (
+            counts.max() * 1000 * len(counts)
+        ) // len(sub)
+
+
+@st.composite
+def tiny_corpora(draw):
+    """Docs over a 4-word vocab with mixed whitespace — small enough that
+    8-token chunks genuinely collide across docs."""
+    n_docs = draw(st.integers(1, 8))
+    docs = []
+    for i in range(n_docs):
+        n_tok = draw(st.integers(0, 30))
+        toks = [draw(st.sampled_from(["ab", "cd", "ef", "gh"])) for _ in range(n_tok)]
+        sep = draw(st.sampled_from([" ", "  ", "\t", "\n"]))
+        docs.append((i, sep.join(toks)))
+    return docs
+
+
+@settings(max_examples=6, deadline=None)
+@given(tiny_corpora())
+def test_t39_chunk_dedup_matches_python_reference(spark, tmp_path_factory, docs):
+    """Differential test INDEPENDENT of DuckDB: t39's keep-first chunk
+    dedup against a from-scratch pure-Python reference (same 8-token
+    chunking, first occurrence in (doc_id, chunk_idx) order, md5 of the
+    surviving text)."""
+    import hashlib
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dask_lightgbm_spark.queries import all_queries
+    from dask_lightgbm_spark.queries.text import _T39_W
+
+    out = tmp_path_factory.mktemp("t39prop")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "source": pa.array(["s"] * len(docs), pa.string()),
+            "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, out / "documents.parquet")
+
+    seen: set[str] = set()
+    expected = {}
+    for doc_id, text in sorted(docs):
+        ts = [t for t in re.split(r"[ \t\n\f\r]+", text.strip()) if t]
+        chunks = [
+            " ".join(ts[i * _T39_W : (i + 1) * _T39_W])
+            for i in range((len(ts) + _T39_W - 1) // _T39_W)
+        ]
+        kept = []
+        for c in chunks:
+            if c not in seen:
+                seen.add(c)
+                kept.append(c)
+        expected[doc_id] = (
+            len(chunks),
+            len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+
+    got = all_queries()["t39_chunk_dedup"](spark, str(out)).collect()
+    assert len(got) == len(docs)
+    for r in got:
+        assert (r.n_chunks, r.n_kept, r.kept_digest) == expected[r.doc_id], (
+            r.doc_id,
+            expected[r.doc_id],
+            (r.n_chunks, r.n_kept, r.kept_digest),
+        )
