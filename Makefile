@@ -5,7 +5,7 @@
 # they check and what the coverage number can honestly claim (driver-side
 # lines only; executor-process UDF bodies are not traced).
 
-.PHONY: lint test check coverage bench catalog all
+.PHONY: lint test check coverage bench catalog gate all
 
 lint:
 	python tools/lint.py
@@ -27,5 +27,10 @@ bench:
 
 catalog:
 	python tools/gen_catalog.py
+
+# re-rotate the correctness gate from the committed CORRECTNESS_r*.json
+# files (each round's mandatory commit #1); --check in CI-style usage
+gate:
+	python tools/gen_gate.py
 
 all: lint test

@@ -146,7 +146,8 @@ def query(name: str, oracle: str | None = None):
 # (r8 clears the r4 block + oldest r5; r9 finishes r5/r6).
 # tests/test_relational.py recomputes this ordering from the committed
 # CORRECTNESS_r*.json files and pins the list, so a new round's rotation
-# cannot be forgotten without a test failure.
+# cannot be forgotten without a test failure; `python tools/gen_gate.py`
+# regenerates the block below mechanically (`--check` reports staleness).
 _GATE_FIRST: list[str] = [
     # --- never driver-verified (prepend new queries here) ---
     "s21_knn_filtered",
