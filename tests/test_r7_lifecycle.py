@@ -72,3 +72,25 @@ def test_thresholded_topk_is_subset_of_plain_topk_candidates(spark, sf_dir):
         assert r["cos"] >= _S29_TAU
         per_q[r["qid"]] = per_q.get(r["qid"], 0) + 1
     assert max(per_q.values()) <= _S29_K
+
+
+def test_stream_upsert_state_recovers_from_stale_next_dir(spark, sf_dir):
+    """r8 swap hardening: an aborted run's leftover .next dir (possibly
+    garbage) must not masquerade as state or corrupt the swap — the next
+    run clears it at entry and produces the same state as a clean run."""
+    import os
+
+    from dask_lightgbm_spark.queries.streaming_q import x16_stream_upsert_state
+    from dask_lightgbm_spark.session import scratch_dir
+
+    clean = _rows(x16_stream_upsert_state(spark, sf_dir))
+    state = (
+        scratch_dir("x16_state") + "/" + sf_dir.strip("/").replace("/", "_")
+    )
+    stale = state + ".next"
+    os.makedirs(stale, exist_ok=True)
+    with open(os.path.join(stale, "garbage.bin"), "wb") as f:
+        f.write(b"\x00not parquet")
+    after = _rows(x16_stream_upsert_state(spark, sf_dir))
+    assert after == clean
+    assert not os.path.exists(stale + "/garbage.bin")
