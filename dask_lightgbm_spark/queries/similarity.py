@@ -1479,15 +1479,21 @@ def s21_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # source vector ranks its candidates and keeps k. The rank window
 # partitions on the SOURCE vector id, so its input is bounded by the
 # source's own cell population. Hot-cell guard (r7 judge task 4): a cell
-# larger than _S22_SHELL is deterministically SPLIT into shells of at most
-# _S22_SHELL members (row_number by vec_id within the cell, div SHELL) and
-# candidates come from the source's own shell — per-shell pair work is
-# ≤ SHELL², so a skewed embedding space (one cell swallowing the corpus)
-# degrades the graph's recall gracefully instead of going quadratic.
-# Cells at or under the shell size are bit-identical to the unsplit graph
-# (every fixture ≤ sf0.1 has max cell ≪ SHELL); the oracle applies the
-# same split, so every SF verifies exactly. Cosines reuse the index's
-# build-time norms on both sides — zero per-pair norm work.
+# larger than _S22_SHELL is deterministically SPLIT into
+# ceil(|cell|/SHELL) shells by the md5-prefix hash of vec_id (the t35/ml04
+# bucket formula — identical arithmetic in DuckDB), and candidates come
+# from the source's own shell. Shell sizes are ~SHELL in expectation
+# (hash-uniform), so per-shell pair work is ~SHELL² and TOTAL pair work is
+# ~|cell|×SHELL — linear in cell size; a skewed embedding space degrades
+# the graph's recall gracefully instead of going quadratic. Deliberately
+# NOT a row_number-by-vec_id split: an exact rank needs a per-cell window,
+# and sorting a hot cell is itself a single-task skew bottleneck — the
+# hash split needs only a cell→count aggregate (cell-cardinality-sized,
+# broadcast back). Cells at or under the shell size get nshells=1 and are
+# bit-identical to the unsplit graph (every fixture ≤ sf0.1 has max cell
+# ≪ SHELL); the oracle applies the same split, so every SF verifies
+# exactly. Cosines reuse the index's build-time norms on both sides —
+# zero per-pair norm work.
 # ---------------------------------------------------------------------------
 
 _S22_K = 3
@@ -1507,11 +1513,16 @@ assigned AS (
     FROM cell_scored
   ) WHERE rn = 1
 ),
+cellcounts AS (
+  SELECT cell, CAST((COUNT(*) + {_S22_SHELL - 1}) // {_S22_SHELL} AS BIGINT)
+           AS nsh
+  FROM assigned GROUP BY cell
+),
 sharded AS (
-  SELECT vec_id, v, cell,
-         CAST((row_number() OVER (PARTITION BY cell ORDER BY vec_id) - 1)
-              // {_S22_SHELL} AS INT) AS shell
-  FROM assigned
+  SELECT a.vec_id, a.v, a.cell,
+         CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 8))::BIGINT
+              % c.nsh AS INT) AS shell
+  FROM assigned a JOIN cellcounts c ON a.cell = c.cell
 ),
 edges AS (
   SELECT a.vec_id AS src, b.vec_id AS dst, {_sql_cos('a.v', 'b.v')} AS cos
@@ -1533,12 +1544,19 @@ ORDER BY src, rank
 def s22_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    wcell = W.partitionBy("cell").orderBy("vec_id")
-    sharded = _ivf_index(spark, sf_dir).select(
+    idx = _ivf_index(spark, sf_dir)
+    counts = idx.groupBy("cell").agg(
+        F.expr(f"(count(*) + {_S22_SHELL - 1}) div {_S22_SHELL}").alias("nsh")
+    )
+    sharded = idx.join(F.broadcast(counts), "cell").select(
         "vec_id", "v", "cell", "nn",
-        F.floor((F.row_number().over(wcell) - 1) / F.lit(_S22_SHELL))
-        .cast("int")
-        .alias("shell"),
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8),
+                16, 10,
+            ).cast("long"),
+            F.col("nsh"),
+        ).cast("int").alias("shell"),
     )
     a = sharded.select(
         F.col("vec_id").alias("src"), F.col("v").alias("va"),

@@ -1572,8 +1572,11 @@ _T34_TAU = 0.42
 # is removed iff it is tau-close to a lex-smaller member among the cell's
 # CAP least-central; cells at or under the cap are bit-identical to the
 # uncapped SemDeDup rule (sf0.01 fixture: max cell ~80), and the oracle
-# applies the SAME cap so every SF verifies exactly.
+# applies the SAME cap so every SF verifies exactly. Selection runs as a
+# two-level rank (salted partial bottom-CAP, then final rank over the
+# bounded union) so no single task ever sorts a hot cell.
 _T34_CAP = 256
+_T34_SALT = 64  # phase-1 fanout; a salt partition holds ~|cell|/64 rows
 
 
 def _t34_sql() -> str:
@@ -1680,9 +1683,23 @@ def t34_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window as W
 
-    wc = W.partitionBy("cid").orderBy(F.asc("cs_cent"), F.asc("vec_id"))
+    # TWO-LEVEL bottom-CAP per cell (the q05/q30 top-k pattern): a single
+    # per-cell rank window would sort a hot cell on ONE task — the exact
+    # skew this cap exists to guard against. Phase 1 ranks within
+    # (cid, salt) partitions (each ~|cell|/SALT) and keeps CAP per salt;
+    # phase 2 re-ranks the ≤ SALT×CAP survivors per cell. Any global
+    # bottom-CAP member is necessarily its salt-group's bottom-CAP (the
+    # order is the same), so the selected set is IDENTICAL to the single
+    # window's — the oracle keeps the simple one-window form.
+    wc1 = W.partitionBy("cid", "__salt").orderBy(
+        F.asc("cs_cent"), F.asc("vec_id")
+    )
+    wc2 = W.partitionBy("cid").orderBy(F.asc("cs_cent"), F.asc("vec_id"))
     b = (
-        sc.withColumn("brn", F.row_number().over(wc))
+        sc.withColumn("__salt", F.pmod(F.hash("vec_id"), F.lit(_T34_SALT)))
+        .withColumn("prn", F.row_number().over(wc1))
+        .filter(F.col("prn") <= _T34_CAP)
+        .withColumn("brn", F.row_number().over(wc2))
         .filter(F.col("brn") <= _T34_CAP)
         .select(
             F.col("vec_id").alias("id_b"),

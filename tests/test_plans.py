@@ -216,6 +216,9 @@ def test_s22_pairs_join_includes_shell_key(spark, sf_dir):
         for line in plan.splitlines()
         if "keys" in line and "cell#" in line
     ]
-    assert key_lines and all("shell#" in line for line in key_lines), (
-        key_lines[:4]
+    # the candidate-pair self-join is the 2-key join carrying the shell;
+    # the cell→nshells broadcast join legitimately keys on cell alone
+    pair_keys = [line for line in key_lines if "keys [2]" in line]
+    assert pair_keys and all("shell#" in line for line in pair_keys), (
+        key_lines[:6]
     )

@@ -94,21 +94,34 @@ def test_s22_shell_split_bounds_hot_cell(spark, skew_dir):
             FROM e, cent c
           ) WHERE rn = 1
         ),
+        cellcounts AS (
+          SELECT cell,
+                 CAST((COUNT(*) + {_S22_SHELL - 1}) // {_S22_SHELL} AS BIGINT)
+                   AS nsh
+          FROM assigned GROUP BY cell
+        ),
         sharded AS (
-          SELECT cell, CAST((row_number() OVER (PARTITION BY cell
-                 ORDER BY vec_id) - 1) // {_S22_SHELL} AS INT) AS shell
-          FROM assigned
+          SELECT a.cell, c.nsh,
+                 CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 8))
+                      ::BIGINT % c.nsh AS INT) AS shell
+          FROM assigned a JOIN cellcounts c ON a.cell = c.cell
         )
-        SELECT max(cnt_cell) AS max_cell, max(cnt_shard) AS max_shard FROM (
-          SELECT cell, COUNT(*) OVER (PARTITION BY cell) AS cnt_cell,
+        SELECT max(cnt_cell) AS max_cell, max(cnt_shard) AS max_shard,
+               max(nsh) AS max_nsh
+        FROM (
+          SELECT cell, nsh, COUNT(*) OVER (PARTITION BY cell) AS cnt_cell,
                  COUNT(*) OVER (PARTITION BY cell, shell) AS cnt_shard
           FROM sharded)
         """
     ).fetchone()
     con.close()
-    max_cell, max_shard = sizes
+    max_cell, max_shard, max_nsh = sizes
     assert max_cell > _S22_SHELL, "fixture must actually overflow a cell"
-    assert max_shard <= _S22_SHELL
+    assert max_nsh >= 2, "the hot cell must actually split"
+    # hash shells are ~SHELL in expectation; 2x bounds the variance while
+    # still proving the split keeps per-shell pair work ~SHELL², i.e.
+    # TOTAL pair work linear in cell size
+    assert max_shard <= 2 * _S22_SHELL
     # every src still gets real neighbors inside its shell
     assert spark_pdf.groupby("src")["rank"].max().max() == 3
 
