@@ -56,6 +56,38 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     return df.repartition(target)
 
 
+def grouped_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    order: list,
+    k: int,
+    salt_on: list[str],
+    n_salt: int = 64,
+) -> DataFrame:
+    """Exact per-group top-k under the TOTAL order ``order`` without ever
+    sorting a hot group on one task (the q05 two-level pattern as a
+    reusable operator): phase 1 ranks within (group, salt) partitions —
+    each ~|group|/n_salt, spill-bounded and parallel — and keeps k per
+    salt; phase 2 re-ranks the ≤ n_salt×k survivors per group. Any global
+    top-k row is necessarily its salt-group's top-k under the same order,
+    so the selected set and the ``__rank`` column are IDENTICAL to a
+    single rank window's. ``order`` must be a total order of the group's
+    rows (tie-break to uniqueness) or the selection is ill-defined;
+    ``salt_on`` picks the hashed columns (deterministic under retries)."""
+    from pyspark.sql import Window as W
+
+    s = with_salt(df, n_salt, salt_on)
+    w1 = W.partitionBy(*group_cols, "__salt").orderBy(*order)
+    w2 = W.partitionBy(*group_cols).orderBy(*order)
+    return (
+        s.withColumn("__prank", F.row_number().over(w1))
+        .filter(F.col("__prank") <= k)
+        .withColumn("__rank", F.row_number().over(w2))
+        .filter(F.col("__rank") <= k)
+        .drop("__salt", "__prank")
+    )
+
+
 def key_skew_stats(
     df: DataFrame, key_cols: list[str], by: list[str] | None = None
 ) -> DataFrame:

@@ -1681,33 +1681,25 @@ def t34_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cs_cent").alias("cs_a"),
         F.col("nn").alias("na"),
     )
-    from pyspark.sql import Window as W
+    from dask_lightgbm_spark.functions.partitioning import grouped_topk
 
-    # TWO-LEVEL bottom-CAP per cell (the q05/q30 top-k pattern): a single
-    # per-cell rank window would sort a hot cell on ONE task — the exact
-    # skew this cap exists to guard against. Phase 1 ranks within
-    # (cid, salt) partitions (each ~|cell|/SALT) and keeps CAP per salt;
-    # phase 2 re-ranks the ≤ SALT×CAP survivors per cell. Any global
-    # bottom-CAP member is necessarily its salt-group's bottom-CAP (the
-    # order is the same), so the selected set is IDENTICAL to the single
-    # window's — the oracle keeps the simple one-window form.
-    wc1 = W.partitionBy("cid", "__salt").orderBy(
-        F.asc("cs_cent"), F.asc("vec_id")
-    )
-    wc2 = W.partitionBy("cid").orderBy(F.asc("cs_cent"), F.asc("vec_id"))
-    b = (
-        sc.withColumn("__salt", F.pmod(F.hash("vec_id"), F.lit(_T34_SALT)))
-        .withColumn("prn", F.row_number().over(wc1))
-        .filter(F.col("prn") <= _T34_CAP)
-        .withColumn("brn", F.row_number().over(wc2))
-        .filter(F.col("brn") <= _T34_CAP)
-        .select(
-            F.col("vec_id").alias("id_b"),
-            F.col("v").alias("vb"),
-            F.col("cid"),
-            F.col("cs_cent").alias("cs_b"),
-            F.col("nn").alias("nb"),
-        )
+    # TWO-LEVEL bottom-CAP per cell (grouped_topk): a single per-cell rank
+    # window would sort a hot cell on ONE task — the exact skew this cap
+    # exists to guard against. The selected set is identical to a single
+    # window's, so the oracle keeps the simple one-window form.
+    b = grouped_topk(
+        sc,
+        ["cid"],
+        [F.asc("cs_cent"), F.asc("vec_id")],
+        _T34_CAP,
+        salt_on=["vec_id"],
+        n_salt=_T34_SALT,
+    ).select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("cid"),
+        F.col("cs_cent").alias("cs_b"),
+        F.col("nn").alias("nb"),
     )
     pair_cos = F.try_divide(
         sim.dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")
@@ -1960,7 +1952,6 @@ ORDER BY n, rank
 
 @query("t37_ngram_lm_counts", _T37_SQL)
 def t37_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
 
     d = load_table(spark, sf_dir, "documents")
     ts = F.filter(
@@ -1990,11 +1981,22 @@ def t37_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= _T37_MIN_COUNT)
     )
-    w = W.partitionBy("n").orderBy(F.desc("cnt"), F.asc("gram"))
+    from dask_lightgbm_spark.functions.partitioning import grouped_topk
+
+    # two-level top-k: a plain window here partitions by n — THREE
+    # partitions — so one task would sort a third of the pruned vocab;
+    # grouped_topk keeps every sort bounded by vocab/n_salt
     return (
-        counts.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= _T37_TOPK)
-        .select("n", "gram", "cnt", "rank")
+        grouped_topk(
+            counts,
+            ["n"],
+            [F.desc("cnt"), F.asc("gram")],
+            _T37_TOPK,
+            salt_on=["gram"],
+        )
+        .select(
+            "n", "gram", "cnt", F.col("__rank").cast("int").alias("rank")
+        )
         .orderBy("n", "rank")
     )
 
@@ -2039,7 +2041,6 @@ FROM ranked GROUP BY token ORDER BY token
 
 @query("t38_inverted_index", _T38_SQL)
 def t38_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
 
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
@@ -2054,23 +2055,40 @@ def t38_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("token", "doc_id").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    w = W.partitionBy("token").orderBy("doc_id")
-    ranked = tf.withColumn("rnk", F.row_number().over(w))
-    head_ids = F.array_sort(
-        F.collect_list(
-            F.when(F.col("rnk") <= _T38_HEAD, F.col("doc_id"))
+    # df/tf_total/max_tf: one linear hash aggregation per token. The head
+    # postings are a per-token bottom-8 via grouped_topk — a plain
+    # per-token rank window would sort a stopword's entire posting list on
+    # one task; two-level ranking keeps every sort salt-bounded. The two
+    # vocab-sized results join back on token.
+    from dask_lightgbm_spark.functions.partitioning import grouped_topk
+
+    stats = tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("tf_total"),
+        F.max("tf").alias("max_tf"),
+    )
+    heads = (
+        grouped_topk(
+            tf.select("token", "doc_id"),
+            ["token"],
+            [F.asc("doc_id")],
+            _T38_HEAD,
+            salt_on=["doc_id"],
+        )
+        .groupBy("token")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings_head"),
         )
     )
     return (
-        ranked.groupBy("token")
-        .agg(
-            F.count(F.lit(1)).alias("df"),
-            F.sum("tf").alias("tf_total"),
-            F.max("tf").alias("max_tf"),
-            F.array_join(
-                F.transform(head_ids, lambda x: x.cast("string")), ","
-            ).alias("postings_head"),
-        )
+        stats.join(heads, "token")
+        .select("token", "df", "tf_total", "max_tf", "postings_head")
         .orderBy("token")
     )
 
