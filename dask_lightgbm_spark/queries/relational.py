@@ -3648,13 +3648,13 @@ def q85_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_rows"),
         F.max("n").alias("max_n"),
     )
-    w = W.orderBy(F.desc("n"), F.asc("key"))
-    # no-partition window input is the per-key count table (key
-    # cardinality), and only to rank 5 — at 100 TB the top-k would ride
-    # the same two-level pattern as q05 if key cardinality were row-scale
-    ranked = counts.withColumn("rank", F.row_number().over(w).cast("int")).filter(
-        F.col("rank") <= 5
-    )
+    # two-level top-5 (grouped_topk with no group): the heavy-key rank
+    # never sorts the whole key-cardinality count table on one task
+    from dask_lightgbm_spark.functions.partitioning import grouped_topk
+
+    ranked = grouped_topk(
+        counts, [], [F.desc("n"), F.asc("key")], 5, salt_on=["key"]
+    ).withColumn("rank", F.col("__rank").cast("int")).drop("__rank")
     return (
         ranked.crossJoin(F.broadcast(stats))
         .select(

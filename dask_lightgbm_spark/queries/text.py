@@ -616,7 +616,6 @@ FROM ranked CROSS JOIN total WHERE rnk <= 25
 
 @query("t16_token_zipf", _T16_SQL)
 def t16_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
 
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
@@ -626,10 +625,15 @@ def t16_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
     total = counts.agg(F.sum("n").alias("total"))
-    w = W.orderBy(F.desc("n"), F.asc("token"))
+    # two-level top-25: a bare global rank window would sort the whole
+    # vocabulary on one task; grouped_topk's final window sees ≤ salt×25
+    from dask_lightgbm_spark.functions.partitioning import grouped_topk
+
     return (
-        counts.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= 25)
+        grouped_topk(
+            counts, [], [F.desc("n"), F.asc("token")], 25, salt_on=["token"]
+        )
+        .withColumn("rnk", F.col("__rank").cast("int"))
         .crossJoin(F.broadcast(total))
         .select("token", "n", "rnk", (F.col("n") / F.col("total")).alias("freq"))
     )
