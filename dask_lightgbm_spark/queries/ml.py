@@ -302,7 +302,6 @@ FROM ranked GROUP BY bucket ORDER BY bucket
 
 @query("ml06_hash_collision_audit", _ML06_SQL)
 def ml06_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
 
     from dask_lightgbm_spark.operators.features import bucket_of
 
@@ -317,20 +316,32 @@ def ml06_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
     tf = tf.withColumn("bucket", bucket_of(F.col("token"), _ML04_B))
-    w = W.partitionBy("bucket").orderBy(F.desc("tf"), F.asc("token"))
-    ranked = tf.withColumn("rn", F.row_number().over(w))
+    # dominant token = two-level top-1 per bucket (32 buckets means a
+    # plain window sorts 1/32 of the vocab per task); bucket totals ride
+    # a linear hash aggregation joined back
+    from dask_lightgbm_spark.functions.partitioning import grouped_topk
+
+    stats = tf.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("tf").alias("tf_total"),
+    )
+    dom = grouped_topk(
+        tf, ["bucket"], [F.desc("tf"), F.asc("token")], 1, salt_on=["token"]
+    ).select(
+        "bucket",
+        F.col("token").alias("dominant_token"),
+        F.col("tf").alias("__dom_tf"),
+    )
     return (
-        ranked.groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("tf").alias("tf_total"),
-            F.max(F.when(F.col("rn") == 1, F.col("token"))).alias(
-                "dominant_token"
+        stats.join(dom, "bucket")
+        .select(
+            "bucket",
+            "n_tokens",
+            "tf_total",
+            "dominant_token",
+            F.expr("CAST(__dom_tf * 1000 div tf_total AS BIGINT)").alias(
+                "dominant_permille"
             ),
-            F.expr(
-                "CAST(max(CASE WHEN rn = 1 THEN tf ELSE 0 END) * 1000 "
-                "div sum(tf) AS BIGINT)"
-            ).alias("dominant_permille"),
         )
         .orderBy("bucket")
     )

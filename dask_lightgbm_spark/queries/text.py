@@ -1000,15 +1000,20 @@ ORDER BY source, doc_id
 def t23_hash_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5 docs per source in md5(doc_id) order — deterministic, seedless,
     stable under corpus growth for unchanged ids."""
-    from pyspark.sql import Window as W
+
+    from dask_lightgbm_spark.functions.partitioning import grouped_topk
 
     d = load_table(spark, sf_dir, "documents")
-    w = W.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
-    )
+    # two-level bottom-5 in hash order: a handful of sources means a plain
+    # window sorts a source's whole corpus share on one task
     return (
-        d.select("source", "doc_id", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") <= 5)
+        grouped_topk(
+            d.select("source", "doc_id"),
+            ["source"],
+            [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")],
+            5,
+            salt_on=["doc_id"],
+        )
         .select("source", "doc_id")
         .orderBy("source", "doc_id")
     )
@@ -1228,7 +1233,6 @@ SELECT lang, token, n, rank FROM ranked WHERE rank <= 10
 
 @query("t28_bpe_token_topk", _T28_SQL)
 def t28_bpe_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
 
     toks = (
         load_table(spark, sf_dir, "documents")
@@ -1240,12 +1244,13 @@ def t28_bpe_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     counts = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
-    w = W.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 10)
-        .select("lang", "token", "n", "rank")
-    )
+    # two-level top-10: ~10 langs means a plain window sorts a tenth of
+    # the BPE vocab per task; grouped_topk keeps every sort salt-bounded
+    from dask_lightgbm_spark.functions.partitioning import grouped_topk
+
+    return grouped_topk(
+        counts, ["lang"], [F.desc("n"), F.asc("token")], 10, salt_on=["token"]
+    ).select("lang", "token", "n", F.col("__rank").cast("int").alias("rank"))
 
 
 # ---------------------------------------------------------------------------
@@ -1397,7 +1402,6 @@ def t31_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     with per-cluster kept/total accounting. Reuses the t14 component labels;
     the rep pick is a per-component window — shuffle key is the component id,
     bounded by cluster sizes, never all-pairs."""
-    from pyspark.sql import Window as W
 
     from dask_lightgbm_spark.operators.components import connected_components
 
@@ -1408,13 +1412,24 @@ def t31_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = connected_components(pairs, d.select("doc_id")).join(
         d.select("doc_id", "n_chars"), "doc_id"
     )
-    w = W.partitionBy("component").orderBy(F.desc("n_chars"), F.asc("doc_id"))
-    wc = W.partitionBy("component")
+    # representative = two-level top-1 (a viral dup cluster is exactly a
+    # hot component — never sort it on one task); sizes ride a linear
+    # hash aggregation joined back on component
+    from dask_lightgbm_spark.functions.partitioning import grouped_topk
+
+    stats = labeled.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    rep = grouped_topk(
+        labeled,
+        ["component"],
+        [F.desc("n_chars"), F.asc("doc_id")],
+        1,
+        salt_on=["doc_id"],
+    )
     return (
-        labeled.withColumn("rk", F.row_number().over(w))
-        .withColumn("n_docs", F.count(F.lit(1)).over(wc))
-        .withColumn("total_chars", F.sum("n_chars").over(wc))
-        .filter(F.col("rk") == 1)
+        rep.join(stats, "component")
         .select(
             "component",
             F.col("doc_id").alias("rep_doc_id"),
