@@ -278,15 +278,18 @@ def minhash_lsh_neardup(
     ``bucket_cap`` bounds hot band-buckets (SCALE.md's watch-item for
     duplicate-heavy corpora): a bucket holding m identical signatures forms
     m² candidate pairs on ONE reducer in the plain band self-join. With a
-    cap, each bucket is split into ⌈m/cap⌉ id-ordered groups and the
-    self-join is salted over (group_a, group_b) sub-tasks — the shuffle key
-    gains both group ids, so no reducer ever holds more than cap rows per
-    side (cap² pair-work), while each unordered pair is still formed
-    exactly once (id ordering makes group assignment monotone in id, so the
-    pair (x, y) with id_x < id_y appears only in task (g_x, g_y)). Total
-    pair count is unchanged — the cap spreads the quadratic bucket work, it
-    does not drop it. Replication cost: each row ships ≤ ⌈m/cap⌉ copies of
-    its band row. Default None keeps the plain equi-join plan."""
+    cap, each bucket is split into ⌈m/cap⌉ HASH groups (id hashed mod the
+    group count, which comes from a linear per-bucket count aggregate — no
+    per-bucket rank window, whose hot-bucket sort would itself be a
+    single-task skew bottleneck) and the self-join is salted over
+    (group_a, group_b) sub-tasks — the shuffle key gains both group ids,
+    so no reducer ever holds more than ~cap rows per side (~cap²
+    pair-work), while each unordered pair is still formed exactly once:
+    the join is oriented lower-group-first (ties broken by id within a
+    group) and the output pair re-canonicalized to id_a < id_b. Total
+    pair count is unchanged — the cap spreads the quadratic bucket work,
+    it does not drop it. Replication cost: each row ships ≤ ⌈m/cap⌉
+    copies of its band row. Default None keeps the plain equi-join plan."""
     if est_min_matches is None:
         est_min_matches = num_perm // 2
     # per-doc hash arrays feed both the signature and the verify stage —
@@ -301,7 +304,6 @@ def minhash_lsh_neardup(
     bands = _band_views(
         sig, id_col, num_perm, band_size, extra_cols=[sig_arr.alias("sigarr")]
     )
-    a, b = bands.alias("a"), bands.alias("b")
     matches = F.aggregate(
         F.zip_with(
             F.col("a.sigarr"), F.col("b.sigarr"), lambda x, y: (x == y).cast("int")
@@ -309,19 +311,19 @@ def minhash_lsh_neardup(
         F.lit(0),
         lambda acc, x: acc + x,
     )
-    cond = _band_join_cond(id_col, band_size)
     if bucket_cap is not None:
         if bucket_cap < 1:
             raise ValueError(f"bucket_cap must be >= 1, got {bucket_cap}")
-        from pyspark.sql import Window as W
-
         bvs = ["band"] + [f"bv{j}" for j in range(band_size)]
-        rn_w = W.partitionBy(*bvs).orderBy(id_col)
-        cnt_w = W.partitionBy(*bvs)
-        grouped = bands.withColumn(
-            "__g", F.floor((F.row_number().over(rn_w) - F.lit(1)) / F.lit(bucket_cap))
-        ).withColumn(
-            "__gmax", F.floor((F.count(F.lit(1)).over(cnt_w) - F.lit(1)) / F.lit(bucket_cap))
+        ng = bands.groupBy(*bvs).agg(
+            F.expr(
+                f"(count(*) + {bucket_cap - 1}) div {bucket_cap}"
+            ).alias("__ng")
+        )
+        grouped = (
+            bands.join(ng, bvs)
+            .withColumn("__g", F.pmod(F.hash(F.col(id_col)), F.col("__ng")))
+            .withColumn("__gmax", F.col("__ng") - F.lit(1))
         )
         a = grouped.withColumn("__ga", F.col("__g")).withColumn(
             "__gb", F.explode(F.sequence(F.col("__g"), F.col("__gmax")))
@@ -329,15 +331,39 @@ def minhash_lsh_neardup(
         b = grouped.withColumn("__gb", F.col("__g")).withColumn(
             "__ga", F.explode(F.sequence(F.lit(0), F.col("__g")))
         ).alias("b")
+        # orient lower-group-first (id within a group): hash groups are not
+        # monotone in id, so the pair canonicalizes to (least, greatest)
+        # AFTER the join
+        cond = (F.col("a.band") == F.col("b.band"))
+        for j in range(band_size):
+            cond = cond & (F.col(f"a.bv{j}") == F.col(f"b.bv{j}"))
         cond = (
             cond
             & (F.col("a.__ga") == F.col("b.__ga"))
             & (F.col("a.__gb") == F.col("b.__gb"))
+            & (
+                (F.col("a.__g") < F.col("b.__g"))
+                | (
+                    (F.col("a.__g") == F.col("b.__g"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                )
+            )
+        )
+        ids = (
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+        )
+    else:
+        a, b = bands.alias("a"), bands.alias("b")
+        cond = _band_join_cond(id_col, band_size)
+        ids = (
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
         )
     cand = (
         a.join(b, cond)
         .filter(matches >= est_min_matches)
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .select(*ids)
         .distinct()
     )
     # verify: row-local array_intersect per candidate pair — no exploded join

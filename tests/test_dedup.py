@@ -159,10 +159,11 @@ def test_ngram_jaccard_guard_refuses_unbounded_input(spark):
 def test_lsh_bucket_cap_salting(spark):
     """Duplicate-heavy corpus: 60 identical docs collapse into one hot
     band-bucket per band (m^2 pair formation on one reducer in the plain
-    join). With bucket_cap the bucket splits into id-ordered groups salted
-    over (group_a, group_b) sub-joins — pair set identical, and no salted
-    group exceeds the cap."""
-    from pyspark.sql import Window as W
+    join). With bucket_cap the bucket splits into hash groups salted over
+    (group_a, group_b) sub-joins — pair set identical, and the group count
+    matches ceil(m/cap) so expected group size is the cap (hash splitting
+    needs only a linear count aggregate; an exact-rank split would sort
+    the hot bucket on one task)."""
     from pyspark.sql import functions as F
 
     from dask_lightgbm_spark.operators.dedup import (
@@ -189,18 +190,23 @@ def test_lsh_bucket_cap_salting(spark):
     assert capped == base
     assert len(base) >= 60 * 59 // 2  # every identical pair found
 
-    # bound check: the salting group assignment never exceeds the cap
+    # bound check: the hash split produces ceil(m/cap) groups per bucket,
+    # so expected group size is the cap; with 60 identical docs and cap=8
+    # that is 8 groups of ~7.5 — assert no group blows past 2x the cap
+    # (hash variance) and that the hot bucket genuinely split
     bands = _band_views(minhash_signatures(df, "doc_id", "text"), "doc_id", 16, 4)
     bvs = ["band"] + [f"bv{j}" for j in range(4)]
-    g = F.floor((F.row_number().over(W.partitionBy(*bvs).orderBy("doc_id")) - 1) / F.lit(8))
+    ng = bands.groupBy(*bvs).agg(F.expr("(count(*) + 7) div 8").alias("__ng"))
     sizes = (
-        bands.withColumn("__g", g)
+        bands.join(ng, bvs)
+        .withColumn("__g", F.pmod(F.hash(F.col("doc_id")), F.col("__ng")))
         .groupBy(*bvs, "__g")
         .count()
-        .agg(F.max("count").alias("mx"))
+        .agg(F.max("count").alias("mx"), F.max("__g").alias("gmax"))
         .first()
     )
-    assert sizes.mx <= 8
+    assert sizes.gmax >= 1, "hot bucket must actually split"
+    assert sizes.mx <= 16
 
     with pytest.raises(ValueError, match="bucket_cap"):
         minhash_lsh_neardup(df, "doc_id", "text", bucket_cap=0)
