@@ -536,6 +536,7 @@ def minhash_lsh_match_against(
     band_size: int = 4,
     threshold: float = 0.7,
     est_min_matches: int | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """INCREMENTAL ingest dedup: match a NEW batch against an EXISTING
     corpus (two-sided LSH, not the t05 self-join) → (new_id, corpus_id,
@@ -546,7 +547,16 @@ def minhash_lsh_match_against(
     layout _band_views defines), the new batch is small, and the band
     equi-join touches only colliding buckets. Same estimate-prefilter →
     exact-verify ladder as minhash_lsh_neardup; no ordering constraint
-    because the two sides are disjoint id spaces."""
+    because the two sides are disjoint id spaces.
+
+    ``bucket_cap`` guards a viral-template pile-up on the CORPUS side
+    (one bucket holding millions of copies meets every colliding new doc
+    on one reducer): corpus band rows hash-split into ⌈m/cap⌉ groups per
+    bucket (linear count aggregate, no rank window) and the NEW side —
+    the small one, by the ingest contract — replicates once per group, so
+    the join key gains the group id and no reducer holds more than ~cap
+    corpus rows per new doc. Match set unchanged (every corpus row keeps
+    exactly one group; the new side covers all groups)."""
     if est_min_matches is None:
         est_min_matches = num_perm // 2
     # NO persist (r8): the shingle arrays are scan-local projections, so
@@ -567,10 +577,35 @@ def minhash_lsh_match_against(
         signatures_from_array(arr_cor, id_col, num_perm),
         id_col, num_perm, band_size, extra_cols=[sig_arr.alias("sigarr")],
     )
-    a, b = bands_new.alias("a"), bands_cor.alias("b")
     cond = F.col("a.band") == F.col("b.band")
     for j in range(band_size):
         cond = cond & (F.col(f"a.bv{j}") == F.col(f"b.bv{j}"))
+    if bucket_cap is not None:
+        if bucket_cap < 1:
+            raise ValueError(f"bucket_cap must be >= 1, got {bucket_cap}")
+        bvs = ["band"] + [f"bv{j}" for j in range(band_size)]
+        ng = bands_cor.groupBy(*bvs).agg(
+            F.expr(
+                f"(count(*) + {bucket_cap - 1}) div {bucket_cap}"
+            ).alias("__ng")
+        )
+        b = (
+            bands_cor.join(ng, bvs)
+            .withColumn("__g", F.pmod(F.hash(F.col(id_col)), F.col("__ng")))
+            .alias("b")
+        )
+        # the new side must reach every corpus group of its bucket — it
+        # joins the group counts (bucket-cardinality-sized) and explodes
+        a = (
+            bands_new.join(ng, bvs)
+            .withColumn(
+                "__g", F.explode(F.sequence(F.lit(0), F.col("__ng") - 1))
+            )
+            .alias("a")
+        )
+        cond = cond & (F.col("a.__g") == F.col("b.__g"))
+    else:
+        a, b = bands_new.alias("a"), bands_cor.alias("b")
     matches = F.aggregate(
         F.zip_with(
             F.col("a.sigarr"), F.col("b.sigarr"), lambda x, y: (x == y).cast("int")

@@ -210,3 +210,36 @@ def test_lsh_bucket_cap_salting(spark):
 
     with pytest.raises(ValueError, match="bucket_cap"):
         minhash_lsh_neardup(df, "doc_id", "text", bucket_cap=0)
+
+
+def test_match_against_bucket_cap(spark):
+    """Two-sided ingest dedup with a viral corpus template: 50 identical
+    corpus docs share every band bucket. With bucket_cap the corpus side
+    hash-splits and the new side fans out over the groups — match set
+    identical to the uncapped join."""
+    from dask_lightgbm_spark.operators.dedup import minhash_lsh_match_against
+
+    corpus = [(i, "viral template text repeated across the entire corpus body") for i in range(50)]
+    corpus += [(60 + i, f"corpus only document {i} with its own words {i}") for i in range(10)]
+    new = [(1000, "viral template text repeated across the entire corpus body")]
+    new += [(1001, "a fresh never seen before document about gardens")]
+    cdf = spark.createDataFrame(corpus, ["doc_id", "text"])
+    ndf = spark.createDataFrame(new, ["doc_id", "text"])
+    base = {
+        (r.new_id, r.corpus_id)
+        for r in minhash_lsh_match_against(ndf, cdf, "doc_id", "text").collect()
+    }
+    capped = {
+        (r.new_id, r.corpus_id)
+        for r in minhash_lsh_match_against(
+            ndf, cdf, "doc_id", "text", bucket_cap=8
+        ).collect()
+    }
+    assert capped == base
+    assert {c for _, c in base} >= set(range(50))  # the viral pile matched
+    assert all(n == 1000 for n, _ in base)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bucket_cap"):
+        minhash_lsh_match_against(ndf, cdf, "doc_id", "text", bucket_cap=0)
