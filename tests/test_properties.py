@@ -409,3 +409,51 @@ def test_t39_chunk_dedup_matches_python_reference(spark, tmp_path_factory, docs)
             expected[r.doc_id],
             (r.n_chunks, r.n_kept, r.kept_digest),
         )
+
+
+@st.composite
+def grouped_frames(draw):
+    n = draw(st.integers(1, 80))
+    return pd.DataFrame(
+        {
+            "g": [draw(st.sampled_from(["a", "b", "c"])) for _ in range(n)],
+            "v": [draw(st.integers(0, 9)) for _ in range(n)],
+            "id": range(n),  # tie-break to a total order
+        }
+    )
+
+
+@settings(max_examples=6, deadline=None)
+@given(grouped_frames(), st.integers(1, 6))
+def test_grouped_topk_matches_single_window(spark, pdf, k):
+    """grouped_topk (salted two-level rank) must select exactly the rows —
+    and assign exactly the ranks — of a plain per-group rank window, for
+    any data and k. Ground truth computed in pandas."""
+    from pyspark.sql import functions as F
+
+    from dask_lightgbm_spark.functions.partitioning import grouped_topk
+
+    got = (
+        grouped_topk(
+            spark.createDataFrame(pdf),
+            ["g"],
+            [F.desc("v"), F.asc("id")],
+            k,
+            salt_on=["id"],
+            n_salt=4,
+        )
+        .toPandas()
+        .sort_values(["g", "__rank"])
+        .reset_index(drop=True)
+    )
+    exp_rows = []
+    for g, sub in pdf.groupby("g"):
+        top = sub.sort_values(["v", "id"], ascending=[False, True]).head(k)
+        for rank, (_, r) in enumerate(top.iterrows(), 1):
+            exp_rows.append((g, int(r["v"]), int(r["id"]), rank))
+    exp = pd.DataFrame(exp_rows, columns=["g", "v", "id", "__rank"]).sort_values(
+        ["g", "__rank"]
+    ).reset_index(drop=True)
+    assert list(map(tuple, got[["g", "v", "id", "__rank"]].values)) == list(
+        map(tuple, exp.values)
+    )
