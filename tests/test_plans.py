@@ -222,3 +222,14 @@ def test_s22_pairs_join_includes_shell_key(spark, sf_dir):
     assert pair_keys and all("shell#" in line for line in pair_keys), (
         key_lines[:6]
     )
+
+
+def test_t39_first_occurrence_is_sort_free(spark, sf_dir):
+    """r8: t39's dedup join must stay a ShuffledHashJoin — a sort-merge
+    plan would re-introduce the per-partition sort of the text-bearing
+    probe side that the min-struct-aggregate design removed."""
+    from dask_lightgbm_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(all_queries()["t39_chunk_dedup"](spark, sf_dir))
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan[:1500]

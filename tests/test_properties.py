@@ -457,3 +457,59 @@ def test_grouped_topk_matches_single_window(spark, pdf, k):
     assert list(map(tuple, got[["g", "v", "id", "__rank"]].values)) == list(
         map(tuple, exp.values)
     )
+
+
+@settings(max_examples=6, deadline=None)
+@given(tiny_corpora())
+def test_t44_boilerplate_matches_python_reference(spark, tmp_path_factory, docs):
+    """t44's document-frequency boilerplate removal against a from-scratch
+    pure-Python reference (same chunking; a chunk in >= DF_MIN distinct
+    docs is removed everywhere; md5 of the cleaned text)."""
+    import hashlib
+    import re
+    from collections import defaultdict
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dask_lightgbm_spark.queries import all_queries
+    from dask_lightgbm_spark.queries.text import _T39_W, _T44_DF_MIN
+
+    out = tmp_path_factory.mktemp("t44prop")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "source": pa.array(["s"] * len(docs), pa.string()),
+            "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, out / "documents.parquet")
+
+    chunks_of = {}
+    for doc_id, text in docs:
+        ts = [t for t in re.split(r"[ \t\n\f\r]+", text.strip()) if t]
+        chunks_of[doc_id] = [
+            " ".join(ts[i * _T39_W : (i + 1) * _T39_W])
+            for i in range((len(ts) + _T39_W - 1) // _T39_W)
+        ]
+    df_count: dict[str, set] = defaultdict(set)
+    for doc_id, chunks in chunks_of.items():
+        for c in chunks:
+            df_count[c].add(doc_id)
+    expected = {}
+    for doc_id, chunks in chunks_of.items():
+        if not chunks:
+            continue  # the oracle's GROUP BY drops chunkless docs
+        kept = [c for c in chunks if len(df_count[c]) < _T44_DF_MIN]
+        expected[doc_id] = (
+            len(chunks),
+            len(chunks) - len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+
+    got = all_queries()["t44_boilerplate_chunk_removal"](spark, str(out)).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        assert (r.n_chunks, r.n_removed, r.cleaned_digest) == expected[r.doc_id]
