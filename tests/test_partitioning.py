@@ -1,0 +1,97 @@
+"""Unit tests for the partitioning/skew utilities the r8 scale guards are
+built on (functions/partitioning.py)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dask_lightgbm_spark.functions.partitioning import (
+    ensure_parallelism,
+    grouped_topk,
+    key_skew_stats,
+    salted_sum_count,
+    with_salt,
+)
+
+
+def test_ensure_parallelism_spreads_narrow_input(spark):
+    one = spark.range(1000).coalesce(1)
+    assert one.rdd.getNumPartitions() == 1
+    spread = ensure_parallelism(one)
+    assert (
+        spread.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    # values survive the round-robin spread
+    assert spread.count() == 1000
+    assert spread.agg(F.sum("id")).first()[0] == 999 * 1000 // 2
+
+
+def test_ensure_parallelism_noop_on_wide_input(spark):
+    target = spark.sparkContext.defaultParallelism
+    wide = spark.range(1000).repartition(target + 2)
+    out = ensure_parallelism(wide)
+    assert out is wide  # untouched, not just same partition count
+
+
+def test_ensure_parallelism_respects_min_parts(spark):
+    out = ensure_parallelism(spark.range(100).coalesce(1), min_parts=3)
+    assert out.rdd.getNumPartitions() == 3
+
+
+def test_with_salt_is_deterministic_and_bounded(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, 3, 1], "v": ["a", "b", "c", "a"]})
+    )
+    s1 = with_salt(df, 4, ["k", "v"]).toPandas().sort_values(["k", "v"])
+    s2 = with_salt(df, 4, ["k", "v"]).toPandas().sort_values(["k", "v"])
+    assert list(s1["__salt"]) == list(s2["__salt"])  # retry-stable
+    assert s1["__salt"].between(0, 3).all()
+    # identical rows get identical salt (hash of the row's columns)
+    dup = s1[(s1.k == 1) & (s1.v == "a")]["__salt"]
+    assert dup.nunique() == 1
+
+
+def test_salted_sum_count_equals_plain_groupby(spark):
+    pdf = pd.DataFrame({"k": [1, 1, 2, 2, 2, 3], "x": [10, 20, 1, 2, 3, 7]})
+    df = spark.createDataFrame(pdf)
+    got = {
+        r.k: (r.sum_x, r.n_rows)
+        for r in salted_sum_count(df, ["k"], "x", n_salt=3).collect()
+    }
+    exp = {
+        k: (int(sub.x.sum()), len(sub)) for k, sub in pdf.groupby("k")
+    }
+    assert got == exp
+
+
+def test_grouped_topk_requires_nothing_beyond_k_rows_per_group(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": ["a"] * 50 + ["b"] * 3, "id": range(53)})
+    )
+    out = grouped_topk(
+        df, ["g"], [F.asc("id")], 4, salt_on=["id"], n_salt=8
+    ).toPandas()
+    assert sorted(out[out.g == "a"]["id"]) == [0, 1, 2, 3]
+    assert sorted(out[out.g == "b"]["id"]) == [50, 51, 52]  # fewer than k
+    assert set(out["__rank"]) <= {1, 2, 3, 4}
+
+
+def test_key_skew_stats_global_and_grouped(spark):
+    pdf = pd.DataFrame(
+        {"src": ["x"] * 6 + ["y"] * 4, "key": [1, 1, 1, 1, 2, 3, 7, 8, 9, 9]}
+    )
+    df = spark.createDataFrame(pdf)
+    g = {r.src: r for r in key_skew_stats(df, ["key"], by=["src"]).collect()}
+    assert (g["x"].n_keys, g["x"].n_rows, g["x"].max_n) == (3, 6, 4)
+    assert g["x"].skew_ratio_permille == 4 * 1000 * 3 // 6
+    assert (g["y"].n_keys, g["y"].n_rows, g["y"].max_n) == (3, 4, 2)
+    glob = key_skew_stats(df, ["key"]).collect()
+    assert len(glob) == 1
+    assert (glob[0].n_keys, glob[0].n_rows, glob[0].max_n) == (6, 10, 4)
+
+
+def test_with_salt_rejects_nothing_but_produces_range(spark):
+    with pytest.raises(Exception):
+        # empty cols list hashes nothing — Spark rejects hash() with 0 args
+        with_salt(spark.range(3), 4, []).collect()
