@@ -1,0 +1,410 @@
+"""Differential tests against INDEPENDENT pure-Python / pandas references.
+
+The DuckDB oracle gate proves the Spark plan and the registered SQL agree —
+but both were authored together, so a shared semantic misunderstanding would
+pass it. Each test here re-derives the operator's contract from scratch
+(hashlib/math/dict loops, or pandas), over hypothesis-generated inputs, and
+requires exact agreement. Companion to tests/test_properties.py (which holds
+the earlier t39/t44/grouped_topk/key_skew references).
+"""
+
+import hashlib
+import math
+import re
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+# Java regex \s is ASCII-only ([ \t\n\x0B\f\r]); Python's \s also matches
+# unicode whitespace. The references below mirror the JVM class explicitly,
+# and the text alphabets exclude unicode whitespace so the distinction can
+# never blur what the test measures.
+_JAVA_WS = r"[ \t\n\x0b\f\r]+"
+
+_TOKEN_ALPHABET = st.characters(
+    whitelist_categories=("Lu", "Ll", "Nd", "Po"),
+    whitelist_characters=" \t\n",
+)
+
+
+def _py_simhash(text: str) -> int:
+    """From-scratch 60-bit SimHash: distinct ASCII-whitespace tokens,
+    md5→15-hex-char token hash, per-bit ±1 vote, pack bits with sum>0."""
+    toks = {t for t in re.split(_JAVA_WS, text) if t}
+    sums = [0] * 60
+    for t in toks:
+        h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+        for j in range(60):
+            sums[j] += 1 if h & (1 << j) else -1
+    return sum(1 << j for j in range(60) if sums[j] > 0)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.text(_TOKEN_ALPHABET, max_size=60), min_size=1, max_size=15))
+def test_simhash_matches_python_reference(spark, texts):
+    from dask_lightgbm_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r.doc_id: r.simhash for r in simhash(df, "doc_id", "text").collect()}
+    assert got == {i: _py_simhash(t) for i, t in enumerate(texts)}
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.text(st.sampled_from("ab "), max_size=12), min_size=2, max_size=10
+    ),
+    st.integers(0, 4),
+)
+def test_simhash_neardup_pairs_matches_bruteforce(spark, texts, max_hamming):
+    """The pigeonhole blocking must find EXACTLY the pairs a brute-force
+    O(n²) hamming scan finds — completeness is the theorem (distance ≤ d
+    forces agreement on ≥1 of d+1 blocks), exactness comes from the final
+    filter. Tiny alphabet forces signature collisions and near-misses."""
+    from dask_lightgbm_spark.operators.dedup import simhash_neardup_pairs
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_neardup_pairs(
+            df, "doc_id", "text", max_hamming=max_hamming
+        ).collect()
+    }
+    sigs = [_py_simhash(t) for t in texts]
+    expected = {
+        (i, j, bin(sigs[i] ^ sigs[j]).count("1"))
+        for i in range(len(sigs))
+        for j in range(i + 1, len(sigs))
+        if bin(sigs[i] ^ sigs[j]).count("1") <= max_hamming
+    }
+    assert got == expected
+
+
+@st.composite
+def symmetric_edges(draw):
+    raw = draw(
+        st.lists(
+            st.tuples(st.integers(0, 5), st.integers(0, 5)),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    # symmetrize so every node has an out-edge (the operator's contract)
+    return sorted({(s, d) for s, d in raw} | {(d, s) for s, d in raw})
+
+
+@settings(max_examples=6, deadline=None)
+@given(symmetric_edges(), st.integers(1, 3))
+def test_pagerank_int_matches_python(spark, edges, n_iters):
+    """Integer-exact PageRank vs a dict-based power iteration: identical
+    int64 micro-unit ranks (the determinism contract is that every engine
+    computes the same integers — floor division and all)."""
+    from dask_lightgbm_spark.operators.pagerank import pagerank_int
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank_int(df, n_iters=n_iters).collect()}
+
+    nodes = sorted({s for s, _ in edges})
+    out_deg = {n: sum(1 for s, _ in edges if s == n) for n in nodes}
+    rank = {n: 1_000_000 for n in nodes}
+    for _ in range(n_iters):
+        contrib: dict[int, int] = {}
+        for s, d in edges:
+            contrib[d] = contrib.get(d, 0) + rank[s] // out_deg[s]
+        rank = {n: 150_000 + (85 * contrib.get(n, 0)) // 100 for n in nodes}
+    assert got == rank
+
+
+@st.composite
+def upsert_frames(draw):
+    keys = st.integers(0, 6)
+    val = st.one_of(st.none(), st.integers(0, 99))
+    tag = st.one_of(st.none(), st.sampled_from(["x", "y", "z"]))
+    n_t = draw(st.integers(0, 6))
+    n_u = draw(st.integers(0, 6))
+    t_keys = draw(st.lists(keys, min_size=n_t, max_size=n_t, unique=True))
+    u_keys = draw(st.lists(keys, min_size=n_u, max_size=n_u, unique=True))
+    target = [(k, draw(val), draw(tag)) for k in t_keys]
+    updates = [(k, draw(val), draw(tag)) for k in u_keys]
+    return target, updates
+
+
+def _py_upsert(target, updates):
+    t = {r[0]: r for r in target}
+    u = {r[0]: r for r in updates}
+    out = set()
+    for k in set(t) | set(u):
+        if k in t and k in u:
+            # per-column COALESCE: NULL in the update keeps the target value
+            out.add(
+                tuple(
+                    uv if uv is not None else tv
+                    for uv, tv in zip(u[k], t[k])
+                )
+            )
+        else:
+            out.add(t.get(k) or u[k])
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(upsert_frames())
+def test_merge_upsert_matches_python(spark, frames):
+    from dask_lightgbm_spark.operators.merge import merge_upsert
+
+    target, updates = frames
+    schema = "k long, v long, tag string"
+    got = {
+        (r.k, r.v, r.tag)
+        for r in merge_upsert(
+            spark.createDataFrame(target, schema),
+            spark.createDataFrame(updates, schema),
+            "k",
+        ).collect()
+    }
+    assert got == _py_upsert(target, updates)
+
+
+@st.composite
+def cdc_frames(draw):
+    target, updates = draw(upsert_frames())
+    ops = [(k, v, tag, "U") for k, v, tag in updates]
+    del_keys = draw(st.lists(st.integers(0, 6), max_size=4, unique=True))
+    # a delete may target a key that also has a 'U' row (delete-then-upsert)
+    ops += [(k, None, None, "D") for k in del_keys]
+    return target, ops
+
+
+@settings(max_examples=8, deadline=None)
+@given(cdc_frames())
+def test_merge_cdc_matches_python(spark, frames):
+    """Delete-then-upsert ordering: a key with both 'D' and 'U' rows drops
+    the target row and inserts the update fresh."""
+    from dask_lightgbm_spark.operators.merge import merge_cdc
+
+    target, changes = frames
+    got = {
+        (r.k, r.v, r.tag)
+        for r in merge_cdc(
+            spark.createDataFrame(target, "k long, v long, tag string"),
+            spark.createDataFrame(changes, "k long, v long, tag string, op string"),
+            "k",
+        ).collect()
+    }
+    del_keys = {k for k, _, _, op in changes if op == "D"}
+    kept = [r for r in target if r[0] not in del_keys]
+    ups = [(k, v, tag) for k, v, tag, op in changes if op != "D"]
+    assert got == _py_upsert(kept, ups)
+
+
+@st.composite
+def mmr_inputs(draw):
+    n = draw(st.integers(1, 6))
+    # exact binary fractions: selection ties resolve identically everywhere
+    frac = st.integers(0, 8).map(lambda i: i / 8.0)
+    rel = [(0, nid, draw(frac)) for nid in range(n)]
+    sims = {}
+    for a in range(n):
+        for b in range(a + 1, n):
+            sims[(a, b)] = draw(frac)
+    pair_rows = [(0, a, b, s) for (a, b), s in sims.items()]
+    pair_rows += [(0, b, a, s) for (a, b), s in sims.items()]
+    k = draw(st.integers(1, 5))
+    return rel, pair_rows, sims, k
+
+
+@settings(max_examples=8, deadline=None)
+@given(mmr_inputs())
+def test_mmr_rerank_matches_python_greedy(spark, inp):
+    from dask_lightgbm_spark.operators.similarity import mmr_rerank
+
+    rel, pair_rows, sims, k = inp
+    lam = 0.7
+    got = [
+        (r.nid, r.mmr_rank)
+        for r in mmr_rerank(
+            spark.createDataFrame(rel, "qid long, nid long, rel double"),
+            spark.createDataFrame(
+                pair_rows, "qid long, a long, b long, sim double"
+            ),
+            k=k,
+            lam=lam,
+        )
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+
+    relm = {nid: r for _, nid, r in rel}
+    simm = {(a, b): s for (a, b), s in sims.items()}
+    simm.update({(b, a): s for (a, b), s in sims.items()})
+    picked: list[int] = []
+    while len(picked) < k and len(picked) < len(relm):
+        best = None
+        for n_, r_ in relm.items():
+            if n_ in picked:
+                continue
+            if picked:
+                score = lam * r_ - (1.0 - lam) * max(
+                    simm[(n_, p)] for p in picked
+                )
+            else:
+                score = r_
+            key = (-score, n_)
+            if best is None or key < best:
+                best = key
+        picked.append(best[1])
+    assert got == [(n_, i + 1) for i, n_ in enumerate(picked)]
+
+
+@st.composite
+def knn_vectors(draw):
+    dim = draw(st.integers(2, 4))
+    coord = st.integers(-3, 3)
+    vec = st.lists(coord, min_size=dim, max_size=dim)
+    n_c = draw(st.integers(1, 10))
+    n_q = draw(st.integers(1, 4))
+    corpus = [(i, [float(x) for x in draw(vec)]) for i in range(n_c)]
+    queries = [(100 + i, [float(x) for x in draw(vec)]) for i in range(n_q)]
+    return corpus, queries, draw(st.integers(1, 4))
+
+
+@settings(max_examples=6, deadline=None)
+@given(knn_vectors())
+def test_brute_force_knn_matches_python(spark, inp):
+    """Exact cosine top-k vs a math.sqrt/dict reference — including the
+    zero-norm contract (NULL cosine, ranked last, nid ascending) and the
+    (desc cos, asc nid) tie order. Integer-valued coords keep every dot
+    product exact so float equality is bit-for-bit."""
+    from dask_lightgbm_spark.operators.similarity import brute_force_knn
+
+    corpus, queries, k = inp
+    schema = "vec_id long, embedding array<double>"
+    got = [
+        (r.qid, r.nid, r.rank, r.cos)
+        for r in brute_force_knn(
+            spark.createDataFrame(corpus, schema),
+            spark.createDataFrame(queries, schema),
+            k=k,
+        )
+        .orderBy("qid", "rank")
+        .collect()
+    ]
+
+    expected = []
+    for qid, qv in sorted(queries):
+        nq = math.sqrt(sum(x * x for x in qv))
+        scored = []
+        for nid, cv in corpus:
+            nv = math.sqrt(sum(x * x for x in cv))
+            denom = nq * nv
+            cos = (
+                sum(a * b for a, b in zip(cv, qv)) / denom if denom else None
+            )
+            scored.append((nid, cos))
+        # desc cos, nulls last, nid asc
+        scored.sort(key=lambda t: (t[1] is None, -(t[1] or 0.0), t[0]))
+        expected += [
+            (qid, nid, rank + 1, cos)
+            for rank, (nid, cos) in enumerate(scored[:k])
+        ]
+    assert got == expected
+
+
+@st.composite
+def event_frames(draw):
+    n = draw(st.integers(1, 40))
+    users = st.integers(0, 3)
+    # microsecond epochs spanning several 30-min gaps
+    ts = st.integers(0, 4 * 1800 * 1_000_000)
+    etype = st.sampled_from(["view", "purchase", "error"])
+    val = st.integers(0, 500)
+    rows = [
+        (
+            i,
+            draw(ts),
+            draw(users),
+            draw(etype),
+            draw(val) / 100.0,
+            "{}",
+        )
+        for i in range(n)
+    ]
+    return rows
+
+
+def _write_events(tmp_path_factory, rows, name):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = tmp_path_factory.mktemp(name)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, out / "events.parquet")
+    return str(out)
+
+
+@settings(max_examples=6, deadline=None)
+@given(event_frames())
+def test_q15_sessionize_matches_pandas(spark, tmp_path_factory, rows):
+    """30-min-gap sessionization vs a pandas groupby scan: session starts
+    where the gap from the previous event (ordered ts, event_id) exceeds
+    exactly 1800s — boundary inclusive/exclusive pinned by the reference."""
+    from dask_lightgbm_spark.queries import all_queries
+
+    sf = _write_events(tmp_path_factory, rows, "q15prop")
+    got = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in all_queries()["q15_sessionize"](spark, sf).collect()
+    }
+
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    expected = {}
+    for uid, g in pdf.sort_values(["ts", "event_id"]).groupby("user_id"):
+        t = list(g["ts"])
+        n_sessions = sum(
+            1
+            for i in range(len(t))
+            if i == 0 or t[i] - t[i - 1] > 1800 * 1_000_000
+        )
+        expected[uid] = (n_sessions, len(t))
+    assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(event_frames())
+def test_q57_forward_fill_matches_pandas(spark, tmp_path_factory, rows):
+    """last_value IGNORE NULLS forward fill vs pandas groupby-ffill over
+    the same (ts, event_id) total order."""
+    from dask_lightgbm_spark.queries import all_queries
+
+    sf = _write_events(tmp_path_factory, rows, "q57prop")
+    got = {
+        r.event_id: r.last_purchase_value
+        for r in all_queries()["q57_forward_fill"](spark, sf).collect()
+    }
+
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf = pdf.sort_values(["ts", "event_id"])
+    pdf["marked"] = pdf["value"].where(pdf["event_type"] == "purchase")
+    pdf["ffill"] = pdf.groupby("user_id")["marked"].ffill()
+    expected = {
+        int(r.event_id): (None if pd.isna(r.ffill) else float(r.ffill))
+        for r in pdf.itertuples()
+    }
+    assert got == expected
