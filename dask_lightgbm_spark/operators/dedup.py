@@ -289,7 +289,15 @@ def minhash_lsh_neardup(
     group) and the output pair re-canonicalized to id_a < id_b. Total
     pair count is unchanged — the cap spreads the quadratic bucket work,
     it does not drop it. Replication cost: each row ships ≤ ⌈m/cap⌉
-    copies of its band row. Default None keeps the plain equi-join plan."""
+    copies of its band row. Default None keeps the plain equi-join plan.
+
+    Cache contract: the per-doc shingle-hash array is ``persist()``-ed
+    (MEMORY_AND_DISK) because the result consumes it three times (signature
+    + both verify sides) and it cannot be unpersisted here — the returned
+    DataFrame is lazy and still depends on it. The blocks live until the
+    session drops them; a long-running service invoking this repeatedly
+    should ``spark.catalog.clearCache()`` between corpora (the streaming
+    twin x14 and match_against avoid the cache entirely for this reason)."""
     if est_min_matches is None:
         est_min_matches = num_perm // 2
     # per-doc hash arrays feed both the signature and the verify stage —
