@@ -408,3 +408,190 @@ def test_q57_forward_fill_matches_pandas(spark, tmp_path_factory, rows):
         for r in pdf.itertuples()
     }
     assert got == expected
+
+
+def _py_cos(a, b):
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    denom = na * nb
+    return sum(x * y for x, y in zip(a, b)) / denom if denom else None
+
+
+def _cos_order(pairs):
+    """(id, cos) list → sorted by desc cos NULLS LAST, id asc — the rank
+    order every ANN operator in the package uses."""
+    return sorted(pairs, key=lambda t: (t[1] is None, -(t[1] or 0.0), t[0]))
+
+
+@st.composite
+def ivf_inputs(draw):
+    dim = draw(st.integers(2, 3))
+    coord = st.integers(-2, 2)
+    vec = st.lists(coord, min_size=dim, max_size=dim)
+    n = draw(st.integers(3, 12))
+    corpus = [(i, [float(x) for x in draw(vec)]) for i in range(n)]
+    return corpus, draw(st.integers(1, 2)), draw(st.integers(1, 3))
+
+
+@settings(max_examples=6, deadline=None)
+@given(ivf_inputs())
+def test_ivf_knn_matches_python(spark, inp):
+    """End-to-end IVF (storage assignment → probe assignment → in-cell
+    scoring) vs a from-scratch reference: nearest-centroid cells with the
+    (cos desc NULLS LAST, centroid-id asc) tie order — including zero-norm
+    vectors, whose NULL cosines must fall to the lowest-id centroid — then
+    exact per-cell top-k. Checks BOTH the struct-max argmax (nprobe=1
+    storage) and the rank-window path (nprobe=2 probes) agree with the
+    declared semantics."""
+    from pyspark.sql import functions as F
+
+    from dask_lightgbm_spark.operators.similarity import ivf_knn
+
+    corpus, nprobe, k = inp
+    df = spark.createDataFrame(corpus, "vec_id long, embedding array<double>")
+    got = [
+        (r.qid, r.nid, r.rank, r.cos)
+        for r in ivf_knn(
+            df,
+            queries_filter=F.col("vec_id") < 2,
+            centroid_filter=F.col("vec_id") % 3 == 0,
+            k=k,
+            nprobe=nprobe,
+        )
+        .orderBy("qid", "rank")
+        .collect()
+    ]
+
+    cents = [(i, v) for i, v in corpus if i % 3 == 0]
+    cell = {
+        i: _cos_order([(cid, _py_cos(v, cv)) for cid, cv in cents])[0][0]
+        for i, v in corpus
+    }
+    expected = []
+    for qid, qv in corpus:
+        if qid >= 2:
+            continue
+        probed = [
+            cid
+            for cid, _ in _cos_order(
+                [(cid, _py_cos(qv, cv)) for cid, cv in cents]
+            )[:nprobe]
+        ]
+        cands = [
+            (nid, _py_cos(qv, nv))
+            for nid, nv in corpus
+            if nid != qid and cell[nid] in probed
+        ]
+        expected += [
+            (qid, nid, rank + 1, cos)
+            for rank, (nid, cos) in enumerate(_cos_order(cands)[:k])
+        ]
+    assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(-2, 2), min_size=64, max_size=64),
+        min_size=2,
+        max_size=8,
+    ),
+    st.sampled_from([0, 1]),
+)
+def test_lsh_knn_matches_python(spark, vecs, hamming_probe):
+    """Sign-LSH bucketing vs a reference that re-derives the bucket ids
+    from the module's own PLANES constants (projection > 0 → bit set),
+    including the Hamming-1 multiprobe expansion."""
+    from pyspark.sql import functions as F
+
+    from dask_lightgbm_spark.operators.similarity import (
+        N_PLANES,
+        PLANES,
+        lsh_knn,
+    )
+
+    corpus = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(corpus, "vec_id long, embedding array<double>")
+    k = 3
+    got = [
+        (r.qid, r.nid, r.rank, r.cos)
+        for r in lsh_knn(
+            df,
+            queries_filter=F.col("vec_id") < 2,
+            k=k,
+            hamming_probe=hamming_probe,
+        )
+        .orderBy("qid", "rank")
+        .collect()
+    ]
+
+    def bucket(v):
+        return sum(
+            1 << p
+            for p, plane in enumerate(PLANES)
+            if sum(x * y for x, y in zip(v, plane)) > 0
+        )
+
+    bkt = {i: bucket(v) for i, v in corpus}
+    expected = []
+    for qid, qv in corpus:
+        if qid >= 2:
+            continue
+        probes = {bkt[qid]}
+        if hamming_probe == 1:
+            probes |= {bkt[qid] ^ (1 << p) for p in range(N_PLANES)}
+        cands = [
+            (nid, _py_cos(qv, nv))
+            for nid, nv in corpus
+            if nid != qid and bkt[nid] in probes
+        ]
+        expected += [
+            (qid, nid, rank + 1, cos)
+            for rank, (nid, cos) in enumerate(_cos_order(cands)[:k])
+        ]
+    assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(knn_vectors())
+def test_quantized_knn_matches_python(spark, inp):
+    """int8 symmetric quantization (floor, per-vector 127/max|x| scale,
+    zero vector → zero code) + exact int64 dot scoring vs a math.floor
+    reference — floor of an IEEE double product is bit-identical, which is
+    the operator's stated reason for floor over round."""
+    from dask_lightgbm_spark.operators.similarity import quantized_knn
+
+    corpus, queries, k = inp
+    schema = "vec_id long, embedding array<double>"
+    got = [
+        (r.qid, r.nid, r.rank, r.qscore)
+        for r in quantized_knn(
+            spark.createDataFrame(corpus, schema),
+            spark.createDataFrame(queries, schema),
+            k=k,
+        )
+        .orderBy("qid", "rank")
+        .collect()
+    ]
+
+    def quant(v):
+        m = max(abs(x) for x in v)
+        if m == 0.0:
+            return [0] * len(v)
+        scale = 127.0 / m
+        return [math.floor(x * scale) for x in v]
+
+    expected = []
+    for qid, qv in sorted(queries):
+        qq = quant(qv)
+        scored = [
+            (nid, sum(a * b for a, b in zip(quant(nv), qq)))
+            for nid, nv in corpus
+            if nid != qid
+        ]
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        expected += [
+            (qid, nid, rank + 1, s)
+            for rank, (nid, s) in enumerate(scored[:k])
+        ]
+    assert got == expected
