@@ -595,3 +595,100 @@ def test_quantized_knn_matches_python(spark, inp):
             for rank, (nid, s) in enumerate(scored[:k])
         ]
     assert got == expected
+
+
+def _py_shingle_hashes(text: str, k: int) -> list[int]:
+    """Rolling-hash distinct shingle set, mirroring poly_shingle_hash:
+    h = fold(h*65599 + code) mod 2^32 over k 1-based positions, with
+    positions past the end contributing code 0."""
+    codes = [ord(c) for c in text]
+    n_pos = max(len(text) - (k - 1), 1)
+    out = []
+    for g in range(1, n_pos + 1):
+        h = 0
+        for i in range(k):
+            c = codes[g + i - 1] if g + i - 1 < len(codes) else 0
+            h = (h * 65599 + c) % 2**32
+        out.append(h)
+    return sorted(set(out))
+
+
+def _py_minhash_pairs(docs, k, num_perm, band_size, threshold):
+    from dask_lightgbm_spark.functions.hashing import (
+        MINHASH_COEF,
+        MINHASH_PRIME,
+    )
+
+    hs = {i: _py_shingle_hashes(t, k) for i, t in docs}
+    sig = {
+        i: [
+            min((h * MINHASH_COEF[p][0] + MINHASH_COEF[p][1]) % MINHASH_PRIME for h in v)
+            for p in range(num_perm)
+        ]
+        for i, v in hs.items()
+    }
+    ids = sorted(sig)
+    est_min = num_perm // 2
+    out = set()
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            banded = any(
+                sig[a][j * band_size : (j + 1) * band_size]
+                == sig[b][j * band_size : (j + 1) * band_size]
+                for j in range(num_perm // band_size)
+            )
+            if not banded:
+                continue
+            if sum(x == y for x, y in zip(sig[a], sig[b])) < est_min:
+                continue
+            sa, sb = set(hs[a]), set(hs[b])
+            inter = len(sa & sb)
+            jac = inter / (len(sa) + len(sb) - inter)
+            if jac >= threshold:
+                out.add((a, b, jac))
+    return out
+
+
+@st.composite
+def minhash_corpora(draw):
+    n = draw(st.integers(2, 8))
+    base = draw(st.text(st.sampled_from("abc "), min_size=0, max_size=20))
+    docs = []
+    for i in range(n):
+        # mix of near-copies of a base string (forced candidate pairs) and
+        # independent texts (banding must reject them)
+        if draw(st.booleans()):
+            t = base + draw(st.text(st.sampled_from("abc "), max_size=4))
+        else:
+            t = draw(st.text(st.sampled_from("xyz "), max_size=20))
+        docs.append((i, t))
+    return docs
+
+
+@settings(max_examples=6, deadline=None)
+@given(minhash_corpora(), st.sampled_from([None, 2]))
+def test_minhash_lsh_neardup_matches_python(spark, docs, bucket_cap):
+    """The flagship dedup pipeline end to end — rolling-hash shingles →
+    fixed-permutation minhash → banded candidates → signature-estimate
+    prefilter → exact-Jaccard verify — vs a from-scratch reference, with
+    and without the hot-bucket salting (bucket_cap must not change the
+    result set, only the shuffle shape)."""
+    from dask_lightgbm_spark.operators.dedup import minhash_lsh_neardup
+
+    k, num_perm, band_size, threshold = 3, 8, 2, 0.3
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_neardup(
+            df,
+            "doc_id",
+            "text",
+            k_shingle=k,
+            num_perm=num_perm,
+            band_size=band_size,
+            threshold=threshold,
+            bucket_cap=bucket_cap,
+        ).collect()
+    }
+    assert got == _py_minhash_pairs(docs, k, num_perm, band_size, threshold)
