@@ -692,3 +692,48 @@ def test_minhash_lsh_neardup_matches_python(spark, docs, bucket_cap):
         ).collect()
     }
     assert got == _py_minhash_pairs(docs, k, num_perm, band_size, threshold)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(0, 20), min_size=1, max_size=60),
+    st.sampled_from([1, 3, 8]),
+    st.sampled_from([1, 4]),
+)
+def test_prefix_sum_partition_layout_invariant(spark, counts, n_parts, n_buckets):
+    """The two-level prefix sum (and the sequence packer on top of it) must
+    produce identical results for ANY input partition layout — the property
+    that makes it safe on a cluster where the scan's split count is an
+    execution detail. Verifies against a plain Python running total."""
+    from dask_lightgbm_spark.operators.prefix_sum import (
+        global_cumsum,
+        pack_sequences,
+    )
+
+    rows = list(enumerate(counts))
+    df = spark.createDataFrame(rows, "doc_id long, n long").repartition(n_parts)
+
+    got = {
+        r.doc_id: r.cumsum
+        for r in global_cumsum(
+            df, "doc_id", "n", n_buckets=n_buckets
+        ).collect()
+    }
+    acc, expected = 0, {}
+    for i, c in rows:
+        acc += c
+        expected[i] = acc
+    assert got == expected
+
+    seq_len = 7
+    packed = {
+        r.doc_id: (r.start_tok, r.end_tok, r.first_chunk, r.last_chunk, r.n_chunks)
+        for r in pack_sequences(df, "doc_id", "n", seq_len=seq_len).collect()
+    }
+    for i, c in rows:
+        start = expected[i] - c
+        end = expected[i]
+        first = start // seq_len
+        last = (end - 1) // seq_len if c > 0 else first
+        n_chunks = last - first + 1 if c > 0 else 0
+        assert packed[i] == (start, end, first, last, n_chunks), (i, packed[i])
