@@ -28,8 +28,23 @@ from tools.check import compare  # noqa: E402
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    # deliberately default config — the driver owns its session
-    spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
+    # deliberately default config — the driver owns its session.
+    # SPARK_GRAFT_SIM_MASTER overrides the master for the multi-process
+    # variant of the simulation (e.g. local-cluster[2,2,1024] runs the full
+    # catalog across two real executor JVMs; the extra confs are the
+    # executor plumbing local-cluster needs and local[8] ignores).
+    master = os.environ.get("SPARK_GRAFT_SIM_MASTER", "local[8]")
+    builder = SparkSession.builder.master(master).appName("driver-sim")
+    if master.startswith("local-cluster"):
+        builder = (
+            builder.config("spark.executor.memory", "1500m")
+            .config("spark.driver.memory", "2g")
+            .config(
+                "spark.executorEnv.PYTHONPATH",
+                REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+            )
+        )
+    spark = builder.getOrCreate()
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
