@@ -737,3 +737,57 @@ def test_prefix_sum_partition_layout_invariant(spark, counts, n_parts, n_buckets
         last = (end - 1) // seq_len if c > 0 else first
         n_chunks = last - first + 1 if c > 0 else 0
         assert packed[i] == (start, end, first, last, n_chunks), (i, packed[i])
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),
+            st.integers(0, 1000),
+            st.sampled_from(["view", "click", "purchase"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_q40_funnel_matches_python(spark, tmp_path_factory, evs):
+    """Ordered-funnel counting vs a dict reference: per-user MIN timestamp
+    per stage, then STRICT t_view < t_click < t_purchase — equal timestamps
+    must not advance the funnel, and a user with clicks but no view counts
+    only as a user."""
+    from dask_lightgbm_spark.queries import all_queries
+
+    rows = [
+        (i, ts * 1_000_000, uid, et, 0.0, "{}")
+        for i, (uid, ts, et) in enumerate(evs)
+    ]
+    sf = _write_events(tmp_path_factory, rows, "q40prop")
+    r = all_queries()["q40_funnel"](spark, sf).collect()[0]
+
+    stages: dict[int, dict[str, int]] = {}
+    for uid, ts, et in evs:
+        s = stages.setdefault(uid, {})
+        s[et] = min(s.get(et, ts * 1_000_000), ts * 1_000_000)
+    n_users = len(stages)
+    n_viewed = sum(1 for s in stages.values() if "view" in s)
+    n_clicked = sum(
+        1
+        for s in stages.values()
+        if "view" in s and "click" in s and s["click"] > s["view"]
+    )
+    n_full = sum(
+        1
+        for s in stages.values()
+        if "view" in s
+        and "click" in s
+        and "purchase" in s
+        and s["click"] > s["view"]
+        and s["purchase"] > s["click"]
+    )
+    assert (r.n_users, r.n_viewed, r.n_clicked_after, r.n_full_funnel) == (
+        n_users,
+        n_viewed,
+        n_clicked,
+        n_full,
+    )
