@@ -5,7 +5,7 @@
 # they check and what the coverage number can honestly claim (driver-side
 # lines only; executor-process UDF bodies are not traced).
 
-.PHONY: lint test check coverage bench catalog gate all
+.PHONY: lint test check sim cluster-sim coverage bench catalog gate all
 
 lint:
 	python tools/lint.py
@@ -16,6 +16,15 @@ test:
 # full DuckDB bit-exact oracle gate over the query catalog
 check:
 	python tools/check.py /root/testdata/sf0.01
+
+# same simulation as the external driver (fresh process, untuned session,
+# cwd outside the repo); cluster-sim runs it across two REAL executor JVMs
+# so a plan accidentally dependent on single-address-space locality fails
+sim:
+	python tools/driver_sim.py
+
+cluster-sim:
+	SPARK_GRAFT_SIM_MASTER='local-cluster[2,2,1500]' python tools/driver_sim.py
 
 # driver-side line coverage; threshold calibrated to the measured baseline
 # (executor-side code excluded by construction — see tools/coverage.py)
