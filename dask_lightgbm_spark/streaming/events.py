@@ -17,19 +17,29 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """readStream over the events parquet. All fixture timestamp shapes
     (int64 nanos, NTZ-µs, UTC-µs) normalize to ``TimestampType`` before any
-    watermark — ``withWatermark`` rejects ``TIMESTAMP_NTZ``."""
+    watermark — ``withWatermark`` rejects ``TIMESTAMP_NTZ``.
+
+    ``glob``/``max_files_per_trigger`` let a caller feed MULTIPLE event
+    files one micro-batch at a time (e.g. ``glob="events_*.parquet"``,
+    ``max_files_per_trigger=1``) — how the multi-batch state-fold tests
+    drive the stateful operators; the defaults keep the catalog queries'
+    single-file single-batch shape."""
     from dask_lightgbm_spark.sources.readers import normalize_event_time
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    src = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    schema = spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(sf_dir)
     return normalize_event_time(src)
 
 

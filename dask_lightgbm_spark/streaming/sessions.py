@@ -23,9 +23,18 @@ _OUT_SCHEMA = "user_id bigint, n_events bigint, sum_value double"
 _STATE_SCHEMA = "n bigint, sum_cents bigint"
 
 
-def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_user_totals(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Run the stateful per-user totals as a real streaming query and
-    return the drained result.
+    return the drained result (update mode: one row per user PER
+    micro-batch that touched the user — the last row is the final total;
+    on the catalog's single-file source that is also the only row).
+    ``glob``/``max_files_per_trigger`` pass through to the source so tests
+    can drive the state fold across several real micro-batches.
 
     The update kernel is a NESTED function on purpose: cloudpickle ships
     nested functions by value, while a module-level function would be
@@ -44,7 +53,9 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"user_id": [key[0]], "n_events": [n], "sum_value": [sum_cents / 100.0]}
         )
 
-    src = read_events_stream(spark, sf_dir).select("user_id", "value")
+    src = read_events_stream(
+        spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+    ).select("user_id", "value")
     out = src.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=_OUT_SCHEMA,

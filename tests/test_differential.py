@@ -791,3 +791,78 @@ def test_q40_funnel_matches_python(spark, tmp_path_factory, evs):
         n_clicked,
         n_full,
     )
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 50000)),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=2,
+        max_size=4,
+    )
+)
+def test_stateful_stream_totals_across_microbatches(
+    spark, tmp_path_factory, batches
+):
+    """The applyInPandasWithState user-totals operator folded across
+    SEVERAL real micro-batches (one file per trigger) vs a Python running
+    fold. The catalog's oracle drains the single fixture file in ONE batch,
+    so the cross-batch state path — state.exists, reload, re-fold — is
+    exactly what this exercises: per-user emitted totals must step
+    monotonically, one update row per batch containing the user, ending at
+    the whole-input total."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dask_lightgbm_spark.streaming.sessions import stream_user_totals
+
+    out = tmp_path_factory.mktemp("xstate")
+    eid = 0
+    for bi, batch in enumerate(batches):
+        rows = []
+        for uid, cents in batch:
+            rows.append((eid, eid * 1_000_000, uid, "view", cents / 100.0, "{}"))
+            eid += 1
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(tbl, out / f"events_{bi}.parquet")
+
+    got = stream_user_totals(
+        spark, str(out), glob="events_*.parquet", max_files_per_trigger=1
+    ).collect()
+
+    # final totals: the row with the largest n_events per user
+    final = {}
+    per_user_rows = {}
+    for r in got:
+        per_user_rows.setdefault(r.user_id, []).append(r.n_events)
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, r.sum_value)
+
+    expected = {}
+    for batch in batches:
+        for uid, cents in batch:
+            n, s = expected.get(uid, (0, 0))
+            expected[uid] = (n + 1, s + cents)
+    assert final == {
+        uid: (n, s / 100.0) for uid, (n, s) in expected.items()
+    }
+    for uid, ns in per_user_rows.items():
+        # one update row per micro-batch containing the user, counts
+        # strictly increasing — the state really crossed batches
+        assert sorted(ns) == ns and len(set(ns)) == len(ns)
+        assert len(ns) == sum(
+            1 for batch in batches if any(u == uid for u, _ in batch)
+        )
