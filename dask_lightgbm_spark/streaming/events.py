@@ -215,15 +215,24 @@ def stream_session_window(
     return spark.table(name)
 
 
-def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_dedup_within_watermark(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Streaming dedup with BOUNDED state: ``dropDuplicatesWithinWatermark``
     evicts dedup state once the watermark passes an event's time — the
     production form of x03's unbounded dropDuplicates (whose state grows
     with key cardinality forever). On a bounded single-batch drain the
     watermark is still at its initial value while the batch processes, so
     every row is inside the window and the result equals exact global
-    dedup — which is what the oracle checks."""
-    src = read_events_stream(spark, sf_dir).select("ts", "user_id", "event_type")
+    dedup — which is what the oracle checks. ``glob``/
+    ``max_files_per_trigger`` pass through to the source so tests can
+    replay duplicates across several real micro-batches."""
+    src = read_events_stream(
+        spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+    ).select("ts", "user_id", "event_type")
     counts = (
         src.withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])

@@ -866,3 +866,59 @@ def test_stateful_stream_totals_across_microbatches(
         assert len(ns) == sum(
             1 for batch in batches if any(u == uid for u, _ in batch)
         )
+
+
+def test_dedup_within_watermark_suppresses_across_microbatches(
+    spark, tmp_path_factory
+):
+    """Cross-batch dedup state: a duplicate (user, event_type) arriving in
+    a LATER micro-batch (inside the watermark window) must be suppressed,
+    while a new key in that batch counts — the state really persists
+    between triggers. The catalog's single-file drain can't distinguish
+    cross-batch suppression from plain in-batch dedup; this can."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dask_lightgbm_spark.streaming.events import (
+        stream_dedup_within_watermark,
+    )
+
+    out = tmp_path_factory.mktemp("xdedupwm")
+    base_us = 1_700_000_000_000_000
+    batches = [
+        # (user_id, event_type, minutes-offset)
+        [(1, "view", 0), (2, "view", 1), (1, "click", 2)],
+        # u1 view again 5 min later (dup, within the 1 h watermark window)
+        # + a brand-new u3 view
+        [(1, "view", 5), (3, "view", 6)],
+        # u2 view dup again, + first purchase
+        [(2, "view", 10), (4, "purchase", 11)],
+    ]
+    eid = 0
+    for bi, batch in enumerate(batches):
+        rows = [
+            (eid + i, base_us + mins * 60_000_000, uid, et, 0.0, "{}")
+            for i, (uid, et, mins) in enumerate(batch)
+        ]
+        eid += len(rows)
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(tbl, out / f"events_{bi}.parquet")
+
+    got = {
+        r.event_type: r.n_users
+        for r in stream_dedup_within_watermark(
+            spark, str(out), glob="events_*.parquet", max_files_per_trigger=1
+        ).collect()
+    }
+    # distinct (user, type) pairs across ALL batches: view {1,2,3},
+    # click {1}, purchase {4} — the batch-2/3 dups must not recount
+    assert got == {"view": 3, "click": 1, "purchase": 1}
