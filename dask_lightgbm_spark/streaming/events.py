@@ -178,6 +178,8 @@ def stream_session_window(
     sf_dir: str,
     gap: str = "30 minutes",
     delay: str = "30 minutes",
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """APPEND-mode per-user SESSION-window aggregation with a watermark —
     dynamic-gap sessionization as a native streaming operator (batch twin:
@@ -185,8 +187,12 @@ def stream_session_window(
     end (last event + gap); on a bounded drain the final watermark is
     max(ts) - delay, so the emitted set is exactly the sessions with
     last_ts + gap <= max(ts) - delay — what the batch oracle computes.
-    Sessions still open at drain time are withheld by design."""
-    src = read_events_stream(spark, sf_dir)
+    Sessions still open at drain time are withheld by design.
+    ``glob``/``max_files_per_trigger`` pass through to the source so tests
+    can extend a session across several real micro-batches."""
+    src = read_events_stream(
+        spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+    )
     agg = (
         src.withWatermark("ts", delay)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")

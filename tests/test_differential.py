@@ -922,3 +922,62 @@ def test_dedup_within_watermark_suppresses_across_microbatches(
     # distinct (user, type) pairs across ALL batches: view {1,2,3},
     # click {1}, purchase {4} — the batch-2/3 dups must not recount
     assert got == {"view": 3, "click": 1, "purchase": 1}
+
+
+def _write_event_batches(tmp_path_factory, name, batches):
+    """batches: list of [(user_id, minutes_offset, value)] → one parquet
+    file per batch (events_<i>.parquet), full events schema."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = tmp_path_factory.mktemp(name)
+    base_us = 1_700_000_000_000_000
+    eid = 0
+    for bi, batch in enumerate(batches):
+        rows = [
+            (eid + i, base_us + mins * 60_000_000, uid, "view", val, "{}")
+            for i, (uid, mins, val) in enumerate(batch)
+        ]
+        eid += len(rows)
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(tbl, out / f"events_{bi}.parquet")
+    return str(out), base_us
+
+
+def test_session_window_merges_across_microbatches(spark, tmp_path_factory):
+    """A session must EXTEND when a later micro-batch delivers an event
+    within the gap of its current end — cross-trigger session-state merge,
+    invisible on the catalog's single-file drain. The extended session
+    emits once the watermark (advanced by a far-future batch) passes its
+    end; the far-future session stays open and is withheld."""
+    from dask_lightgbm_spark.streaming.events import stream_session_window
+
+    sf, base_us = _write_event_batches(
+        tmp_path_factory,
+        "xsesswin",
+        [
+            [(1, 0, 1.0), (1, 10, 1.0)],
+            [(1, 25, 1.0)],  # 15 min after last event: inside the 30-min gap
+            [(1, 300, 1.0)],  # advances the watermark; starts a new session
+        ],
+    )
+    got = stream_session_window(
+        spark, sf, glob="events_*.parquet", max_files_per_trigger=1
+    ).collect()
+    assert len(got) == 1, got
+    r = got[0]
+    assert (
+        r.user_id,
+        r.n_events,
+        r.sum_value,
+        int(r.session_start.timestamp() * 1_000_000),
+    ) == (1, 3, 3.0, base_us)
