@@ -260,7 +260,11 @@ def stream_dedup_within_watermark(
 
 
 def stream_stream_interval_join(
-    spark: SparkSession, sf_dir: str, horizon: str = "1 hour"
+    spark: SparkSession,
+    sf_dir: str,
+    horizon: str = "1 hour",
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """STREAM-STREAM inner join with an event-time interval condition:
     view events joined to purchase events by the same user within
@@ -272,9 +276,13 @@ def stream_stream_interval_join(
     thresholds on both sides. On the bounded fixture drain the file source
     delivers everything in one micro-batch, so no state is evicted before
     matching and the emitted pairs equal the batch interval join — which is
-    what the oracle computes."""
+    what the oracle computes. ``glob``/``max_files_per_trigger`` pass
+    through to both sources so tests can land the two sides of a match in
+    DIFFERENT micro-batches."""
     views = (
-        read_events_stream(spark, sf_dir)
+        read_events_stream(
+            spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+        )
         .filter(F.col("event_type") == "view")
         .select(
             F.col("user_id"),
@@ -284,7 +292,9 @@ def stream_stream_interval_join(
         .withWatermark("view_ts", horizon)
     )
     purchases = (
-        read_events_stream(spark, sf_dir)
+        read_events_stream(
+            spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+        )
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("p_user_id"),
@@ -357,7 +367,11 @@ def stream_foreachbatch_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 def stream_stream_left_outer_join(
-    spark: SparkSession, sf_dir: str, horizon: str = "1 hour"
+    spark: SparkSession,
+    sf_dir: str,
+    horizon: str = "1 hour",
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """LEFT OUTER stream-stream join: every view, with its attributed
     purchases within ``horizon`` — or NULLs if none arrived. The outer
@@ -374,7 +388,9 @@ def stream_stream_left_outer_join(
     this: matched pairs plus unmatched views with
     view_ts + horizon < min(max view_ts, max purchase_ts) - delay."""
     views = (
-        read_events_stream(spark, sf_dir)
+        read_events_stream(
+            spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+        )
         .filter(F.col("event_type") == "view")
         .select(
             F.col("user_id"),
@@ -384,7 +400,9 @@ def stream_stream_left_outer_join(
         .withWatermark("view_ts", horizon)
     )
     purchases = (
-        read_events_stream(spark, sf_dir)
+        read_events_stream(
+            spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+        )
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("p_user_id"),

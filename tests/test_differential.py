@@ -925,8 +925,9 @@ def test_dedup_within_watermark_suppresses_across_microbatches(
 
 
 def _write_event_batches(tmp_path_factory, name, batches):
-    """batches: list of [(user_id, minutes_offset, value)] → one parquet
-    file per batch (events_<i>.parquet), full events schema."""
+    """batches: list of [(user_id, minutes_offset, value)] or
+    [(user_id, minutes_offset, value, event_type)] → one parquet file per
+    batch (events_<i>.parquet), full events schema."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -935,8 +936,15 @@ def _write_event_batches(tmp_path_factory, name, batches):
     eid = 0
     for bi, batch in enumerate(batches):
         rows = [
-            (eid + i, base_us + mins * 60_000_000, uid, "view", val, "{}")
-            for i, (uid, mins, val) in enumerate(batch)
+            (
+                eid + i,
+                base_us + t[1] * 60_000_000,
+                t[0],
+                t[3] if len(t) > 3 else "view",
+                t[2],
+                "{}",
+            )
+            for i, t in enumerate(batch)
         ]
         eid += len(rows)
         tbl = pa.table(
@@ -981,3 +989,59 @@ def test_session_window_merges_across_microbatches(spark, tmp_path_factory):
         r.sum_value,
         int(r.session_start.timestamp() * 1_000_000),
     ) == (1, 3, 3.0, base_us)
+
+
+def test_interval_join_matches_across_microbatches(spark, tmp_path_factory):
+    """Stream-stream inner join state: a view buffered in trigger 1 must
+    match a purchase arriving in trigger 2 (within the horizon) — the
+    cross-batch buffering the single-file drain never exercises; a
+    purchase with no view must not emit."""
+    from dask_lightgbm_spark.streaming.events import (
+        stream_stream_interval_join,
+    )
+
+    sf, _ = _write_event_batches(
+        tmp_path_factory,
+        "xssjoin",
+        [
+            [(1, 0, 1.0, "view")],
+            [(1, 5, 2.0, "purchase"), (2, 6, 3.0, "purchase")],
+        ],
+    )
+    got = [
+        (r.user_id, r.view_id, r.purchase_id)
+        for r in stream_stream_interval_join(
+            spark, sf, glob="events_*.parquet", max_files_per_trigger=1
+        ).collect()
+    ]
+    assert got == [(1, 0, 1)]
+
+
+def test_left_outer_join_null_extends_across_microbatches(
+    spark, tmp_path_factory
+):
+    """Stream-stream LEFT OUTER eviction: an unmatched view emits its
+    null-extended row only once the global (min-of-both-sides) watermark
+    proves no future match is possible — driven here by a far-future
+    trigger advancing both sides; the far pair itself matches normally."""
+    from dask_lightgbm_spark.streaming.events import (
+        stream_stream_left_outer_join,
+    )
+
+    sf, _ = _write_event_batches(
+        tmp_path_factory,
+        "xssleft",
+        [
+            [(1, 0, 1.0, "view")],
+            # far future on BOTH sides: min watermark → 600-60 = 540 min,
+            # well past view-1's match window [0, 60]
+            [(9, 600, 1.0, "view"), (9, 600, 2.0, "purchase")],
+        ],
+    )
+    got = sorted(
+        (r.user_id, r.view_id, r.purchase_id)
+        for r in stream_stream_left_outer_join(
+            spark, sf, glob="events_*.parquet", max_files_per_trigger=1
+        ).collect()
+    )
+    assert got == [(1, 0, None), (9, 1, 2)]
