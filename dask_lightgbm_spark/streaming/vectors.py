@@ -102,6 +102,8 @@ def stream_ivf_insert(
     spark: SparkSession,
     sf_dir: str,
     k: int = 3,
+    glob: str = "embeddings.parquet",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming IVF index MAINTENANCE (the online twin of batch s23):
     vectors arrive as a stream and are inserted into the index as they
@@ -117,7 +119,10 @@ def stream_ivf_insert(
     At scale: per-batch work is one centroid scan over the BATCH only
     (the base corpus is never touched), state is zero, and the index
     grows by parquet appends — exactly how a production IVF ingest path
-    behaves between centroid retrains."""
+    behaves between centroid retrains. ``glob``/``max_files_per_trigger``
+    select the streamed delta files and batch granularity (tests split the
+    delta across several real micro-batches; the default streams the
+    single fixture file, one batch)."""
     import os
 
     from dask_lightgbm_spark.operators.similarity import (
@@ -140,12 +145,10 @@ def stream_ivf_insert(
 
     shutil.rmtree(out, ignore_errors=True)
     schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
-    src = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "embeddings.parquet")
-        .parquet(sf_dir)
-        .filter(F.col("vec_id") % 10 == 7)
-    )
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(sf_dir).filter(F.col("vec_id") % 10 == 7)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         assigned = assign_cells_vectorized(batch_df, cents)

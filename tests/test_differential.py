@@ -1045,3 +1045,76 @@ def test_left_outer_join_null_extends_across_microbatches(
         ).collect()
     )
     assert got == [(1, 0, None), (9, 1, 2)]
+
+
+def test_stream_ivf_insert_multibatch_equals_batch_build(
+    spark, tmp_path_factory
+):
+    """Online IVF ingest across several real micro-batches: the delta
+    vectors (vec_id % 10 == 7) arrive split over two triggers, each
+    assigned against the frozen centroids and appended as its own
+    batch=<id> dir; the served result must equal a from-scratch batch
+    build over the full corpus — streaming the index in pieces is
+    invisible to queries."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from dask_lightgbm_spark.operators.similarity import ivf_knn
+    from dask_lightgbm_spark.session import scratch_dir
+    from dask_lightgbm_spark.streaming.vectors import stream_ivf_insert
+
+    rng = __import__("numpy").random.default_rng(11)
+    n, dim = 30, 4
+    vecs = rng.integers(-3, 4, size=(n, dim)).astype("float32")
+
+    def table(ids):
+        return pa.table(
+            {
+                "vec_id": pa.array([int(i) for i in ids], pa.int64()),
+                "embedding": pa.array(
+                    [[float(x) for x in vecs[i]] for i in ids],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([int(i % 5) for i in ids], pa.int32()),
+            }
+        )
+
+    out = tmp_path_factory.mktemp("xivfinsert")
+    pq.write_table(table(range(n)), out / "embeddings.parquet")
+    delta = [i for i in range(n) if i % 10 == 7]  # 7, 17, 27
+    pq.write_table(table(delta[:1]), out / "embeddings_delta_0.parquet")
+    pq.write_table(table(delta[1:]), out / "embeddings_delta_1.parquet")
+
+    got = sorted(
+        (r.qid, r.nid, r.rank, r.cos)
+        for r in stream_ivf_insert(
+            spark,
+            str(out),
+            glob="embeddings_delta_*.parquet",
+            max_files_per_trigger=1,
+        ).collect()
+    )
+    # the ingest really ran as two micro-batches
+    delta_root = (
+        scratch_dir("x15_ivf_delta")
+        + "/"
+        + str(out).strip("/").replace("/", "_")
+    )
+    assert (
+        sum(1 for d in os.listdir(delta_root) if d.startswith("batch=")) == 2
+    )
+
+    e = spark.read.parquet(str(out / "embeddings.parquet"))
+    expected = sorted(
+        (r.qid, r.nid, r.rank, r.cos)
+        for r in ivf_knn(
+            e,
+            queries_filter=F.col("vec_id") < 10,
+            centroid_filter=F.col("vec_id") % 25 == 0,
+            k=3,
+        ).collect()
+    )
+    assert got == expected
