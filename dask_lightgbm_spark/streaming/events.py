@@ -436,7 +436,12 @@ def stream_stream_left_outer_join(
     return spark.table(name)
 
 
-def stream_upsert_state_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_upsert_state_sink(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Streaming UPSERT into a keyed state table (the CDC-apply sink — the
     streaming twin of batch q61): each micro-batch folds its events into a
     latest-value-per-user parquet state via read-merge-overwrite in
@@ -446,7 +451,9 @@ def stream_upsert_state_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final state equals the batch argmax regardless of batch
     boundaries. At scale the state table is keyed and small relative to
     the event stream (one row per user); production swaps the overwrite
-    for a storage-layer MERGE, same semantics."""
+    for a storage-layer MERGE, same semantics. ``glob``/
+    ``max_files_per_trigger`` pass through to the source so tests can
+    apply out-of-order updates across several real micro-batches."""
     import os
 
     from dask_lightgbm_spark.session import scratch_dir
@@ -454,7 +461,9 @@ def stream_upsert_state_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         scratch_dir("x16_state") + "/" + sf_dir.strip("/").replace("/", "_")
     )
-    src = read_events_stream(spark, sf_dir)
+    src = read_events_stream(
+        spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+    )
 
     def latest(df: DataFrame) -> DataFrame:
         w = W.partitionBy("user_id").orderBy(

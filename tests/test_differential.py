@@ -1118,3 +1118,36 @@ def test_stream_ivf_insert_multibatch_equals_batch_build(
         ).collect()
     )
     assert got == expected
+
+
+def test_upsert_state_sink_latest_wins_across_microbatches(
+    spark, tmp_path_factory
+):
+    """CDC-apply sink across triggers: a LATER micro-batch carrying an
+    OLDER event for a key must not override the state (latest-wins by
+    (ts, event_id), not by arrival order), while a genuinely newer event
+    does — the out-of-order-delivery contract a single-batch drain cannot
+    test."""
+    from dask_lightgbm_spark.streaming.events import stream_upsert_state_sink
+
+    sf, base_us = _write_event_batches(
+        tmp_path_factory,
+        "xupsert",
+        [
+            [(1, 10, 1.0, "purchase"), (2, 0, 5.0, "purchase")],
+            # out-of-order: older u1 event arrives a trigger later
+            [(1, 5, 99.0, "purchase")],
+            # genuinely newer u2 event
+            [(2, 20, 7.25, "purchase")],
+        ],
+    )
+    got = {
+        r.user_id: (
+            int(r.last_ts.timestamp() * 1_000_000) - base_us,
+            r.last_value,
+        )
+        for r in stream_upsert_state_sink(
+            spark, sf, glob="events_*.parquet", max_files_per_trigger=1
+        ).collect()
+    }
+    assert got == {1: (10 * 60_000_000, 1.0), 2: (20 * 60_000_000, 7.25)}
