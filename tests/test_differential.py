@@ -1151,3 +1151,32 @@ def test_upsert_state_sink_latest_wins_across_microbatches(
         ).collect()
     }
     assert got == {1: (10 * 60_000_000, 1.0), 2: (20 * 60_000_000, 7.25)}
+
+
+def test_upsert_state_sink_reapply_is_idempotent(spark, tmp_path_factory):
+    """The sink's retry contract: re-applying rows the state already
+    absorbed changes nothing. Run the WHOLE stream twice over the same
+    files (the state dir persists per source path within the process) —
+    the second pass re-merges every event into the final state and must
+    emit the identical table."""
+    from dask_lightgbm_spark.streaming.events import stream_upsert_state_sink
+
+    sf, _ = _write_event_batches(
+        tmp_path_factory,
+        "xupsert2",
+        [
+            [(1, 10, 1.0, "purchase"), (2, 0, 5.0, "purchase")],
+            [(1, 5, 99.0, "purchase"), (3, 7, 2.5, "purchase")],
+        ],
+    )
+
+    def run():
+        return sorted(
+            (r.user_id, r.last_ts, r.last_event_id, r.last_value)
+            for r in stream_upsert_state_sink(
+                spark, sf, glob="events_*.parquet", max_files_per_trigger=1
+            ).collect()
+        )
+
+    first = run()
+    assert run() == first
