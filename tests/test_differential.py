@@ -1180,3 +1180,68 @@ def test_upsert_state_sink_reapply_is_idempotent(spark, tmp_path_factory):
 
     first = run()
     assert run() == first
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(-3, 3), min_size=2, max_size=2),
+        min_size=3,
+        max_size=12,
+    ),
+    st.integers(1, 2),
+    st.integers(2, 3),
+)
+def test_kmeans_centroids_match_python_lloyds(spark, vec_rows, n_iters, k):
+    """Driver-iterated Lloyd's vs a from-scratch reference replicating the
+    determinism contract exactly: sequential-fold squared L2 (ties to the
+    lowest centroid id) and the fixed-point per-dimension mean — including
+    Spark's HALF_UP double rounding, reproduced via decimal so a
+    second-iteration mean landing on a .5 µ-unit boundary cannot diverge."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import functions as F
+
+    from dask_lightgbm_spark.operators.kmeans import kmeans_centroids
+
+    vecs = [[float(x) for x in v] for v in vec_rows]
+    k = min(k, len(vecs))
+    df = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id long, embedding array<double>"
+    )
+    got = {
+        r.cid: list(r.cv)
+        for r in kmeans_centroids(
+            df, F.col("vec_id") < k, n_iters=n_iters
+        ).collect()
+    }
+
+    def spark_round(x: float) -> int:
+        return int(
+            Decimal(x).to_integral_value(rounding=ROUND_HALF_UP)
+        )
+
+    cents = {i: vecs[i] for i in range(k)}
+    for _ in range(n_iters):
+        members: dict[int, list[list[float]]] = {}
+        for v in vecs:
+            best = None
+            for cid in sorted(cents):
+                d = 0.0
+                for x, y in zip(v, cents[cid]):
+                    d += (x - y) * (x - y)
+                if best is None or (d, cid) < best:
+                    best = (d, cid)
+            members.setdefault(best[1], []).append(v)
+        cents = {
+            cid: [
+                (
+                    float(sum(spark_round(x[pos] * 1_000_000) for x in mem))
+                    / 1_000_000.0
+                )
+                / len(mem)
+                for pos in range(2)
+            ]
+            for cid, mem in members.items()
+        }
+    assert got == cents
