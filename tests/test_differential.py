@@ -1245,3 +1245,103 @@ def test_kmeans_centroids_match_python_lloyds(spark, vec_rows, n_iters, k):
             for cid, mem in members.items()
         }
     assert got == cents
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(-3, 3), min_size=4, max_size=4),
+        min_size=3,
+        max_size=12,
+    ),
+    st.integers(1, 3),
+)
+def test_pq_pipeline_matches_python(spark, vec_rows, k):
+    """The whole PQ family end to end — per-subspace codebook training
+    (1-iter fixed-point Lloyd's), nearest-code encoding, ADC top-k with
+    self-exclusion and the (dist asc, nid asc) tie order — vs a
+    from-scratch reference sharing only the published determinism contract
+    (sequential folds, fixed-point means, lowest-id ties)."""
+    from pyspark.sql import functions as F
+
+    from dask_lightgbm_spark.operators.pq import pq_knn, train_codebooks
+
+    vecs = [[float(x) for x in v] for v in vec_rows]
+    n_seeds, sub, n_sub = 2, 2, 2
+    df = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id long, embedding array<double>"
+    )
+    books = train_codebooks(
+        df, F.col("vec_id") < n_seeds, dim=4, n_subspaces=n_sub, n_iters=1
+    )
+    got = [
+        (r.qid, r.nid, r.rank, r.adc_dist)
+        for r in pq_knn(df, F.col("vec_id") < 2, k=k, codebooks=books)
+        .orderBy("qid", "rank")
+        .collect()
+    ]
+
+    def sqd(a, b):
+        d = 0.0
+        for x, y in zip(a, b):
+            d += (x - y) * (x - y)
+        return d
+
+    # reference codebooks: per subspace, one Lloyd's iteration from the
+    # first n_seeds sub-vectors with the fixed-point mean
+    ref_books = []
+    for m in range(n_sub):
+        svs = [v[m * sub : (m + 1) * sub] for v in vecs]
+        cents = {i: svs[i] for i in range(n_seeds)}
+        members = {}
+        for v in svs:
+            best = min((sqd(v, cents[c]), c) for c in sorted(cents))
+            members.setdefault(best[1], []).append(v)
+        ref_books.append(
+            {
+                cid: [
+                    float(sum(round(x[p] * 1_000_000) for x in mem))
+                    / 1_000_000.0
+                    / len(mem)
+                    for p in range(sub)
+                ]
+                for cid, mem in members.items()
+            }
+        )
+    assert [sorted(b) for b in ref_books] == [
+        [c for c, _ in b] for b in books
+    ] and all(
+        list(cv) == ref_books[m][c]
+        for m, b in enumerate(books)
+        for c, cv in b
+    )
+
+    codes = [
+        [
+            min(
+                (sqd(v[m * sub : (m + 1) * sub], cv), cid)
+                for cid, cv in sorted(ref_books[m].items())
+            )[1]
+            for m in range(n_sub)
+        ]
+        for v in vecs
+    ]
+    expected = []
+    for qid in range(min(2, len(vecs))):
+        scored = []
+        for nid, v in enumerate(vecs):
+            if nid == qid:
+                continue
+            d = 0.0
+            for m in range(n_sub):
+                d += sqd(
+                    vecs[qid][m * sub : (m + 1) * sub],
+                    ref_books[m][codes[nid][m]],
+                )
+            scored.append((nid, d))
+        scored.sort(key=lambda t: (t[1], t[0]))
+        expected += [
+            (qid, nid, rank + 1, d)
+            for rank, (nid, d) in enumerate(scored[:k])
+        ]
+    assert got == expected
