@@ -1345,3 +1345,97 @@ def test_pq_pipeline_matches_python(spark, vec_rows, k):
             for rank, (nid, d) in enumerate(scored[:k])
         ]
     assert got == expected
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(-2, 2), min_size=3, max_size=3).filter(
+            lambda v: any(x != 0 for x in v)  # index build refuses zero-norm
+        ),
+        min_size=6,
+        max_size=26,
+    )
+)
+def test_knn_graph_and_label_propagation_match_python(
+    spark, tmp_path_factory, vec_rows
+):
+    """s22 (per-cell kNN graph) and s25 (two-round majority-vote label
+    propagation over it) vs a from-scratch reference: IVF cell assignment
+    with lowest-cid NULL-cosine ties, within-cell top-3 by (cos desc NULLS
+    LAST, dst asc), then per-round votes broken by (count desc, label asc)
+    with seeds never overwritten — the full iterative semi-supervised
+    pipeline re-derived independently."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dask_lightgbm_spark.queries import all_queries
+
+    vecs = [[float(x) for x in v] for v in vec_rows]
+    n = len(vecs)
+    out = tmp_path_factory.mktemp("s25prop")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([i % 5 for i in range(n)], pa.int32()),
+            }
+        ),
+        out / "embeddings.parquet",
+    )
+    # float32 storage: recompute the doubles the engine actually sees
+    vecs = [[float(__import__("numpy").float32(x)) for x in v] for v in vecs]
+
+    # --- reference: IVF cells (centroids vec_id % 25 == 0 → id 0 only
+    # for n <= 25, ids {0, 25} at 26) → within-cell top-3 graph
+    cents = [(i, vecs[i]) for i in range(n) if i % 25 == 0]
+    cell = {
+        i: _cos_order([(cid, _py_cos(v, cv)) for cid, cv in cents])[0][0]
+        for i, v in enumerate(vecs)
+    }
+    graph = {}
+    for src in range(n):
+        cands = [
+            (dst, _py_cos(vecs[src], vecs[dst]))
+            for dst in range(n)
+            if dst != src and cell[dst] == cell[src]
+        ]
+        graph[src] = [d for d, _ in _cos_order(cands)[:3]]
+
+    got_edges = [
+        (r.src, r.dst, r.rank)
+        for r in all_queries()["s22_knn_graph"](spark, str(out)).collect()
+    ]
+    expected_edges = sorted(
+        (src, dst, rank + 1)
+        for src in range(n)
+        for rank, dst in enumerate(graph[src])
+    )
+    assert sorted(got_edges) == expected_edges
+
+    # --- reference: 2 rounds of majority-vote propagation
+    seeds = {i: i % 5 for i in range(n) if i % 5 == 0}
+    labels = dict(seeds)
+    for _ in range(2):
+        votes = {}
+        for src in range(n):
+            counts = {}
+            for dst in graph[src]:
+                if dst in labels:
+                    counts[labels[dst]] = counts.get(labels[dst], 0) + 1
+            if counts:
+                votes[src] = min(counts, key=lambda lab: (-counts[lab], lab))
+        labels = dict(seeds)
+        for src, lab in votes.items():
+            labels.setdefault(src, lab)
+
+    got = {
+        r.vec_id: (r.label_out, r.is_seed)
+        for r in all_queries()["s25_label_propagation"](
+            spark, str(out)
+        ).collect()
+    }
+    assert got == {
+        i: (labels.get(i), i % 5 == 0) for i in range(n)
+    }
