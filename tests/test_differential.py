@@ -1439,3 +1439,95 @@ def test_knn_graph_and_label_propagation_match_python(
     assert got == {
         i: (labels.get(i), i % 5 == 0) for i in range(n)
     }
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(-2, 2), min_size=64, max_size=64).filter(
+            lambda v: any(x != 0 for x in v)
+        ),
+        min_size=9,
+        max_size=16,
+    )
+)
+def test_t34_semantic_dedup_matches_python(spark, tmp_path_factory, vec_rows):
+    """SemDeDup end to end vs a from-scratch reference: 2-iter fixed-point
+    Lloyd's cells (8 seeds, HALF_UP double rounding via decimal),
+    squared-L2 assignment with lowest-cid ties, cosine-to-own-centroid
+    centrality, and the keep-least-central dominance rule — a is dropped
+    iff some same-cell b with cos(a,b) >= tau is strictly more peripheral
+    under (cs_cent, vec_id). Completes the independent-reference coverage
+    of every dedup family (exact, minhash, simhash, chunk, boilerplate,
+    semantic)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dask_lightgbm_spark.queries import all_queries
+
+    vecs = [[float(np.float32(x)) for x in v] for v in vec_rows]
+    n, dim, k_seeds, tau = len(vecs), 64, 8, 0.42
+    out = tmp_path_factory.mktemp("t34prop")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([i % 5 for i in range(n)], pa.int32()),
+            }
+        ),
+        out / "embeddings.parquet",
+    )
+
+    def sqd(a, b):
+        d = 0.0
+        for x, y in zip(a, b):
+            d += (x - y) * (x - y)
+        return d
+
+    def spark_round(x):
+        return int(Decimal(x).to_integral_value(rounding=ROUND_HALF_UP))
+
+    # 2-iteration Lloyd's, exactly the engine's op sequence
+    cents = {i: vecs[i] for i in range(k_seeds)}
+    for _ in range(2):
+        members = {}
+        for v in vecs:
+            best = min((sqd(v, cents[c]), c) for c in sorted(cents))
+            members.setdefault(best[1], []).append(v)
+        cents = {
+            cid: [
+                float(sum(spark_round(x[p] * 1_000_000) for x in mem))
+                / 1_000_000.0
+                / len(mem)
+                for p in range(dim)
+            ]
+            for cid, mem in members.items()
+        }
+
+    cell = {
+        i: min((sqd(v, cents[c]), c) for c in sorted(cents))[1]
+        for i, v in enumerate(vecs)
+    }
+    cs = {i: _py_cos(vecs[i], cents[cell[i]]) for i in range(n)}
+    kept = {}
+    for a in range(n):
+        dominated = any(
+            b != a
+            and cell[b] == cell[a]
+            and _py_cos(vecs[a], vecs[b]) >= tau
+            and (cs[b], b) < (cs[a], a)
+            for b in range(n)
+        )
+        kept[a] = not dominated
+
+    got = {
+        r.vec_id: (r.cell, r.cs_cent, r.kept)
+        for r in all_queries()["t34_semantic_dedup"](
+            spark, str(out)
+        ).collect()
+    }
+    assert got == {i: (cell[i], cs[i], kept[i]) for i in range(n)}
