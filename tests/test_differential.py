@@ -1531,3 +1531,80 @@ def test_t34_semantic_dedup_matches_python(spark, tmp_path_factory, vec_rows):
         ).collect()
     }
     assert got == {i: (cell[i], cs[i], kept[i]) for i in range(n)}
+
+
+@st.composite
+def ingest_corpora(draw):
+    base = draw(st.text(st.sampled_from("abc "), min_size=0, max_size=20))
+
+    def doc():
+        if draw(st.booleans()):
+            return base + draw(st.text(st.sampled_from("abc "), max_size=4))
+        return draw(st.text(st.sampled_from("xyz "), max_size=20))
+
+    corpus = [(i, doc()) for i in range(draw(st.integers(2, 8)))]
+    new = [(100 + i, doc()) for i in range(draw(st.integers(1, 4)))]
+    return new, corpus
+
+
+@settings(max_examples=6, deadline=None)
+@given(ingest_corpora(), st.sampled_from([None, 2]))
+def test_minhash_match_against_matches_python(spark, inp, bucket_cap):
+    """The two-sided incremental ingest dedup (t40's core) vs the same
+    from-scratch reference as the self-join: a (new, corpus) pair matches
+    iff it shares a band, survives the signature-estimate prefilter, and
+    verifies at exact Jaccard ≥ threshold — with the corpus-side
+    hot-bucket split (bucket_cap) required not to change the match set."""
+    from dask_lightgbm_spark.functions.hashing import (
+        MINHASH_COEF,
+        MINHASH_PRIME,
+    )
+    from dask_lightgbm_spark.operators.dedup import minhash_lsh_match_against
+
+    new, corpus = inp
+    k, num_perm, band_size, threshold = 3, 8, 2, 0.3
+    schema = "doc_id long, text string"
+    got = {
+        (r.new_id, r.corpus_id, r.jaccard)
+        for r in minhash_lsh_match_against(
+            spark.createDataFrame(new, schema),
+            spark.createDataFrame(corpus, schema),
+            "doc_id",
+            "text",
+            k_shingle=k,
+            num_perm=num_perm,
+            band_size=band_size,
+            threshold=threshold,
+            bucket_cap=bucket_cap,
+        ).collect()
+    }
+
+    hs = {i: _py_shingle_hashes(t, k) for i, t in new + corpus}
+    sig = {
+        i: [
+            min(
+                (h * MINHASH_COEF[p][0] + MINHASH_COEF[p][1]) % MINHASH_PRIME
+                for h in v
+            )
+            for p in range(num_perm)
+        ]
+        for i, v in hs.items()
+    }
+    expected = set()
+    for a, _ in new:
+        for b, _ in corpus:
+            banded = any(
+                sig[a][j * band_size : (j + 1) * band_size]
+                == sig[b][j * band_size : (j + 1) * band_size]
+                for j in range(num_perm // band_size)
+            )
+            if not banded:
+                continue
+            if sum(x == y for x, y in zip(sig[a], sig[b])) < num_perm // 2:
+                continue
+            sa, sb = set(hs[a]), set(hs[b])
+            inter = len(sa & sb)
+            jac = inter / (len(sa) + len(sb) - inter)
+            if jac >= threshold:
+                expected.add((a, b, jac))
+    assert got == expected
