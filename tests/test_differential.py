@@ -1608,3 +1608,58 @@ def test_minhash_match_against_matches_python(spark, inp, bucket_cap):
             if jac >= threshold:
                 expected.add((a, b, jac))
     assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.text(st.sampled_from("abc "), max_size=24), min_size=2, max_size=25
+    )
+)
+def test_t19_decontamination_matches_python(spark, tmp_path_factory, texts):
+    """Broadcast decontamination vs a set-intersection reference: per
+    train doc, distinct 5-gram shingle hashes hitting ANY eval-split
+    shingle, with the integer-exact >=20% flag (n_overlap*5 >= n_shingles
+    — no float ratio)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dask_lightgbm_spark.queries import all_queries
+
+    out = tmp_path_factory.mktemp("t19prop")
+    n = len(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "source": pa.array(["s"] * n, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        out / "documents.parquet",
+    )
+
+    got = [
+        (r.doc_id, r.n_shingles, r.n_overlap, r.contaminated)
+        for r in all_queries()["t19_decontamination"](
+            spark, str(out)
+        ).collect()
+    ]
+
+    hs = {i: set(_py_shingle_hashes(t, 5)) for i, t in enumerate(texts)}
+    ev = set().union(*(hs[i] for i in range(n) if i % 20 == 0)) if any(
+        i % 20 == 0 for i in range(n)
+    ) else set()
+    expected = [
+        (
+            i,
+            len(hs[i]),
+            len(hs[i] & ev),
+            len(hs[i] & ev) * 5 >= len(hs[i]),
+        )
+        for i in range(n)
+        if i % 20 != 0
+    ]
+    assert got == expected
