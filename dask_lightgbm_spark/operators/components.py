@@ -7,15 +7,40 @@ convergence in O(component diameter) rounds. Near-dup graphs have tiny
 diameters (dup clusters are near-cliques), so 3-5 rounds typically suffice.
 
 Scale shape per round: one join edges⋈labels + one min-aggregation — both
-shuffle on node id; persisting each round's labels keeps the lineage flat
-(no exponential plan growth). The driver loop only checks a converged
-count — no data is collected.
+shuffle on node id. Each round's labels are CHECKPOINTED, not merely
+persisted: the round's plan references the previous labels twice (neighbor
+min + the join back), so the logical/physical plan TREE doubles per round
+even though a cache bounds execution — and anything that walks the plan as
+a tree (the SQL listener's per-action plan description, explain) goes
+exponential in round count. A path-shaped graph needing ~15 rounds made
+that walk take 2^15 subtree visits — minutes of driver CPU per count().
+Checkpointing (reliable if a checkpoint dir is set, else localCheckpoint —
+the GraphFrames discipline) truncates lineage to O(1) per round; old
+rounds' blocks are reclaimed by the ContextCleaner when their handles drop.
+The driver loop only checks a converged count — no data is collected.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` and cut its plan back to a leaf. Reliable
+    ``checkpoint`` when the session has a checkpoint dir (survives executor
+    loss — set one for production-scale runs); ``localCheckpoint``
+    otherwise (executor-local blocks: a lost executor fails the job and the
+    caller retries — acceptable for an iterative loop whose rounds are
+    cheap relative to exponential plan growth)."""
+    sc = df.sparkSession.sparkContext
+    try:
+        has_dir = sc.getCheckpointDir() is not None
+    except Exception:
+        has_dir = False
+    if has_dir:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
 
 
 def connected_components(
@@ -35,7 +60,9 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = nodes.select(F.col(id_col).alias("a"), F.col(id_col).alias("component")).persist()
+    labels = _truncate_lineage(
+        nodes.select(F.col(id_col).alias("a"), F.col(id_col).alias("component"))
+    )
     converged = False
     for _ in range(max_iter):
         # neighbor minimum: for each node, min label among its neighbors
@@ -44,37 +71,34 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("component").alias("n_min"))
         )
-        new_labels = (
-            labels.join(neigh, "a", "left")
-            .select(
+        # eager checkpoint materializes EVERY partition of the new round
+        # before the convergence check, and both sides of that check are
+        # checkpoint leaves — the count's plan (and its listener-event plan
+        # string) stays O(1) regardless of round number
+        new_labels = _truncate_lineage(
+            labels.join(neigh, "a", "left").select(
                 "a",
                 F.least(F.col("component"), F.coalesce(F.col("n_min"), F.col("component"))).alias(
                     "component"
                 ),
             )
-            .persist()
         )
-        # full count (not limit(1)): materializes EVERY partition of the new
-        # cache before dropping the parent — a partial materialization would
-        # recompute through the whole unpersisted lineage next round
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "a")
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             converged = True
             break
     sym.unpersist()
     if not converged:
-        labels.unpersist()  # don't leak the unreachable cache on the error path
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds — "
             "component diameter exceeds max_iter; raise it"
         )
-    # returned DataFrame stays persisted (it is the converged result; callers
-    # re-deriving it through the loop lineage would be far costlier)
+    # returned DataFrame is a checkpoint leaf (already materialized); its
+    # blocks live until the handle is dropped and the ContextCleaner runs
     return labels.select(F.col("a").alias(id_col), "component")

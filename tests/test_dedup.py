@@ -87,6 +87,32 @@ def test_connected_components_chain(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 4, 10: 10, 11: 10}
 
 
+def test_connected_components_deep_path_bounded_driver_cost(spark):
+    """A 16-node path is the iteration-count worst case (diameter 15 → 16
+    rounds): each round's plan references the previous labels twice, so
+    WITHOUT per-round lineage truncation the plan tree doubles per round
+    and the per-count listener plan-string walk goes exponential (~2^16
+    subtree visits — this exact shape once pinned a full-suite run for
+    >14 min of driver CPU). With checkpointing the whole run is seconds;
+    the generous wall bound trips only on an exponential regression."""
+    import time
+
+    import pandas as pd
+
+    from dask_lightgbm_spark.operators.components import connected_components
+
+    n = 16
+    edges = spark.createDataFrame(
+        pd.DataFrame({"id_a": list(range(n - 1)), "id_b": list(range(1, n))})
+    )
+    nodes = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(n))}))
+    t0 = time.monotonic()
+    out = {r.doc_id: r.component for r in connected_components(edges, nodes).collect()}
+    elapsed = time.monotonic() - t0
+    assert out == {i: 0 for i in range(n)}
+    assert elapsed < 120, f"deep-path components took {elapsed:.0f}s — lineage growth?"
+
+
 def test_short_and_empty_docs_ansi_safe_and_oracle_parity(spark):
     """Docs shorter than k_shingle (incl. empty) must not throw under ANSI
     mode (Spark 4 default) and must produce bit-identical minhash signatures

@@ -13,7 +13,23 @@ import math
 import re
 
 import pandas as pd
+import pytest
 from hypothesis import given, settings, strategies as st
+
+
+@pytest.fixture(autouse=True)
+def _clear_session_cache(request):
+    """Drop every cached plan after each test. Several operators exercised
+    here persist internally (minhash shingle arrays, components labels, the
+    session-cached IVF index/graph), and hypothesis runs each test body 6-8
+    times — without this, entries pile up in the shared session and every
+    later ``unpersist()`` pays a CacheManager ``sameResult`` scan over ALL
+    of them: O(entries) deep plan comparisons per call. The clear itself is
+    a plain list drop (no plan comparisons)."""
+    yield
+    spark = request.node.funcargs.get("spark")
+    if spark is not None:
+        spark.catalog.clearCache()
 
 # Java regex \s is ASCII-only ([ \t\n\x0B\f\r]); Python's \s also matches
 # unicode whitespace. The references below mirror the JVM class explicitly,
