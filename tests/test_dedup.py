@@ -113,6 +113,41 @@ def test_connected_components_deep_path_bounded_driver_cost(spark):
     assert elapsed < 120, f"deep-path components took {elapsed:.0f}s — lineage growth?"
 
 
+def test_connected_components_reliable_checkpoint_branch(spark, tmp_path):
+    """With a checkpoint dir set, per-round truncation takes the RELIABLE
+    checkpoint path (the production-scale configuration — survives executor
+    loss); results must be identical and checkpoint files must appear."""
+    import os
+
+    import pandas as pd
+
+    from dask_lightgbm_spark.operators.components import connected_components
+
+    ckpt = str(tmp_path / "ckpt")
+    sc = spark.sparkContext
+    sc.setCheckpointDir(ckpt)
+    try:
+        edges = spark.createDataFrame(
+            pd.DataFrame({"id_a": [1, 2, 10], "id_b": [2, 3, 11]})
+        )
+        nodes = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2, 3, 4, 10, 11]}))
+        out = {
+            r.doc_id: r.component for r in connected_components(edges, nodes).collect()
+        }
+        assert out == {1: 1, 2: 1, 3: 1, 4: 4, 10: 10, 11: 10}
+        written = [
+            os.path.join(root, f)
+            for root, _, files in os.walk(ckpt)
+            for f in files
+        ]
+        assert written, "reliable checkpoint dir set but no checkpoint files written"
+    finally:
+        # don't leak a tmp checkpoint dir into the session-scoped fixture:
+        # later tests must take the localCheckpoint branch again
+        sc._jsc.sc().setCheckpointDir(None)
+        assert sc.getCheckpointDir() is None
+
+
 def test_short_and_empty_docs_ansi_safe_and_oracle_parity(spark):
     """Docs shorter than k_shingle (incl. empty) must not throw under ANSI
     mode (Spark 4 default) and must produce bit-identical minhash signatures
