@@ -8,10 +8,12 @@ would still pass. This runs a representative plan-family slice on
 real serialized exchanges — and compares each query to its DuckDB oracle.
 
 Slice covers: shuffle agg (q01), broadcast join (q04), the persisted
-minhash dedup pipeline (t05), the digest-keyed shuffled-hash chunk dedup
-(t39), the session-cached IVF serve path (s02), the two-level prefix-sum
-packer whose result must be partition-layout invariant (t30), and the
-zero-shuffle featurizer (ml04)."""
+minhash dedup pipeline (t05), the iterative connected components whose
+per-round labels are eagerly checkpointed — localCheckpoint blocks living
+on two separate executor JVMs (t14), the digest-keyed shuffled-hash chunk
+dedup (t39), the session-cached IVF serve path (s02), the two-level
+prefix-sum packer whose result must be partition-layout invariant (t30),
+and the zero-shuffle featurizer (ml04)."""
 
 import os
 import subprocess
@@ -23,6 +25,7 @@ QUERIES = [
     "q01_pricing_summary",
     "q04_join_nation_revenue",
     "t05_minhash_lsh_neardup",
+    "t14_dedup_components",
     "t39_chunk_dedup",
     "s02_knn_ivf",
     "t30_sequence_packing",
