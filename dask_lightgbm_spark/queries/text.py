@@ -2119,12 +2119,22 @@ def t38_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # anywhere earlier in the corpus (order = (doc_id, chunk_idx)) is dropped;
 # docs are reported with their surviving-chunk count and an md5 digest of
 # the reconstructed text so the oracle verifies the exact surviving
-# CONTENT, not just counts. Scale: one shuffle partitions chunks by their
-# md5 DIGEST (identical chunks co-locate — the t01 exact-dedup shape; the
-# partitioner and the per-group sort compare 16-byte keys, never the
-# ~50-token chunk strings), the first-occurrence window runs per
-# digest-group, and reconstruction re-groups by doc — no all-pairs
-# anywhere, memory bounded per group.
+# CONTENT, not just counts.
+#
+# Scale (r8 final shape — JOIN-FREE dedup): chunk rows travel SLIM
+# (doc_id, chunk_idx, md5-digest — no text). The min-struct aggregate per
+# digest yields the WINNER occurrence of every distinct chunk, and the
+# winners are themselves the complete answer: re-aggregating them by their
+# winning doc gives each doc's kept indexes and count directly, with no
+# join back to the chunk rows at all. n_chunks is size(dgs) — computed
+# doc-side, zero shuffle. Only then does one doc-level join attach the
+# verdict lists to the tokenized docs (per_doc is doc-count-sized, so it
+# broadcasts at fixture scale; at 100 TB it hash-joins on doc_id), and the
+# surviving text is re-sliced doc-locally (_t39_rebuild). Exchanges that
+# scale with chunk count: exactly two (slim→digest, winners→doc), both
+# carrying 16-byte keys + ints. No all-pairs, no sort anywhere but the
+# output ORDER BY, and a billion-copy chunk partial-combines map-side to
+# one row per map partition.
 # ---------------------------------------------------------------------------
 
 _T39_W = 8
@@ -2218,87 +2228,53 @@ def _t39_rebuild(idxs):  # noqa: ANN001 — Column expr helper
 
 @query("t39_chunk_dedup", _T39_SQL)
 def t39_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dask_lightgbm_spark.functions.partitioning import ensure_parallelism
-
-    d = load_table(spark, sf_dir, "documents")
-    ts = F.filter(
-        F.split(F.trim(F.col("text")), r"[ \t\n\f\r]+"), lambda x: x != ""
-    )
-    n_chunks = F.expr(f"(size(ts) + {_T39_W - 1}) div {_T39_W}")
-    # a small compressed corpus file scans as ONE partition — spread it
-    # before the tokenize/chunk projection (no-op on a wide 100 TB scan)
-    docs = ensure_parallelism(d.select("doc_id", "text")).select(
-        "doc_id", ts.alias("ts")
-    )
-    # sequence(1, 0) would step BACKWARD in Spark — guard empty docs
-    chunk_arr = F.when(
-        n_chunks >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_chunks.cast("int")),
-            lambda g: F.array_join(
-                F.slice(F.col("ts"), (g - 1) * _T39_W + 1, _T39_W), " "
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    chunks = docs.select(
-        "doc_id", F.posexplode(chunk_arr).alias("pos", "chunk")
-    ).select(
-        "doc_id",
-        (F.col("pos") + 1).alias("chunk_idx"),
-        "chunk",
-        F.md5("chunk").alias("dg"),
-    )
-    # Partition on the 16-byte DIGEST, not the ~50-token chunk string (r7
-    # judge fix); chunk text rides each row once as payload because the
-    # per-doc reconstruction below genuinely needs it. First occurrence is
-    # a MIN-STRUCT AGGREGATE joined back as a SHUFFLED HASH JOIN — NOT a
-    # row_number window: the aggregate partial-combines map-side and the
-    # probe side streams each row against a one-row hash entry, so a
-    # chunk duplicated a billion times costs one LINEAR pass (no sort
-    # anywhere) where the window would sort the whole group on a single
-    # task.
-    # (Measured alternative: a text-free slim pipeline with kept-index
-    # verdicts re-sliced doc-side ships NO text through the dedup shuffle,
-    # but re-tokenizes the corpus a second time on the rebuild side —
-    # 2x slower at sf1 on 32 local cores where the regex split, not the
-    # in-memory exchange, is the binding cost. On a network-bound cluster
-    # flip that trade by rebuilding from t44's _t39_chunked_docs helper.)
-    winners = chunks.groupBy("dg").agg(
+    # lazy localCheckpoint: the tokenized docs feed BOTH the slim chunk
+    # pipeline and the final rebuild join — checkpointing materializes the
+    # token arrays once (executor blocks, computed on first use within this
+    # invocation's job) instead of tokenizing the corpus twice. Unlike
+    # persist() this never registers with the CacheManager, so a repeat
+    # invocation (bench min-of-2, gate re-runs) recomputes honestly; the
+    # blocks free when the handle is garbage-collected. At 100 TB the
+    # materialization costs ~one shuffle-write of the corpus and buys back
+    # a full tokenize pass; on executor loss the job retries (same
+    # trade as operators/components.py's _truncate_lineage).
+    docs = _t39_chunked_docs(spark, sf_dir).localCheckpoint(eager=False)
+    slim = docs.select(
+        "doc_id", F.posexplode("dgs").alias("pos", "dg")
+    ).select("doc_id", (F.col("pos") + 1).alias("chunk_idx"), "dg")
+    # First occurrence is a MIN-STRUCT AGGREGATE — not a row_number
+    # window: it partial-combines map-side, so a chunk duplicated a
+    # billion times collapses to one row per map partition with no sort.
+    # The winner rows ARE the dedup verdict: every distinct chunk names
+    # its keeper (doc_id, chunk_idx), so grouping the winners by their
+    # winning doc yields each doc's kept indexes directly — no join back
+    # to the chunk rows (r8 final: the earlier shuffled-hash verify join
+    # was a third chunk-count-sized exchange doing no work the winner
+    # set didn't already encode).
+    winners = slim.groupBy("dg").agg(
         F.min(F.struct("doc_id", "chunk_idx")).alias("w")
     )
-    occ = F.struct("doc_id", "chunk_idx")
-    # SHUFFLE_HASH, not sort-merge: the probe (text-bearing) side streams
-    # against the one-row-per-digest build table with NO per-partition
-    # sort — a hot digest stays a linear pass. The winners branch is
-    # column-pruned to the slim (doc_id, chunk_idx, dg) projection.
-    kept = chunks.join(winners.hint("shuffle_hash"), "dg").withColumn(
-        "is_first", occ == F.col("w")
+    per_doc = winners.groupBy(F.col("w.doc_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sort_array(F.collect_list("w.chunk_idx")).alias("keep_idxs"),
     )
-    # reconstruct surviving text per doc: per-doc state is bounded by the
-    # doc's own chunk count
-    surv = F.transform(
-        F.array_sort(
-            F.collect_list(
-                F.when(
-                    F.col("is_first"), F.struct("chunk_idx", "chunk")
-                )
-            )
-        ),
-        lambda s: s.chunk,
-    )
-    per_doc = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_chunks"),
-        F.sum(F.when(F.col("is_first"), 1).otherwise(0)).alias("n_kept"),
-        F.md5(F.array_join(surv, " ")).alias("kept_digest"),
-    )
+    # one doc-level join attaches verdicts to the tokenized docs (per_doc
+    # is doc-count-sized → broadcasts at fixture scale, hash-joins on
+    # doc_id at 100 TB); surviving text re-slices doc-locally. n_chunks
+    # is size(dgs) — zero shuffle. Docs with zero kept chunks (every
+    # chunk seen earlier) and empty docs both fall to md5('').
     return (
-        d.select("doc_id")
-        .join(per_doc, "doc_id", "left")
+        docs.join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
-            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            F.coalesce("kept_digest", F.md5(F.lit(""))).alias("kept_digest"),
+            F.size("dgs").cast("long").alias("n_chunks"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.when(
+                F.col("keep_idxs").isNotNull(),
+                _t39_rebuild(F.col("keep_idxs")),
+            )
+            .otherwise(F.md5(F.lit("")))
+            .alias("kept_digest"),
         )
         .orderBy("doc_id")
     )

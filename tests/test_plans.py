@@ -224,12 +224,23 @@ def test_s22_pairs_join_includes_shell_key(spark, sf_dir):
     )
 
 
-def test_t39_first_occurrence_is_sort_free(spark, sf_dir):
-    """r8: t39's dedup join must stay a ShuffledHashJoin — a sort-merge
-    plan would re-introduce the per-partition sort of the text-bearing
-    probe side that the min-struct-aggregate design removed."""
+def test_t39_dedup_is_join_free(spark, sf_dir):
+    """r8 final: t39's dedup stage is JOIN-FREE — the min-struct winner
+    aggregate re-aggregates by winning doc directly, so the only join in
+    the whole plan is the doc-level rebuild join (broadcast at fixture
+    scale), and nothing sorts but the output ORDER BY. A second join
+    appearing means the chunk-count-sized verify join crept back."""
+    import re
+
     from dask_lightgbm_spark.plans.explain import formatted_plan
 
     plan = formatted_plan(all_queries()["t39_chunk_dedup"](spark, sf_dir))
-    assert "ShuffledHashJoin" in plan
+    # count physical join NODES via the formatted detail headers
+    # ("(17) BroadcastHashJoin"), not tree lines — each node prints twice
+    joins = re.findall(
+        r"^\(\d+\) (BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)",
+        plan,
+        re.MULTILINE,
+    )
+    assert joins == ["BroadcastHashJoin"], joins
     assert "SortMergeJoin" not in plan, plan[:1500]
