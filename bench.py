@@ -203,6 +203,16 @@ SF10_SCALING_LIMIT = 6.0
 # SF1_SPOT, and at sf10 they would add minutes for no additional signal.
 SF10_CORPUS = ["t39_chunk_dedup", "t40_incremental_ingest_dedup"]
 
+# sf1 queries that ALWAYS get the second (min-of-2) run, beyond would-be
+# breachers: the SF10_CORPUS members (their sf1 number is the scaling-gate
+# denominator) and t34, whose first invocation trains the k-means cell
+# centroids — index-build cost, session-cached afterward. The ANN serve
+# family already excludes its index build (reported as
+# spark_index_build_sec); the second run gives t34's build-once/serve-many
+# topology the same treatment instead of gating train+serve against
+# DuckDB's serve-only denominator.
+SF1_SECOND_RUN = set(SF10_CORPUS) | {"t34_semantic_dedup"}
+
 
 def ensure_sf1(src_dir: str) -> str:
     """Materialize a deterministic sf1-scale fixture: the sf0.1 documents/
@@ -573,14 +583,14 @@ def main():
             # python-worker spin-ups on the first mapInPandas, first
             # exchange setup) — a would-be breacher is re-run once and the
             # min taken, so the gate measures throughput, not cold-start.
-            # SF10_CORPUS members always get the second run: their sf1
-            # number is the scaling-gate denominator.
+            # SF1_SECOND_RUN members always get the second run (see its
+            # comment: scaling-gate denominators + t34's centroid training).
             for name in sp1:
                 breach = (
                     (duck1.get(name) or 0) >= GATE_DENOM_FLOOR
                     and sp1[name] / duck1[name] > 2.0
                 )
-                if breach or name in SF10_CORPUS:
+                if breach or name in SF1_SECOND_RUN:
                     t0 = time.time()
                     len(qs[name](spark, sf1_dir).toPandas())
                     sp1[name] = min(sp1[name], round(time.time() - t0, 3))
