@@ -10,12 +10,15 @@ Public surface (mirrors the reference's two-estimator API,
   (barrier-mode LightGBM when the native lib is importable, MLlib GBT/RF
   otherwise) and run Arrow-vectorized distributed inference.
 - ``session.get_spark`` — tuned local/cluster SparkSession factory.
+- ``session.release_caches`` — scoped release of every DataFrame this
+  package persisted (index caches + lazy operator persists); the
+  between-corpora hygiene call for long-running services.
 - ``queries`` — the registered query catalog (relational + text/dedup +
   similarity surface) used by the driver correctness gate.
 """
 
-from dask_lightgbm_spark.session import get_spark
+from dask_lightgbm_spark.session import get_spark, release_caches
 from dask_lightgbm_spark.estimators import SparkLGBMClassifier, SparkLGBMRegressor
 
-__all__ = ["get_spark", "SparkLGBMClassifier", "SparkLGBMRegressor"]
+__all__ = ["get_spark", "release_caches", "SparkLGBMClassifier", "SparkLGBMRegressor"]
 __version__ = "0.1.0"

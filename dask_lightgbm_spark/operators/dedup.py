@@ -294,17 +294,23 @@ def minhash_lsh_neardup(
     Cache contract: the per-doc shingle-hash array is ``persist()``-ed
     (MEMORY_AND_DISK) because the result consumes it three times (signature
     + both verify sides) and it cannot be unpersisted here — the returned
-    DataFrame is lazy and still depends on it. The blocks live until the
-    session drops them; a long-running service invoking this repeatedly
-    should ``spark.catalog.clearCache()`` between corpora (the streaming
-    twin x14 and match_against avoid the cache entirely for this reason)."""
+    DataFrame is lazy and still depends on it. The persist is registered
+    with :func:`dask_lightgbm_spark.session.track_lazy_persist`; a
+    long-running service invoking this repeatedly calls
+    ``session.release_caches(spark)`` between corpora to drop the blocks
+    without evicting its own cached DataFrames (the streaming twin x14 and
+    match_against avoid the cache entirely for this reason)."""
     if est_min_matches is None:
         est_min_matches = num_perm // 2
     # per-doc hash arrays feed both the signature and the verify stage —
     # persist so the shingling projection runs once. The signature itself is
     # NOT persisted: since the band views became a single explode, sig is
     # consumed exactly once, and a cache write would be pure overhead.
-    arr = shingle_hash_array(df, id_col, text_col, k_shingle).persist()
+    from dask_lightgbm_spark.session import track_lazy_persist
+
+    arr = track_lazy_persist(
+        shingle_hash_array(df, id_col, text_col, k_shingle).persist()
+    )
     sig = signatures_from_array(arr, id_col, num_perm)
     # band views carry the FULL signature as an array so the estimate filter
     # evaluates inline on the band join output — no extra signature joins

@@ -1792,8 +1792,14 @@ FROM l2 ORDER BY vec_id
 def s25_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     # persist: each round joins the graph once, and without a cache every
-    # round would recompute the full kNN-graph lineage (cell join + scoring)
-    graph = s22_knn_graph(spark, sf_dir).select("src", "dst").persist()
+    # round would recompute the full kNN-graph lineage (cell join + scoring).
+    # Unreleasable in-function (the returned labels depend on it lazily) —
+    # registered for session.release_caches()
+    from dask_lightgbm_spark.session import track_lazy_persist
+
+    graph = track_lazy_persist(
+        s22_knn_graph(spark, sf_dir).select("src", "dst").persist()
+    )
     allv = e.select("vec_id")
     seeds = e.filter(F.col("vec_id") % 5 == 0).select(
         "vec_id", F.col("label").cast("int").alias("lab")

@@ -88,6 +88,86 @@ def scratch_dir(subdir: str) -> str:
     return path
 
 
+# ---------------------------------------------------------------------------
+# Scoped cache release — the long-session hygiene API.
+#
+# Two kinds of executor-memory state outlive an operator call:
+#   1. Session-keyed build-once caches (the IVF index, PQ codes, the s23
+#      incremental index) — dicts hung off the SparkSession as `_dls_*`
+#      attributes, deliberately reused across invocations so serve paths
+#      measure serving, not index rebuilds.
+#   2. Per-invocation lazy persists an operator CANNOT unpersist in-function
+#      because the DataFrame it returns still depends on them lazily
+#      (minhash_lsh_neardup's shingle-hash arrays, s25's kNN graph). These
+#      register here via track_lazy_persist().
+# A long-running service switching corpora releases both with
+# release_caches(spark) — scoped to this package's state, unlike
+# spark.catalog.clearCache(), which would also evict the caller's own
+# cached DataFrames. Everything released is deterministic derived state:
+# the next invocation rebuilds it with identical content.
+# ---------------------------------------------------------------------------
+
+_LAZY_PERSISTS: list = []
+
+# session attrs holding dicts of persisted DataFrames (executor memory)
+_SESSION_DF_CACHES = (
+    "_dls_ivf_index_cache",
+    "_dls_pq_codes_cache",
+    "_dls_ivf_incr_cache",
+)
+# session attrs holding driver-side derived state (memoized nprobe counts,
+# PQ codebooks, k-means centroids) — dropped so a corpus switch cannot
+# serve stale index parameters; cheap to rebuild
+_SESSION_STATE_CACHES = (
+    "_dls_ivf_nprobe_cache",
+    "_dls_pq_codebook_cache",
+    "_dls_semdedup_cents",
+)
+# NOT released: _dls_bucketed_tables / _dls_compacted (markers for on-disk
+# scratch artifacts, not executor memory) and _dls_orig_confs /
+# _dls_pkg_shipped (session bookkeeping, not caches).
+
+
+def track_lazy_persist(df):
+    """Register a DataFrame an operator just ``persist()``-ed but cannot
+    unpersist before returning (its result is lazy and still depends on
+    it). :func:`release_caches` drains the registry."""
+    _LAZY_PERSISTS.append(df)
+    return df
+
+
+def release_caches(spark: SparkSession) -> dict[str, int]:
+    """Unpersist every DataFrame this package persisted into ``spark`` and
+    drop its driver-side memoized index state. Returns counts
+    ``{"unpersisted": n, "dropped_state": m}``. Safe at any time: all
+    released state is deterministic and rebuilt on next use."""
+    unpersisted = 0
+    for df in _LAZY_PERSISTS:
+        try:
+            df.unpersist()
+            unpersisted += 1
+        except Exception:  # noqa: BLE001 — a dead session must not block release
+            pass
+    _LAZY_PERSISTS.clear()
+    for attr in _SESSION_DF_CACHES:
+        cache = getattr(spark, attr, None)
+        if cache:
+            for df in cache.values():
+                try:
+                    df.unpersist()
+                    unpersisted += 1
+                except Exception:  # noqa: BLE001
+                    pass
+        if hasattr(spark, attr):
+            delattr(spark, attr)
+    dropped = 0
+    for attr in _SESSION_STATE_CACHES:
+        if hasattr(spark, attr):
+            dropped += len(getattr(spark, attr) or {})
+            delattr(spark, attr)
+    return {"unpersisted": unpersisted, "dropped_state": dropped}
+
+
 def apply_session_defaults(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine defaults to an externally-created
     session (the driver owns its own session; we can only set dynamic confs).
