@@ -24,11 +24,18 @@ def _clear_session_cache(request):
     session-cached IVF index/graph), and hypothesis runs each test body 6-8
     times — without this, entries pile up in the shared session and every
     later ``unpersist()`` pays a CacheManager ``sameResult`` scan over ALL
-    of them: O(entries) deep plan comparisons per call. The clear itself is
-    a plain list drop (no plan comparisons)."""
+    of them: O(entries) deep plan comparisons per call.
+    ``release_caches`` (not bare ``clearCache``) so the ``_dls_*`` dicts are
+    dropped too — a bare clear leaves them holding now-unpersisted
+    DataFrames that later tests would keep serving uncached; the residual
+    ``clearCache`` then drops plans cached outside the package's registry
+    (per-round component labels). Both are plain list drops."""
     yield
     spark = request.node.funcargs.get("spark")
     if spark is not None:
+        from dask_lightgbm_spark.session import release_caches
+
+        release_caches(spark)
         spark.catalog.clearCache()
 
 # Java regex \s is ASCII-only ([ \t\n\x0B\f\r]); Python's \s also matches
