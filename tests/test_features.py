@@ -1,13 +1,22 @@
 """Hashed-BOW featurization: the zero-shuffle vector path must agree with
-the relational (oracled) counts view, and the vectors must actually feed
-MLlib training."""
+the relational (oracled) counts view, the vectors must actually feed
+MLlib training, and the large-B sparse path must agree with the COO view
+at HashingTF scale (2^18 buckets) while shipping only non-zero entries —
+in the unwrapped-VectorUDT struct shape the barrier training kernel's
+CSR assembler consumes directly."""
 
+import numpy as np
 from pyspark.sql import functions as F
 
-from dask_lightgbm_spark.operators.features import hashed_bow, hashed_bow_vectors
+from dask_lightgbm_spark.operators.features import (
+    hashed_bow,
+    hashed_bow_sparse,
+    hashed_bow_vectors,
+)
 from dask_lightgbm_spark.sources.readers import load_table
 
 B = 32
+B_BIG = 1 << 18
 
 
 def test_vector_path_matches_relational_counts(spark, sf_dir):
@@ -46,3 +55,62 @@ def test_vectors_train_mllib(spark, sf_dir):
     ).first()[0]
     # the length proxy is learnable from token counts — wide margin
     assert acc > 0.7, acc
+
+
+def test_sparse_path_matches_relational_counts_at_hashingtf_scale(spark, sf_dir):
+    """B = 2^18: the dense path refuses this regime; the sparse path must
+    agree with the (oracled) COO view exactly, with strictly increasing
+    indices (the CSR precondition) and only non-zero entries shipped."""
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    coo = {}
+    for r in hashed_bow(d, "doc_id", "text", B_BIG).collect():
+        coo.setdefault(r["doc_id"], {})[r["bucket"]] = float(r["cnt"])
+    rows = hashed_bow_sparse(d, "doc_id", "text", B_BIG).collect()
+    assert len(rows) == 50
+    for r in rows:
+        fv = r["features"]
+        assert fv["type"] == 0 and fv["size"] == B_BIG
+        idx, vals = list(fv["indices"]), list(fv["values"])
+        assert idx == sorted(idx) and len(idx) == len(set(idx)), r["doc_id"]
+        assert all(v > 0 for v in vals)
+        assert dict(zip(idx, vals)) == coo.get(r["doc_id"], {}), r["doc_id"]
+
+
+def test_sparse_path_is_zero_shuffle(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    plan = (
+        hashed_bow_sparse(d, "doc_id", "text", B_BIG)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_sparse_structs_feed_the_csr_assembler(spark, sf_dir):
+    """The featurize → Arrow → CSR handoff the docstring promises: collected
+    struct rows (the same dict shape unwrap_udt + toPandas gives the barrier
+    kernel) go straight through core._csr_from_unwrapped; row sums must
+    equal each doc's token count (every token lands in exactly one bucket).
+    Without scipy in the image the assembler densifies — same counts."""
+    from dask_lightgbm_spark.core import _csr_from_unwrapped
+
+    d = load_table(spark, sf_dir, "documents").limit(20).orderBy("doc_id")
+    pdf = hashed_bow_sparse(d, "doc_id", "text", B_BIG).orderBy("doc_id").toPandas()
+    mat = _csr_from_unwrapped(pdf["features"], B_BIG)
+    dense = mat.toarray() if hasattr(mat, "toarray") else mat
+    assert dense.shape == (20, B_BIG)
+    tok_counts = [
+        r["n_tok"]
+        for r in d.select(
+            "doc_id",
+            F.size(
+                F.filter(
+                    F.split(F.trim("text"), r"[ \t\n\f\r]+"), lambda x: x != ""
+                )
+            ).alias("n_tok"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    ]
+    assert np.array_equal(dense.sum(axis=1), np.array(tok_counts, dtype=np.float64))
