@@ -158,6 +158,46 @@ def _make_csr_builder():
 _csr_from_unwrapped = _make_csr_builder()
 
 
+_UNWRAPPED_FIELDS = frozenset({"type", "size", "indices", "values"})
+
+
+def _is_unwrapped_struct(dt) -> bool:
+    """True if ``dt`` is the unwrapped-VectorUDT struct layout (what
+    ``F.unwrap_udt`` yields, and what ``hashed_bow_sparse`` emits
+    directly — a VectorUDT column cannot be built from it without a
+    row-at-a-time Python UDF, so the sparse featurize path hands the
+    struct straight to the trainer instead)."""
+    from pyspark.sql.types import StructType
+
+    return isinstance(dt, StructType) and (
+        {f.name for f in dt.fields} >= _UNWRAPPED_FIELDS
+    )
+
+
+def unwrapped_features(df, features_col: str):
+    """Column yielding the unwrapped vector struct for ``features_col``,
+    whether it holds a real VectorUDT (unwrap it) or is already the
+    unwrapped struct layout (pass through)."""
+    if _is_unwrapped_struct(df.schema[features_col].dataType):
+        return F.col(features_col)
+    return F.unwrap_udt(F.col(features_col))
+
+
+def infer_n_features(df, features_col: str) -> int:
+    """Feature-space width of a vector-or-unwrapped-struct column, from
+    one driver-side row (VectorUDT carries its size as ``len``; the
+    struct layout carries it in its ``size`` field)."""
+    if _is_unwrapped_struct(df.schema[features_col].dataType):
+        first = df.select(F.col(features_col)["size"].alias("__s")).first()
+        if first is None:
+            raise ValueError("cannot train on an empty DataFrame")
+        return int(first["__s"])
+    first = df.select(features_col).first()
+    if first is None:
+        raise ValueError("cannot train on an empty DataFrame")
+    return len(first[0])
+
+
 def _make_sequence_factory():
     """Factory so the builder pickles BY VALUE into executor closures.
     Returns ``make_seqs(sequence_base, blocks, batch_rows)`` → a list of
@@ -324,12 +364,9 @@ def train_lightgbm_barrier(
         )
     if sparse_mode:
         if n_features is None:
-            first = df.select(features_col).first()
-            if first is None:
-                raise ValueError("cannot train on an empty DataFrame")
-            n_features = len(first[0])
+            n_features = infer_n_features(df, features_col)
         sel = [
-            F.unwrap_udt(F.col(features_col)).alias("__fv"),
+            unwrapped_features(df, features_col).alias("__fv"),
             F.col(label_col).alias("__label"),
         ]
         if weight_col:

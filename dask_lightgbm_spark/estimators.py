@@ -118,6 +118,13 @@ class _SparkLGBMBase:
                 "__features",
                 [features_col],
             )
+        if dtype.startswith("struct"):
+            raise ValueError(
+                "the unwrapped sparse struct layout (hashed_bow_sparse) "
+                "requires backend='lightgbm' — MLlib estimators need a "
+                "VectorUDT column, and densifying a HashingTF-scale sparse "
+                "row is exactly what the layout exists to avoid"
+            )
         return df, features_col, [features_col]
 
     # -- mllib param mapping ----------------------------------------------
@@ -151,11 +158,10 @@ class _SparkLGBMBase:
                     "lightgbm backend requires feature_cols (numeric columns) "
                     "or features_col (an MLlib vector column — sparse OK)"
                 )
-            if features_col is not None:  # vector column (dense or sparse CSR)
-                first = df.select(features_col).first()
-                if first is None:
-                    raise ValueError("cannot fit on an empty DataFrame")
-                self._n_features = len(first[0])
+            if features_col is not None:
+                # vector column (dense or sparse CSR), or hashed_bow_sparse's
+                # pre-unwrapped struct layout — core infers width either way
+                self._n_features = core.infer_n_features(df, features_col)
                 self._features_col = features_col
                 self._feature_cols = None
             else:
@@ -243,7 +249,7 @@ class _SparkLGBMBase:
         if self._backend_used == "lightgbm":
             vec_col = features_col or getattr(self, "_features_col", None)
             if vec_col is not None and feature_cols is None:
-                fv = F.unwrap_udt(F.col(vec_col))
+                fv = core.unwrapped_features(df, vec_col)
                 pred = core.predict_udf_for_vector(
                     self._model, proba=False, n_features=self._n_features,
                     **predict_kwargs,

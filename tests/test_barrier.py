@@ -99,6 +99,39 @@ with tempfile.TemporaryDirectory() as td:
     assert p1.equals(p2)
     assert clf_sp2.classes_ == [0.0, 1.0]
 
+# ---- hashed_bow_sparse's pre-unwrapped struct column trains directly ----
+# (the HashingTF-scale featurize → CSR handoff: no VectorUDT exists or is
+# needed; core detects the struct layout and skips unwrap_udt)
+from dask_lightgbm_spark.operators.features import hashed_bow_sparse
+from pyspark.sql import functions as Fx
+
+texts = [(i, " ".join(f"tok{j}" for j in range(i % 7 + 1)), float(i % 2))
+         for i in range(40)]
+tdf = spark.createDataFrame(texts, ["doc_id", "text", "target"])
+feat = hashed_bow_sparse(tdf, "doc_id", "text", 50).join(
+    tdf.select("doc_id", "target"), "doc_id"
+)
+clf_st = SparkLGBMClassifier(n_estimators=2, backend="lightgbm", num_workers=1)
+clf_st.fit(feat, features_col="features", label_col="target")
+mst = clf_st.to_local()
+assert mst.n_features_in_ == 50, mst.n_features_in_
+assert mst.fitted_rows_ == 40
+# every token contributes exactly 1.0 to one bucket count, so the training
+# matrix's grand sum equals the corpus token count
+n_tokens = float(sum(i % 7 + 1 for i in range(40)))
+assert abs(mst.fitted_X_sum_ - n_tokens) < 1e-9, (mst.fitted_X_sum_, n_tokens)
+out_st = clf_st.transform(feat)
+assert out_st.select("prediction").count() == 40
+assert len(out_st.select("probability").first()[0]) == 2
+
+# the struct layout is lightgbm-only: MLlib backends must refuse clearly
+clf_ml = SparkLGBMClassifier(n_estimators=2, backend="mllib")
+try:
+    clf_ml.fit(feat, features_col="features", label_col="target")
+    raise SystemExit("expected struct-layout refusal on the mllib backend")
+except ValueError as e:
+    assert "backend='lightgbm'" in str(e), str(e)
+
 # ---- worker-side fit errors must propagate to the driver (reference
 # error path, core.py:108-110 / A14) --------------------------------------
 clf_err = SparkLGBMClassifier(
