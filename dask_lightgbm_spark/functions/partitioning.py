@@ -95,17 +95,30 @@ def key_skew_stats(
     q85 diagnostic as a reusable operator, living next to the salting
     utilities it decides between. One row per ``by`` group (or one row
     total): ``n_keys``, ``n_rows``, ``max_n`` (heaviest key), and
-    ``skew_ratio_permille`` = max key count ×1000 ÷ mean key count
-    (integer — 1000 = perfectly uniform). Both aggregations partial-combine
-    map-side; output is key-cardinality-, then group-cardinality-sized."""
+    ``skew_ratio_permille`` = max key count ×1000 ÷ floor-mean key count
+    (integer — 1000 = perfectly uniform). The division happens BEFORE the
+    cardinality multiply: ``max_n*1000*n_keys`` exceeds int64 at the
+    row/key cardinalities this diagnostic targets (1e9 keys × 1e9 max ×
+    1000), which raises under Spark 4's default ANSI mode; ``max_n*1000``
+    is overflow-safe for any realistic corpus and the floor-mean
+    denominator is ≥1 by construction (n_rows ≥ n_keys). Both aggregations
+    partial-combine map-side; output is key-cardinality-, then
+    group-cardinality-sized."""
     grp = list(by or [])
     counts = df.groupBy(*grp, *key_cols).agg(F.count(F.lit(1)).alias("n"))
+    return _skew_from_counts(counts, grp)
+
+
+def _skew_from_counts(counts: DataFrame, grp: list[str]) -> DataFrame:
+    """Aggregate a per-key count table (column ``n``) into skew stats —
+    split out so the int64-overflow regime (counts the group-by above can't
+    produce in a test) is directly pinnable."""
     return counts.groupBy(*grp).agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("n").alias("n_rows"),
         F.max("n").alias("max_n"),
         F.expr(
-            "max(n) * 1000 * count(*) div sum(n)"
+            "max(n) * 1000 div (sum(n) div count(*))"
         ).alias("skew_ratio_permille"),
     )
 

@@ -26,21 +26,62 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _truncate_lineage(df: DataFrame) -> DataFrame:
+def _truncate_lineage(df: DataFrame, created: list | None = None) -> DataFrame:
     """Materialize ``df`` and cut its plan back to a leaf. Reliable
     ``checkpoint`` when the session has a checkpoint dir (survives executor
     loss — set one for production-scale runs); ``localCheckpoint``
     otherwise (executor-local blocks: a lost executor fails the job and the
     caller retries — acceptable for an iterative loop whose rounds are
-    cheap relative to exponential plan growth)."""
+    cheap relative to exponential plan growth).
+
+    ``created``: optional list; when reliable checkpointing, the set of
+    rdd-* checkpoint paths this call wrote is appended so the caller can
+    delete superseded rounds (Spark does NOT delete reliable checkpoint
+    files unless spark.cleaner.referenceTracking.cleanCheckpoints is set,
+    and even then only on GC — an iterating service would otherwise
+    accumulate unbounded checkpoint data on disk)."""
     sc = df.sparkSession.sparkContext
     try:
         has_dir = sc.getCheckpointDir() is not None
     except Exception:
         has_dir = False
     if has_dir:
-        return df.checkpoint(eager=True)
+        before = _list_ckpt_paths(sc) if created is not None else set()
+        out = df.checkpoint(eager=True)
+        if created is not None:
+            created.append(_list_ckpt_paths(sc) - before)
+        return out
     return df.localCheckpoint(eager=True)
+
+
+def _ckpt_fs_root(sc):
+    """(Hadoop FileSystem, Path) of the context's checkpoint root — the
+    UUID-suffixed dir rdd-* subdirs are written into. Works for any
+    Hadoop-supported scheme (local, HDFS, s3a)."""
+    d = sc.getCheckpointDir()
+    path = sc._jvm.org.apache.hadoop.fs.Path(d)
+    fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+    return fs, path
+
+
+def _list_ckpt_paths(sc) -> set:
+    try:
+        fs, root = _ckpt_fs_root(sc)
+        if not fs.exists(root):
+            return set()
+        return {st.getPath().toString() for st in fs.listStatus(root)}
+    except Exception:  # noqa: BLE001 — bookkeeping only, never fail the job
+        return set()
+
+
+def _delete_ckpt_paths(sc, paths) -> None:
+    try:
+        fs, _ = _ckpt_fs_root(sc)
+        Path = sc._jvm.org.apache.hadoop.fs.Path
+        for p in paths:
+            fs.delete(Path(p), True)
+    except Exception:  # noqa: BLE001
+        pass
 
 
 def connected_components(
@@ -54,6 +95,8 @@ def connected_components(
     """Label every node with the minimum node id reachable from it.
     ``edges``: undirected pair list (src, dst); ``nodes``: one row per node
     (singletons become their own component). Output: (id_col, component)."""
+    sc = edges.sparkSession.sparkContext
+    ckpts: list = []  # per-round rdd-* paths (reliable-checkpoint mode only)
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -61,7 +104,8 @@ def connected_components(
         .persist()
     )
     labels = _truncate_lineage(
-        nodes.select(F.col(id_col).alias("a"), F.col(id_col).alias("component"))
+        nodes.select(F.col(id_col).alias("a"), F.col(id_col).alias("component")),
+        ckpts,
     )
     converged = False
     for _ in range(max_iter):
@@ -81,7 +125,8 @@ def connected_components(
                 F.least(F.col("component"), F.coalesce(F.col("n_min"), F.col("component"))).alias(
                     "component"
                 ),
-            )
+            ),
+            ckpts,
         )
         changed = (
             new_labels.alias("n")
@@ -94,7 +139,16 @@ def connected_components(
             converged = True
             break
     sym.unpersist()
+    # reliable-checkpoint mode: delete every superseded round's files now
+    # (keep only the final labels' — the returned leaf still reads them);
+    # without this, repeated invocations in a long-lived service accumulate
+    # unbounded checkpoint data on disk
+    if len(ckpts) > 1:
+        stale = set().union(*ckpts[:-1]) - ckpts[-1]
+        _delete_ckpt_paths(sc, stale)
     if not converged:
+        if ckpts:
+            _delete_ckpt_paths(sc, ckpts[-1])
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds — "
             "component diameter exceeds max_iter; raise it"

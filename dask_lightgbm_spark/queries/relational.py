@@ -3629,7 +3629,7 @@ ranked AS (
 )
 SELECT r.rank, r.key, r.n,
        s.n_keys, s.n_rows,
-       CAST(s.max_n * 1000 * s.n_keys // s.n_rows AS BIGINT)
+       CAST(s.max_n * 1000 // (s.n_rows // s.n_keys) AS BIGINT)
          AS skew_ratio_permille
 FROM ranked r CROSS JOIN stats s
 WHERE r.rank <= 5
@@ -3663,7 +3663,10 @@ def q85_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "n_keys",
             "n_rows",
-            F.expr("max_n * 1000 * n_keys div n_rows").alias(
+            # divide before the cardinality multiply — max_n*1000*n_keys
+            # overflows int64 at the scale this diagnostic targets (ANSI
+            # mode raises); floor-mean denominator ≥ 1 since n_rows ≥ n_keys
+            F.expr("max_n * 1000 div (n_rows div n_keys)").alias(
                 "skew_ratio_permille"
             ),
         )

@@ -1594,6 +1594,17 @@ _T34_TAU = 0.42
 # applies the SAME cap so every SF verifies exactly. Selection runs as a
 # two-level rank (salted partial bottom-CAP, then final rank over the
 # bounded union) so no single task ever sorts a hot cell.
+# Cap-boundary determinism (r8 advisor): the cap prefix is ordered on the
+# FLOATING-POINT cs_cent, which is safe here only because both engines
+# compute it as the identical strict sequential left-fold over the same
+# doubles (operators/similarity.dot/norm ↔ the oracle's list_reduce; IEEE
+# ops in the same order are bit-equal, and 0.0+x1 == x1 covers the init
+# difference), so per-row cs_cent — emitted in the output and compared
+# with EXACT float equality by tools/check.compare on the cap-BINDING
+# skewed fixture (test_r8_caps) — agrees bit-for-bit and the (cs_cent,
+# vec_id) prefix cannot diverge. If dot/norm ever switches to a pairwise/
+# SIMD summation (numpy, pandas UDF), this argument dies: re-key the cap
+# on an integer quantization before shipping that change.
 _T34_CAP = 256
 _T34_SALT = 64  # phase-1 fanout; a salt partition holds ~|cell|/64 rows
 
@@ -2595,9 +2606,9 @@ card AS (
 SELECT c.source, c.n_docs, c.n_tokens, c.n_langs, c.n_exact_dup_docs,
        c.n_quality_keep,
        s.max_n AS max_dup_group,
-       CAST(s.max_n * 1000 * s.n_keys // s.n_rows AS BIGINT)
+       CAST(s.max_n * 1000 // (s.n_rows // s.n_keys) AS BIGINT)
          AS dedup_skew_permille,
-       (s.max_n * 1000 * s.n_keys // s.n_rows) >= {_T43_SKEW_PERMILLE}
+       (s.max_n * 1000 // (s.n_rows // s.n_keys)) >= {_T43_SKEW_PERMILLE}
          AS dedup_key_skewed
 FROM card c JOIN skew s ON s.source = c.source
 ORDER BY c.source

@@ -107,7 +107,11 @@ def scratch_dir(subdir: str) -> str:
 # the next invocation rebuilds it with identical content.
 # ---------------------------------------------------------------------------
 
-_LAZY_PERSISTS: list = []
+# lazy-persist registry lives ON the owning SparkSession (attr below), not
+# in a process-global list: release_caches(sparkA) must never unpersist
+# DataFrames persisted under a different session, and the list must die
+# with its session rather than pin handles process-wide (r8 advisor).
+_LAZY_PERSIST_ATTR = "_dls_lazy_persists"
 
 # session attrs holding dicts of persisted DataFrames (executor memory)
 _SESSION_DF_CACHES = (
@@ -131,8 +135,14 @@ _SESSION_STATE_CACHES = (
 def track_lazy_persist(df):
     """Register a DataFrame an operator just ``persist()``-ed but cannot
     unpersist before returning (its result is lazy and still depends on
-    it). :func:`release_caches` drains the registry."""
-    _LAZY_PERSISTS.append(df)
+    it). Registered on the DataFrame's own session so
+    :func:`release_caches` drains only that session's entries."""
+    sess = df.sparkSession
+    lst = getattr(sess, _LAZY_PERSIST_ATTR, None)
+    if lst is None:
+        lst = []
+        setattr(sess, _LAZY_PERSIST_ATTR, lst)
+    lst.append(df)
     return df
 
 
@@ -142,13 +152,14 @@ def release_caches(spark: SparkSession) -> dict[str, int]:
     ``{"unpersisted": n, "dropped_state": m}``. Safe at any time: all
     released state is deterministic and rebuilt on next use."""
     unpersisted = 0
-    for df in _LAZY_PERSISTS:
+    for df in getattr(spark, _LAZY_PERSIST_ATTR, []):
         try:
             df.unpersist()
             unpersisted += 1
         except Exception:  # noqa: BLE001 — a dead session must not block release
             pass
-    _LAZY_PERSISTS.clear()
+    if hasattr(spark, _LAZY_PERSIST_ATTR):
+        delattr(spark, _LAZY_PERSIST_ATTR)
     for attr in _SESSION_DF_CACHES:
         cache = getattr(spark, attr, None)
         if cache:

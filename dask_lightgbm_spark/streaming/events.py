@@ -486,6 +486,12 @@ def stream_upsert_state_sink(
         # an aborted previous run may have left a stale .next — never let
         # it masquerade as (or collide with) this run's side dir
         shutil.rmtree(out + ".next", ignore_errors=True)
+        # crash between the two swap renames below leaves the ONLY state
+        # copy in .old with the primary missing — restore it before the
+        # exists(out) check, or the merge would silently start from empty
+        # and the later rmtree(.old) would destroy the surviving copy
+        if not os.path.exists(out) and os.path.exists(out + ".old"):
+            os.rename(out + ".old", out)
         upserts = latest(batch_df.select("user_id", "ts", "event_id", "value"))
         if os.path.exists(out):
             state = spark.read.parquet(out).select(
@@ -515,6 +521,9 @@ def stream_upsert_state_sink(
         tmp = out + ".next"
         merged.write.mode("overwrite").parquet(tmp)
         old = out + ".old"
+        # .old here can only be a stale leftover from a crash AFTER a
+        # successful swap (out exists — the sole-copy case was recovered
+        # at entry), so deleting it before the swap is safe
         shutil.rmtree(old, ignore_errors=True)
         if os.path.exists(out):
             os.rename(out, old)

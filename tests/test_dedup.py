@@ -141,6 +141,20 @@ def test_connected_components_reliable_checkpoint_branch(spark, tmp_path):
             for f in files
         ]
         assert written, "reliable checkpoint dir set but no checkpoint files written"
+        # superseded rounds' files are deleted after convergence (Spark
+        # never deletes reliable checkpoints itself by default — without
+        # this, an iterating service accumulates unbounded disk): exactly
+        # ONE rdd-* dir (the final labels) may remain
+        rdd_dirs = [
+            d
+            for root, dirs, _ in os.walk(ckpt)
+            for d in dirs
+            if d.startswith("rdd-")
+        ]
+        assert len(rdd_dirs) == 1, (
+            f"expected only the final round's checkpoint to survive, "
+            f"found {sorted(rdd_dirs)}"
+        )
     finally:
         # don't leak a tmp checkpoint dir into the session-scoped fixture:
         # later tests must take the localCheckpoint branch again

@@ -1176,6 +1176,47 @@ def test_upsert_state_sink_latest_wins_across_microbatches(
     assert got == {1: (10 * 60_000_000, 1.0), 2: (20 * 60_000_000, 7.25)}
 
 
+def test_upsert_state_sink_recovers_sole_copy_from_old_dir(
+    spark, tmp_path_factory
+):
+    """Crash-window recovery (r8 advisor, medium): if a previous run died
+    between the swap's two renames — os.rename(out, old) done,
+    os.rename(tmp, out) not — the ONLY state copy sits in out+'.old' with
+    the primary missing. The next run must rename it back before merging;
+    a run that starts from empty silently loses every key absent from its
+    own batches (and its cleanup deletes the surviving copy)."""
+    import os
+    import shutil
+
+    from dask_lightgbm_spark.session import scratch_dir
+    from dask_lightgbm_spark.streaming.events import stream_upsert_state_sink
+
+    sf, _ = _write_event_batches(
+        tmp_path_factory,
+        "xupsert3",
+        [
+            [(1, 10, 1.0, "purchase")],
+            [(2, 20, 7.25, "purchase")],
+        ],
+    )
+    # run 1 sees only user 1's file → state = {1}
+    first = stream_upsert_state_sink(spark, sf, glob="events_0.parquet").collect()
+    assert {r.user_id for r in first} == {1}
+    out = scratch_dir("x16_state") + "/" + sf.strip("/").replace("/", "_")
+    # simulate the crash: primary renamed away, not yet replaced
+    shutil.rmtree(out + ".old", ignore_errors=True)
+    os.rename(out, out + ".old")
+    # run 2 sees only user 2's file; user 1 can ONLY come from .old recovery
+    got = {
+        r.user_id: r.last_value
+        for r in stream_upsert_state_sink(
+            spark, sf, glob="events_1.parquet"
+        ).collect()
+    }
+    assert got == {1: 1.0, 2: 7.25}
+    assert not os.path.exists(out + ".old")
+
+
 def test_upsert_state_sink_reapply_is_idempotent(spark, tmp_path_factory):
     """The sink's retry contract: re-applying rows the state already
     absorbed changes nothing. Run the WHOLE stream twice over the same

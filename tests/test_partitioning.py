@@ -84,11 +84,41 @@ def test_key_skew_stats_global_and_grouped(spark):
     df = spark.createDataFrame(pdf)
     g = {r.src: r for r in key_skew_stats(df, ["key"], by=["src"]).collect()}
     assert (g["x"].n_keys, g["x"].n_rows, g["x"].max_n) == (3, 6, 4)
-    assert g["x"].skew_ratio_permille == 4 * 1000 * 3 // 6
+    assert g["x"].skew_ratio_permille == 4 * 1000 // (6 // 3)
     assert (g["y"].n_keys, g["y"].n_rows, g["y"].max_n) == (3, 4, 2)
+    # divide-before-multiply: floor-mean denominator (4 // 3 == 1)
+    assert g["y"].skew_ratio_permille == 2 * 1000 // (4 // 3)
     glob = key_skew_stats(df, ["key"]).collect()
     assert len(glob) == 1
     assert (glob[0].n_keys, glob[0].n_rows, glob[0].max_n) == (6, 10, 4)
+
+
+def test_key_skew_no_int64_overflow_at_scale(spark):
+    """The r8 formula (max(n)*1000*count(*) div sum(n)) overflowed int64 at
+    ~1e9 keys × ~1e9 max-count under Spark 4's default ANSI mode. The
+    divide-first formula must survive that regime with the exact
+    floor-mean value. Counts this large can't come out of a test group-by,
+    so drive the split-out aggregation over a synthetic count table."""
+    from dask_lightgbm_spark.functions.partitioning import _skew_from_counts
+
+    big = 4_000_000_000  # 4e9 docs behind the heaviest key
+    counts = spark.range(big_keys := 4).select(
+        F.when(F.col("id") == 0, F.lit(big))
+        .otherwise(F.lit(big - 7))
+        .cast("long")  # the real counts column is long (F.count)
+        .alias("n")
+    )
+    # inflate key cardinality with 4e6 lighter keys
+    counts = counts.unionByName(
+        spark.range(4_000_000).select(F.lit(big // 2).cast("long").alias("n"))
+    )
+    row = _skew_from_counts(counts, []).collect()[0]
+    n_keys = big_keys + 4_000_000
+    n_rows = big + (big - 7) * 3 + (big // 2) * 4_000_000
+    assert row.n_keys == n_keys and row.n_rows == n_rows and row.max_n == big
+    assert row.skew_ratio_permille == big * 1000 // (n_rows // n_keys)
+    # sanity: the OLD formula's intermediate would have overflowed here
+    assert big * 1000 * n_keys > 2**63 - 1
 
 
 def test_with_salt_rejects_nothing_but_produces_range(spark):

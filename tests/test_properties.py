@@ -336,8 +336,8 @@ def test_key_skew_stats_matches_pandas(spark, pdf):
         assert row["n_rows"] == len(sub)
         assert row["max_n"] == counts.max()
         assert row["skew_ratio_permille"] == (
-            counts.max() * 1000 * len(counts)
-        ) // len(sub)
+            counts.max() * 1000
+        ) // (len(sub) // len(counts))
 
 
 @st.composite

@@ -133,6 +133,16 @@ def test_t34_dominance_cap_binds_and_matches_oracle(spark, skew_dir):
     duck_pdf = _oracle_df(skew_dir, "t34_semantic_dedup")
     assert not compare("t34_semantic_dedup", spark_pdf, duck_pdf)
 
+    # cap-boundary determinism: the cap prefix orders on the FLOAT cs_cent,
+    # which is only sound because both engines produce bit-equal cosines
+    # (identical sequential folds — see the _T34_CAP comment). Pin that
+    # bit-equality explicitly on this cap-BINDING fixture, beyond compare's
+    # pass: every cs_cent must be exactly equal, so the (cs_cent, vec_id)
+    # cap prefix cannot diverge cross-engine.
+    s = spark_pdf.sort_values("vec_id").reset_index(drop=True)
+    d = duck_pdf.sort_values("vec_id").reset_index(drop=True)
+    assert (s["cs_cent"].values == d["cs_cent"].values).all()
+
     cells = spark_pdf.groupby("cell").size()
     assert cells.max() > _T34_CAP, "fixture must actually overflow a cell"
     # candidate side is bounded by K x CAP regardless of cell skew, so the

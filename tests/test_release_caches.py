@@ -40,17 +40,18 @@ def _is_cached(df) -> bool:
 
 def test_release_drains_lazy_persists(spark, docs):
     S.release_caches(spark)  # clean slate from other tests
-    assert S._LAZY_PERSISTS == []
+    assert getattr(spark, S._LAZY_PERSIST_ATTR, []) == []
     before = sorted(
         (r.id_a, r.id_b)
         for r in dedup.minhash_lsh_neardup(docs, "doc_id", "text").collect()
     )
-    assert len(S._LAZY_PERSISTS) == 1
-    arr = S._LAZY_PERSISTS[0]
+    registry = getattr(spark, S._LAZY_PERSIST_ATTR)
+    assert len(registry) == 1
+    arr = registry[0]
     assert _is_cached(arr)
     counts = S.release_caches(spark)
     assert counts["unpersisted"] >= 1
-    assert S._LAZY_PERSISTS == []
+    assert not hasattr(spark, S._LAZY_PERSIST_ATTR)
     assert not _is_cached(arr)
     # content-neutral: rebuilt pipeline gives the identical pair set
     after = sorted(
@@ -101,6 +102,29 @@ def test_release_drops_driver_side_memoized_state(spark, sf_dir):
     counts = S.release_caches(spark)
     assert counts["dropped_state"] >= 1
     assert not hasattr(spark, "_dls_ivf_nprobe_cache")
+
+
+def test_release_is_scoped_per_session(spark, docs):
+    """release_caches(sessionA) must not unpersist DataFrames registered
+    under sessionB — the registry is keyed by owning session, not
+    process-global (r8 advisor finding)."""
+    other = spark.newSession()
+    S.release_caches(spark)
+    S.release_caches(other)
+    other_docs = other.createDataFrame(
+        docs.collect(), schema=docs.schema
+    )
+    dedup.minhash_lsh_neardup(other_docs, "doc_id", "text").collect()
+    registry = getattr(other, S._LAZY_PERSIST_ATTR)
+    assert len(registry) == 1
+    arr = registry[0]
+    assert _is_cached(arr)
+    # releasing the ORIGINAL session must leave other's persist intact
+    assert S.release_caches(spark)["unpersisted"] == 0
+    assert _is_cached(arr)
+    counts = S.release_caches(other)
+    assert counts["unpersisted"] >= 1
+    assert not _is_cached(arr)
 
 
 def test_release_on_empty_session_is_noop(spark):
