@@ -608,6 +608,64 @@ def main():
                 "serve_only": sorted(SF1_SERVE_FAMILY),
                 "errors": err1,
             }
+
+            # batched serve (r8 verdict task 6): the 10-query serves put
+            # Spark's ~0.5 s job-launch floor over a 10-160 ms DuckDB
+            # denominator — an overhead ratio, not a throughput ratio. A
+            # 100-query batch amortizes the launch into the work the
+            # broadcast-probe topology actually implies; ratios here are
+            # the honest serve-throughput comparison. Same artifacts, same
+            # session index cache, min-of-2 per engine.
+            try:
+                from dask_lightgbm_spark.queries.similarity import (
+                    SERVE_BATCH_N,
+                    batched_serve_oracle_sql,
+                    batched_serve_queries,
+                )
+
+                bq = batched_serve_queries()
+                duckb = time_duckdb(
+                    sf1_dir,
+                    sorted(bq),
+                    runs=2,
+                    tables=SF1_TABLES,
+                    setup=_serve_setup,
+                    sql_overrides=batched_serve_oracle_sql(),
+                )
+                spb: dict[str, float] = {}
+                errb: dict[str, str] = {}
+                for name, fn in sorted(bq.items()):
+                    try:
+                        runs = []
+                        for _ in range(2):
+                            t0 = time.time()
+                            n = len(fn(spark, sf1_dir).toPandas())
+                            runs.append(round(time.time() - t0, 3))
+                        spb[name] = min(runs)
+                        print(
+                            f"# serve_batched {name}: {spb[name]:.2f}s ({n} rows)",
+                            file=sys.stderr,
+                        )
+                    except Exception as exc:  # noqa: BLE001
+                        errb[name] = f"{type(exc).__name__}: {exc}"[:300]
+                cb, stb, dtb, vsb = live_totals(spb, duckb)
+                out["serve_batched"] = {
+                    "sf": 1.0,
+                    "n_queries": SERVE_BATCH_N,
+                    "queries": spb,
+                    "duckdb_live": duckb,
+                    "vs_duckdb_live": {
+                        n: round(spb[n] / duckb[n], 2) for n in cb
+                    },
+                    "total": stb,
+                    "duckdb_live_total": dtb,
+                    "vs_duckdb_live_total": vsb,
+                    "errors": errb,
+                }
+            except Exception as exc:  # noqa: BLE001
+                out["serve_batched"] = {
+                    "error": f"{type(exc).__name__}: {exc}"[:300]
+                }
         except Exception as exc:  # noqa: BLE001 — the spot bench must never sink the round
             out["sf1_spot"] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
 
@@ -617,7 +675,12 @@ def main():
     if at_sf01 and os.environ.get("SPARK_GRAFT_SF10_SPOT", "1") != "0":
         try:
             sf10_dir = ensure_sf10(sf_dir)
-            duck10 = time_duckdb(sf10_dir, SF10_SPOT, runs=1, tables=SF10_TABLES)
+            # min-of-3 (r8 verdict task 5): sf10 DuckDB denominators are
+            # ~0.3-0.5 s — single-run window noise halved one between r7
+            # and r8, flipping the reported ratio 5.08x→7.75x with no
+            # Spark change; min-of-3 keeps the ratio reproducible inside
+            # the documented noise band
+            duck10 = time_duckdb(sf10_dir, SF10_SPOT, runs=3, tables=SF10_TABLES)
             sp10: dict[str, float] = {}
             err10: dict[str, str] = {}
             for name in SF10_SPOT:

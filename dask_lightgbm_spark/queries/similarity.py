@@ -1090,6 +1090,10 @@ _S18_SQL = _IVF_CTES + _S18_SUFFIX
 def s18_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ top-3: cell-restricted candidates (equi-join on the cached
     index's cell id) scored by ADC over cached PQ codes."""
+    return _s18_serve(spark, sf_dir, n_queries=10)
+
+
+def _s18_serve(spark: SparkSession, sf_dir: str, n_queries: int) -> DataFrame:
     from dask_lightgbm_spark.operators.kmeans import sq_dist
     from dask_lightgbm_spark.operators.pq import code_centroid
 
@@ -1101,7 +1105,7 @@ def s18_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", *[f"code_{m}" for m in range(_PQ_M)]
     )
     corpus = idx.select("vec_id", "cell").join(codes, "vec_id")
-    q = idx.filter(F.col("vec_id") < 10).select(
+    q = idx.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "cell"
     )
     cand = corpus.withColumnRenamed("vec_id", "nid").join(
@@ -1312,6 +1316,76 @@ def ivf_serve_oracle_sql() -> dict[str, str]:
         "s02_knn_ivf": _IVF_SERVE_CTES + _S02_SUFFIX,
         "s11_knn_ivf_learned_nprobe": _IVF_SERVE_CTES + _S11_SUFFIX,
         "s18_knn_ivf_pq": _IVF_SERVE_CTES + _S18_SUFFIX,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Batched serve (bench-only, r8 verdict task 6): at sf1 the registered
+# 10-query serves finish in ~10-160 ms on DuckDB, so the published ratio
+# was measuring Spark's ~0.5 s fixed job-launch floor, not the serve plan.
+# A 100-query batch is the amortization the broadcast-probe topology
+# actually implies (queries ride one broadcast either way; per-query work
+# is the cell join) — the batched ratio measures throughput. The catalog
+# stays frozen: these are NOT registered queries, they parameterize the
+# same serve code paths the catalog entries call with n_queries=10.
+# ---------------------------------------------------------------------------
+
+SERVE_BATCH_N = 100
+
+
+def batched_serve_queries(n_queries: int = SERVE_BATCH_N) -> dict:
+    """name -> (spark, sf_dir) -> DataFrame for the three IVF-family serve
+    paths with an ``n_queries``-vector batch. Identical code paths to
+    s02/s11/s18 (same session-cached index), only the query filter widens."""
+
+    def s02(spark, sf_dir):
+        e = load_table(spark, sf_dir, "embeddings")
+        return sim.ivf_knn(
+            e,
+            queries_filter=F.col("vec_id") < n_queries,
+            centroid_filter=F.col("vec_id") % 25 == 0,
+            k=3,
+            assigned=_ivf_index(spark, sf_dir),
+        )
+
+    def s11(spark, sf_dir):
+        e = load_table(spark, sf_dir, "embeddings")
+        assigned = _ivf_index(spark, sf_dir)
+        np_cache = getattr(spark, "_dls_ivf_nprobe_cache", None) or {}
+        if sf_dir not in np_cache:
+            np_cache[sf_dir] = sim.learned_nprobe(
+                assigned, min_candidates=12, low_quantile=0.25, max_nprobe=8
+            )
+            spark._dls_ivf_nprobe_cache = np_cache
+        np_ = np_cache[sf_dir]
+        out = sim.ivf_knn(
+            e,
+            queries_filter=F.col("vec_id") < n_queries,
+            centroid_filter=F.col("vec_id") % 25 == 0,
+            k=3,
+            nprobe=np_,
+            assigned=assigned,
+        )
+        return out.withColumn("nprobe", F.lit(int(np_)).cast("long"))
+
+    def s18(spark, sf_dir):
+        return _s18_serve(spark, sf_dir, n_queries=n_queries)
+
+    return {
+        "s02_knn_ivf": s02,
+        "s11_knn_ivf_learned_nprobe": s11,
+        "s18_knn_ivf_pq": s18,
+    }
+
+
+def batched_serve_oracle_sql(n_queries: int = SERVE_BATCH_N) -> dict[str, str]:
+    """The serve-twin SQLs with the query batch widened to ``n_queries``.
+    The registered serve twins select queries ONLY via the literal
+    ``vec_id < 10`` (two sites: the query CTE and the serve CTE's
+    cell_scored restriction), so a textual swap is exact."""
+    return {
+        name: sql.replace("vec_id < 10", f"vec_id < {n_queries}")
+        for name, sql in ivf_serve_oracle_sql().items()
     }
 
 

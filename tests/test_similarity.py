@@ -342,3 +342,33 @@ def test_serve_oracle_twins_match_full(spark, sf_dir, tmp_path):
         full = full.sort_values(cols).reset_index(drop=True)
         serve = con.sql(serve_sql).df().sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(full, serve), name
+
+
+def test_batched_serve_matches_widened_oracle(spark, sf_dir):
+    """bench.py's serve_batched stanza (r8 verdict task 6): the batched
+    callables run the SAME serve code paths as s02/s11/s18 with the query
+    batch widened, and must stay bit-exact against the registered oracles
+    with the identical literal widened. Pins both sides of the textual
+    `vec_id < 10` swap batched_serve_oracle_sql relies on."""
+    import duckdb
+
+    from dask_lightgbm_spark.queries import _ship_package, all_oracles
+    from dask_lightgbm_spark.queries.similarity import batched_serve_queries
+    from tools.check import compare
+
+    _ship_package(spark)  # raw callables bypass the @query wrapper
+    n_q = 25
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    oracles = all_oracles()
+    for name, fn in sorted(batched_serve_queries(n_q).items()):
+        spark_pdf = fn(spark, sf_dir).toPandas()
+        duck_pdf = con.sql(
+            oracles[name].replace("vec_id < 10", f"vec_id < {n_q}")
+        ).df()
+        assert not compare(name, spark_pdf, duck_pdf), name
+        assert spark_pdf["qid"].nunique() == n_q
+    con.close()
