@@ -197,8 +197,10 @@ SF10_SCALING_LIMIT = 6.0
 # relational stanza — the curve, not the single-node ratio, is the 100 TB
 # claim. Two shapes: chunk-level exact dedup (digest-keyed shuffle,
 # measured ~2x for 10x data) and two-sided LSH ingest dedup (~4.5x — the
-# fixture's 100-deep replica buckets make candidate pairs superlinear by
-# construction, and the curve still clears the gate). No DuckDB
+# r9 measurement (tools/profile_t40_scaling.py): 10x input → 100x VERIFIED
+# pairs (replication-factor-squared by fixture construction: 2,700 → 269,860),
+# so the time curve is sublinear in true work; bucket_cap measured slower
+# here because the bucket growth is uniform, not skewed). No DuckDB
 # denominators here: both full oracles are already gated at sf1 in
 # SF1_SPOT, and at sf10 they would add minutes for no additional signal.
 SF10_CORPUS = ["t39_chunk_dedup", "t40_incremental_ingest_dedup"]
