@@ -197,7 +197,7 @@ SF10_SCALING_LIMIT = 6.0
 # relational stanza — the curve, not the single-node ratio, is the 100 TB
 # claim. Two shapes: chunk-level exact dedup (digest-keyed shuffle,
 # measured ~2x for 10x data) and two-sided LSH ingest dedup (~4.5x — the
-# r9 measurement (tools/profile_t40_scaling.py): 10x input → 100x VERIFIED
+# r9 measurement (tools/profile_t40.py): 10x input → 100x VERIFIED
 # pairs (replication-factor-squared by fixture construction: 2,700 → 269,860),
 # so the time curve is sublinear in true work; bucket_cap measured slower
 # here because the bucket growth is uniform, not skewed). No DuckDB

@@ -10,6 +10,27 @@ stage boundary, so the sf1→sf10 scaling curve can be attributed:
 Optionally repeats candidate generation with bucket_cap set.
 
 Usage: python tools/profile_t40.py <sf_dir> [bucket_cap]
+(sf1/sf10 dirs come from bench.ensure_sf1/ensure_sf10 — run bench once or
+call those helpers to materialize /tmp/dls_bench_sf1 and _sf10.)
+
+Measured r9 (local[32], warm JVM) — the numbers behind SCALE.md's
+"t40 sf10 time is sublinear in true work" row:
+
+    stage                      sf1 (10x reps)   sf10 (100x reps)   growth
+    raw band collisions        211,043  5.2s    20,280,676  13.5s   96x
+    estimate-prefilter cand     37,012  6.4s     3,536,299  14.8s   96x
+    verified hits (jac>=0.7)     2,700  5.3s       269,860  31.6s  100x
+    full t40 query                       6.1s                35.2s  5.8x
+    corpus bucket max/p999      351/170           3,361/1,288
+
+Every cardinality grows ~100x for 10x input — pair count scales with the
+SQUARE of the fixture replication factor (each new-doc replica matches
+every replica of its corpus near-dup set) — while wall time grows <6x:
+the curve is sublinear in the work the verify stage is proportional to.
+bucket_cap=2000 at sf10 measured SLOWER (41.6s vs 32.0s, identical hits):
+bucket growth here is uniform (max/p999 ratio ~2.6, no viral bucket), so
+the cap's group-count join + new-side replication is pure overhead; it
+stays reserved for the skewed single-hot-bucket regime it guards.
 """
 
 import sys
