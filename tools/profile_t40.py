@@ -70,7 +70,10 @@ def main() -> None:
 
     arr_new = shingle_hash_array(new, "doc_id", "text", K_SHINGLE)
     arr_cor = shingle_hash_array(corpus, "doc_id", "text", K_SHINGLE)
-    tick("1 signature build (corpus count)", lambda: signatures_from_array(arr_cor, "doc_id", NUM_PERM).count())
+    tick(
+        "1 signature build (corpus count)",
+        lambda: signatures_from_array(arr_cor, "doc_id", NUM_PERM).count(),
+    )
 
     sig_arr = F.array(*[F.col(f"mh{i}") for i in range(NUM_PERM)])
     bands_new = _band_views(
@@ -104,7 +107,11 @@ def main() -> None:
     bvs = ["band"] + [f"bv{j}" for j in range(BAND_SIZE)]
     dist = (
         bands_cor.groupBy(*bvs).count()
-        .agg(F.max("count").alias("max_bucket"), F.expr("percentile_approx(count, 0.999)").alias("p999"), F.count(F.lit(1)).alias("n_buckets"))
+        .agg(
+            F.max("count").alias("max_bucket"),
+            F.expr("percentile_approx(count, 0.999)").alias("p999"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
         .collect()[0]
     )
     print(f"corpus bucket dist: max={dist.max_bucket} p999={dist.p999} n={dist.n_buckets}")
