@@ -243,18 +243,7 @@ def ensure_sf1(src_dir: str) -> str:
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     _scale_documents(con, src_dir, out, 10)
-    src_vec = f"{src_dir}/embeddings.parquet"
-    n_vec = con.sql(f"SELECT max(vec_id) + 1 FROM read_parquet('{src_vec}')").fetchone()[0]
-    con.sql(f"""
-        COPY (
-          SELECT vec_id + k * {n_vec} AS vec_id,
-                 CASE WHEN k = 0 THEN embedding
-                      ELSE list_transform(embedding, x -> CAST(x + 0.001 * k AS FLOAT))
-                 END AS embedding,
-                 label
-          FROM read_parquet('{src_vec}'), (SELECT unnest(generate_series(0, 9)) AS k)
-          ORDER BY vec_id
-        ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
+    _scale_embeddings(con, src_dir, out, 10)
     # TPC-H facts: orders + lineitem replicated 10x with orderkeys shifted
     # consistently (both tables use the same base, so the FK join fans out
     # 10x real rows); dimension tables ship verbatim — scaling facts against
@@ -287,6 +276,23 @@ def _scale_documents(con, src_dir: str, out: str, n: int) -> None:
         ) TO '{out}/documents.parquet' (FORMAT PARQUET)""")
 
 
+def _scale_embeddings(con, src_dir: str, out: str, n: int) -> None:
+    """Replicate embeddings ``n``x with shifted ids; replica vectors get a
+    tiny per-replica offset (distinct but clustered — realistic for ANN)."""
+    src_vec = f"{src_dir}/embeddings.parquet"
+    n_vec = con.sql(f"SELECT max(vec_id) + 1 FROM read_parquet('{src_vec}')").fetchone()[0]
+    con.sql(f"""
+        COPY (
+          SELECT vec_id + k * {n_vec} AS vec_id,
+                 CASE WHEN k = 0 THEN embedding
+                      ELSE list_transform(embedding, x -> CAST(x + 0.001 * k AS FLOAT))
+                 END AS embedding,
+                 label
+          FROM read_parquet('{src_vec}'), (SELECT unnest(generate_series(0, {n - 1})) AS k)
+          ORDER BY vec_id
+        ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
+
+
 def _scale_tpch_facts(con, src_dir: str, out: str, n: int, dims: list[str]) -> None:
     """Replicate orders+lineitem ``n``x (orderkeys shifted by a shared
     base, preserving the FK join) and copy the dimension tables verbatim."""
@@ -316,14 +322,16 @@ def _scale_tpch_facts(con, src_dir: str, out: str, n: int, dims: list[str]) -> N
 
 def ensure_sf10(src_dir: str) -> str:
     """Materialize the 100x-replicated TPC-H facts (~60M lineitem rows)
-    for the compute-bound relational spot, plus the 100x documents corpus
-    (~500k docs) for the sf10 corpus scaling stanza; same fingerprint-cache
-    contract as :func:`ensure_sf1`. ~1.7 GB lineitem, built once (~60 s)."""
+    for the compute-bound relational spot, the 100x documents corpus
+    (~500k docs) for the sf10 corpus scaling stanza, and the 100x
+    embeddings corpus (200k vectors) for the sf10 ANN stanza; same
+    fingerprint-cache contract as :func:`ensure_sf1`. ~1.7 GB lineitem,
+    built once (~60 s)."""
     out = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/dls_bench_sf10")
     marker = os.path.join(out, "_DONE")
     fp = ",".join(
         f"{t}:{os.path.getmtime(p)}:{os.path.getsize(p)}"
-        for t in SF10_TABLES + ("documents",)
+        for t in SF10_TABLES + ("documents", "embeddings")
         for p in [os.path.join(src_dir, f"{t}.parquet")]
     )
     if os.path.exists(marker):
@@ -338,6 +346,7 @@ def ensure_sf10(src_dir: str) -> str:
         con, src_dir, out, 100, [t for t in SF10_TABLES if t not in ("lineitem", "orders")]
     )
     _scale_documents(con, src_dir, out, 100)
+    _scale_embeddings(con, src_dir, out, 100)
     con.close()
     with open(marker, "w") as f:
         f.write(fp)
@@ -751,6 +760,88 @@ def main():
         except Exception as exc:  # noqa: BLE001
             out["sf10_corpus"] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
 
+    # sf10 ANN spot (r9): fixed-nlist IVF build + 100-query batched serve
+    # at sf1 and sf10 — the ANN family's scaling datapoint. The registered
+    # s02 index (mod-25 centroids) grows its centroid count linearly with
+    # the corpus, so its BUILD is quadratic in n by parameterization; the
+    # scale stanza holds nlist at SCALE_IVF_NLIST so the curve measures
+    # the machinery (one corpus-scan GEMM build, broadcast-probe serve),
+    # which is linear. Gate: sf1→sf10 scaling < SF10_SCALING_LIMIT for
+    # both build and serve. No DuckDB denominators — the family's oracles
+    # are already gated at sf1 (registered + batched stanzas).
+    if at_sf01 and os.environ.get("SPARK_GRAFT_SF10_SPOT", "1") != "0":
+        try:
+            from dask_lightgbm_spark.queries.similarity import (
+                SCALE_IVF_NLIST,
+                scale_ivf_build,
+                scale_ivf_serve,
+            )
+
+            sf1_dir = ensure_sf1(sf_dir)
+            sf10_dir = ensure_sf10(sf_dir)
+            ann: dict[str, dict] = {}
+            for label, d in (("sf1", sf1_dir), ("sf10", sf10_dir)):
+                # min-of-2 on BUILD too: the first build of the session
+                # pays the one-time python-worker spin-up (32 workers on
+                # the first mapInPandas) — cold-start, not index cost
+                build_runs, serve_runs = [], []
+                for _ in range(2):
+                    t0 = time.time()
+                    assigned, mod = scale_ivf_build(spark, d)
+                    build_runs.append(round(time.time() - t0, 3))
+                    t0 = time.time()
+                    n = len(scale_ivf_serve(spark, d, assigned, mod).toPandas())
+                    serve_runs.append(round(time.time() - t0, 3))
+                    assigned.unpersist()
+                # recall@3 vs exact brute force (same 100 queries): the
+                # quality half of the scale story — does fixed-nlist cell
+                # routing still find the true neighbors at 10x the corpus?
+                # Reported, not gated: recall depends on the fixture's
+                # replica geometry; the gate is the time scaling above.
+                from pyspark.sql import functions as F
+
+                from dask_lightgbm_spark.operators import similarity as _sim
+                from dask_lightgbm_spark.queries.similarity import (
+                    SERVE_BATCH_N as _SBN,
+                )
+                from dask_lightgbm_spark.sources.readers import load_table
+
+                assigned, mod = scale_ivf_build(spark, d)
+                approx = scale_ivf_serve(spark, d, assigned, mod).toPandas()
+                e = load_table(spark, d, "embeddings")
+                gt = _sim.brute_force_knn(
+                    e, e.filter(F.col("vec_id") < _SBN), k=3
+                ).toPandas()
+                assigned.unpersist()
+                hit = approx.merge(gt[["qid", "nid"]], on=["qid", "nid"])
+                recall = round(len(hit) / max(len(gt), 1), 3)
+                ann[label] = {
+                    "build": min(build_runs),
+                    "serve": min(serve_runs),
+                    "rows": n,
+                    "recall_at_3": recall,
+                }
+                print(
+                    f"# sf10_ann {label}: build {min(build_runs):.2f}s serve "
+                    f"{min(serve_runs):.2f}s ({n} rows, recall@3 {recall})",
+                    file=sys.stderr,
+                )
+            scaling_a = {
+                m: round(ann["sf10"][m] / ann["sf1"][m], 2)
+                for m in ("build", "serve")
+                if ann["sf1"][m] > 0
+            }
+            out["sf10_ann"] = {
+                "sf": 10.0,
+                "nlist": SCALE_IVF_NLIST,
+                "sf1": ann["sf1"],
+                "sf10": ann["sf10"],
+                "spark_scaling_vs_sf1": scaling_a,
+                "errors": {},
+            }
+        except Exception as exc:  # noqa: BLE001
+            out["sf10_ann"] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+
     # gated breaches (r6 judge task #8 — the scale stanzas are gated, not
     # informational): sf1 compute-bound ratios beyond 2x (denominator
     # floor: see GATE_DENOM_FLOOR) and sf10 scaling beyond the limit
@@ -785,7 +876,15 @@ def main():
     )
     if sf10_corp:
         sf10_corp["scaling_breaches"] = corp_breaches
-    sf10_breaches = sf10_breaches + corp_breaches
+    sf10_ann = out.get("sf10_ann", {})
+    ann_breaches = sorted(
+        f"ann_{m}"
+        for m, r in sf10_ann.get("spark_scaling_vs_sf1", {}).items()
+        if r > SF10_SCALING_LIMIT
+    )
+    if sf10_ann:
+        sf10_ann["scaling_breaches"] = ann_breaches
+    sf10_breaches = sf10_breaches + corp_breaches + ann_breaches
     print(json.dumps(out))
     # compact summary line LAST (< 500 B): the driver records only a stdout
     # tail and the full line above outgrew it ("parsed": null in r6) — this
@@ -809,8 +908,10 @@ def main():
     if "--enforce" in sys.argv and at_sf01:
         live = out["vs_duckdb_live_total"]
         sf1_errs = sorted(sf1_spot.get("errors", {}))
-        sf10_errs = sorted(sf10_rel.get("errors", {})) + sorted(
-            sf10_corp.get("errors", {})
+        sf10_errs = (
+            sorted(sf10_rel.get("errors", {}))
+            + sorted(sf10_corp.get("errors", {}))
+            + sorted(sf10_ann.get("errors", {}))
         )
         if (
             (live is not None and live > 2.0)

@@ -1389,6 +1389,70 @@ def batched_serve_oracle_sql(n_queries: int = SERVE_BATCH_N) -> dict[str, str]:
     }
 
 
+# ---------------------------------------------------------------------------
+# sf10 ANN scaling (bench-only): the registered s02 family's mod-25
+# centroid rule is a small-SF correctness parameterization — centroid
+# count grows LINEARLY with the corpus, so the build-time corpus×centroid
+# score matrix is QUADRATIC in n and must not be the scale story.
+# Production IVF sizing fixes nlist (or grows it ~sqrt(n)); these helpers
+# hold nlist at SCALE_IVF_NLIST across scales so the measured sf1→sf10
+# curve isolates the machinery's linearity: build = one corpus scan
+# against broadcast centroids (O(n·nlist·d) GEMM in the vectorized
+# kernel, zero shuffle), serve = broadcast 100 probes + equi-join on cell
+# (candidates/query = n/nlist). Identical kernels to the registered
+# family (assign_cells_vectorized / ivf_knn); only nlist differs, and
+# tests pin this path against the mod-parameterized oracle at small SF.
+# ---------------------------------------------------------------------------
+
+SCALE_IVF_NLIST = 256
+
+
+def scale_ivf_mod(corpus_rows: int, n_centroids: int = SCALE_IVF_NLIST) -> int:
+    """Centroid spacing giving ~``n_centroids`` mod-spaced centroids over a
+    contiguous 0..n-1 vec_id range, at any corpus size."""
+    return max(1, corpus_rows // n_centroids)
+
+
+def scale_ivf_build(
+    spark: SparkSession, sf_dir: str, n_centroids: int = SCALE_IVF_NLIST
+):
+    """Build a fixed-nlist IVF storage assignment over ``sf_dir``'s
+    embeddings and MATERIALIZE it (the caller times this call as index
+    build). Not session-cached — returns ``(assigned, mod)``; the caller
+    unpersists ``assigned`` when done."""
+    from dask_lightgbm_spark.queries import _ship_package
+
+    _ship_package(spark)  # raw callable — the @query wrapper isn't shipping
+    e = load_table(spark, sf_dir, "embeddings")
+    mod = scale_ivf_mod(e.count(), n_centroids)
+    assigned = sim.assign_cells_vectorized(
+        e, e.filter(F.col("vec_id") % mod == 0)
+    ).persist()
+    assigned.count()
+    return assigned, mod
+
+
+def scale_ivf_serve(
+    spark: SparkSession,
+    sf_dir: str,
+    assigned: DataFrame,
+    mod: int,
+    n_queries: int = SERVE_BATCH_N,
+    k: int = 3,
+) -> DataFrame:
+    """Batched top-k serve against a :func:`scale_ivf_build` index —
+    the s02 serve shape (broadcast probes, equi-join on cell) at fixed
+    nlist."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.ivf_knn(
+        e,
+        queries_filter=F.col("vec_id") < n_queries,
+        centroid_filter=F.col("vec_id") % mod == 0,
+        k=k,
+        assigned=assigned,
+    )
+
+
 def pq_serve_oracle_sql() -> dict[str, str]:
     """Serve-only oracle twins for the PQ family: ADC scoring against
     pre-materialized ``pq_codes`` (vec_id, code_0..code_{M-1}) and codebook

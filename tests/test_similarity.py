@@ -372,3 +372,45 @@ def test_batched_serve_matches_widened_oracle(spark, sf_dir):
         assert not compare(name, spark_pdf, duck_pdf), name
         assert spark_pdf["qid"].nunique() == n_q
     con.close()
+
+
+def test_scale_ivf_matches_mod_parameterized_oracle(spark, sf_dir):
+    """bench.py's sf10_ann stanza (r9): the fixed-nlist scale path runs
+    the SAME assign/serve kernels as s02 with only the centroid spacing
+    changed, so it must stay bit-exact against the registered s02 oracle
+    with the same two literals swapped (centroid modulus, query batch).
+    Also pins scale_ivf_mod's spacing arithmetic on this corpus."""
+    import duckdb
+
+    from dask_lightgbm_spark.queries import _ship_package, all_oracles
+    from dask_lightgbm_spark.queries.similarity import (
+        scale_ivf_build,
+        scale_ivf_mod,
+        scale_ivf_serve,
+    )
+    from tools.check import compare
+
+    _ship_package(spark)
+    n_q, n_cent = 25, 16
+    assigned, mod = scale_ivf_build(spark, sf_dir, n_centroids=n_cent)
+    try:
+        assert mod == scale_ivf_mod(500, n_cent) == 31
+        spark_pdf = scale_ivf_serve(
+            spark, sf_dir, assigned, mod, n_queries=n_q
+        ).toPandas()
+    finally:
+        assigned.unpersist()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    sql = (
+        all_oracles()["s02_knn_ivf"]
+        .replace("% 25", f"% {mod}")
+        .replace("vec_id < 10", f"vec_id < {n_q}")
+    )
+    duck_pdf = con.sql(sql).df()
+    con.close()
+    assert not compare("sf10_ann_scale_ivf", spark_pdf, duck_pdf)
+    assert spark_pdf["qid"].nunique() == n_q
