@@ -353,6 +353,219 @@ def ensure_sf10(src_dir: str) -> str:
     return out
 
 
+STREAM_FILES = 8
+STREAM_SCALE = 10  # 10x the sf0.1 events = 1M rows
+# micro-batched drain may cost at most this multiple of the one-shot drain:
+# incremental state folding re-reads STATE, not DATA, so 8 micro-batches
+# cost one_shot's data work + 7 extra per-batch fixed costs — measured
+# 3.3-5.3x at 1M rows across windows (fixed costs dominate both sides, so
+# the ratio itself jitters ~±20%). The limit fences the real failure
+# modes — a state store rewritten/blown up per batch, a complete-mode
+# sink re-materializing a growing result, a plan recomputing prefixes —
+# all of which land WELL past 8x; it is not a tight throughput bound.
+STREAM_MICRO_LIMIT = 8.0
+
+
+def ensure_stream_events(src_dir: str) -> str:
+    """Materialize the streaming-stanza fixture: the sf0.1 events replicated
+    ``STREAM_SCALE``x (event ids shifted, ts/user unchanged — 10x the bus
+    density), split into ``STREAM_FILES`` contiguous EVENT-TIME ranges with
+    strictly increasing file mtimes. The file source orders micro-batches by
+    modification time, so a ``maxFilesPerTrigger=1`` drain replays the month
+    in time order — how a file-landing event bus actually arrives. Same
+    fingerprint-cache contract as :func:`ensure_sf1`."""
+    out = os.environ.get("SPARK_GRAFT_STREAM_DIR", "/tmp/dls_bench_stream")
+    marker = os.path.join(out, "_DONE")
+    src = os.path.join(src_dir, "events.parquet")
+    dim = os.path.join(src_dir, "customer.parquet")
+    fp = (
+        f"events:{os.path.getmtime(src)}:{os.path.getsize(src)}"
+        f":cust:{os.path.getmtime(dim)}:{os.path.getsize(dim)}"
+        f":x{STREAM_SCALE}/{STREAM_FILES}"
+    )
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read() == fp:
+                return out
+    import duckdb
+
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    base = con.sql(
+        f"SELECT max(event_id) + 1 FROM read_parquet('{src}')"
+    ).fetchone()[0]
+    con.sql(f"""
+        CREATE TEMP TABLE ev AS
+        SELECT event_id + k * {base} AS event_id, ts, user_id, event_type,
+               value, props,
+               ntile({STREAM_FILES}) OVER (ORDER BY ts, event_id) AS part
+        FROM read_parquet('{src}'),
+             (SELECT unnest(generate_series(0, {STREAM_SCALE - 1})) AS k)""")
+    for i in range(STREAM_FILES):
+        con.sql(f"""
+            COPY (SELECT event_id, ts, user_id, event_type, value, props
+                  FROM ev WHERE part = {i + 1} ORDER BY ts, event_id)
+            TO '{out}/events_{i:02d}.parquet' (FORMAT PARQUET)""")
+    # the stream-static join's dim side ships verbatim (fixed dims against
+    # a growing stream is exactly how an enrichment topology scales)
+    con.sql(f"""
+        COPY (SELECT * FROM read_parquet('{dim}'))
+        TO '{out}/customer.parquet' (FORMAT PARQUET)""")
+    con.close()
+    now = time.time()
+    for i in range(STREAM_FILES):
+        path = f"{out}/events_{i:02d}.parquet"
+        os.utime(path, (now + 10 * i, now + 10 * i))
+    with open(marker, "w") as f:
+        f.write(fp)
+    return out
+
+
+def _stream_bench(spark, src_dir: str) -> dict:
+    """Streaming stanza: the x-family's perf datapoint. Replays the 1M-row
+    8-file event-time fixture through three state shapes — built-in windowed
+    agg (complete mode), custom ``applyInPandasWithState`` totals (update
+    mode), and a stream-static broadcast-join agg (re-broadcast per batch) —
+    each drained (a) in ONE micro-batch and (b) as 8 file-per-trigger
+    micro-batches, against the equivalent batch DataFrame query.
+
+    Self-normalized gates (no DuckDB analogue exists for streaming):
+    PARITY — both drains must equal the batch result exactly (the final
+    state IS the batch answer on a bounded source); SCALING —
+    micro/one_shot <= STREAM_MICRO_LIMIT (incremental state folds cost
+    per-batch overhead, never prefix recompute). ``stream_tax``
+    (one_shot/batch) is reported, not gated: it prices the state store +
+    sink machinery against a stateless scan and is dominated by fixed costs
+    at 1M rows."""
+    from pyspark.sql import functions as F
+
+    from dask_lightgbm_spark.sources.readers import load_table, normalize_event_time
+    from dask_lightgbm_spark.streaming.events import (
+        stream_hourly_aggregate,
+        stream_static_segment_totals,
+    )
+    from dask_lightgbm_spark.streaming.sessions import stream_user_totals
+
+    d = ensure_stream_events(src_dir)
+    glob = "events_*.parquet"
+
+    def batch_src():
+        return normalize_event_time(
+            spark.read.option("pathGlobFilter", glob).parquet(d)
+        )
+
+    n_rows = batch_src().count()
+    cents_sum = (
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / F.lit(100.0)
+    ).alias("sum_value")
+
+    def batch_hourly():
+        return (
+            batch_src()
+            .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), cents_sum)
+            .toPandas()
+        )
+
+    def batch_user_totals():
+        return (
+            batch_src()
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"), cents_sum)
+            .toPandas()
+        )
+
+    def batch_static_join():
+        dim = load_table(spark, d, "customer").select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+        return (
+            batch_src()
+            .join(F.broadcast(dim), "user_id")
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_events"), cents_sum)
+            .toPandas()
+        )
+
+    def tmin(fn, runs=2):
+        best, res = None, None
+        for _ in range(runs):
+            t0 = time.time()
+            res = fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3), res
+
+    def final_totals(pdf):
+        # update-mode sink holds one row per user per touching batch; the
+        # final total is the row with the largest n_events per user
+        return pdf.sort_values("n_events").groupby("user_id").tail(1)
+
+    pipelines = [
+        ("hourly_agg", stream_hourly_aggregate, batch_hourly, ["hour", "event_type"], None),
+        ("user_totals", stream_user_totals, batch_user_totals, ["user_id"], final_totals),
+        (
+            "static_join",
+            stream_static_segment_totals,
+            batch_static_join,
+            ["c_mktsegment"],
+            None,
+        ),
+    ]
+    results: dict[str, dict] = {}
+    breaches: list[str] = []
+    errors: dict[str, str] = {}
+    for name, stream_fn, batch_fn, keys, finalize in pipelines:
+        try:
+            t_batch, p_batch = tmin(batch_fn)
+            t_one, p_one = tmin(
+                lambda: stream_fn(spark, d, glob=glob, max_files_per_trigger=None).toPandas()
+            )
+            t_micro, p_micro = tmin(
+                lambda: stream_fn(spark, d, glob=glob, max_files_per_trigger=1).toPandas()
+            )
+            if finalize is not None:
+                p_one, p_micro = finalize(p_one), finalize(p_micro)
+
+            def norm(pdf):
+                return pdf.sort_values(keys).reset_index(drop=True)
+
+            parity = norm(p_one).equals(norm(p_batch)) and norm(p_micro).equals(
+                norm(p_batch)
+            )
+            micro_scaling = round(t_micro / t_one, 2) if t_one else None
+            results[name] = {
+                "batch": t_batch,
+                "one_shot": t_one,
+                "micro": t_micro,
+                "micro_vs_one_shot": micro_scaling,
+                "stream_tax": round(t_one / t_batch, 2) if t_batch else None,
+                "rows_per_sec_micro": int(n_rows / t_micro) if t_micro else None,
+                "parity": parity,
+            }
+            if not parity:
+                breaches.append(f"{name}_parity")
+            if micro_scaling is not None and micro_scaling > STREAM_MICRO_LIMIT:
+                breaches.append(f"{name}_micro_scaling")
+            print(
+                f"# streaming {name}: batch {t_batch:.2f}s one_shot {t_one:.2f}s "
+                f"micro {t_micro:.2f}s (x{micro_scaling}, parity {parity})",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001 — the stanza degrades, not crashes
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# streaming {name}: ERROR {type(exc).__name__}", file=sys.stderr)
+    return {
+        "sf": 1.0,
+        "rows": n_rows,
+        "files": STREAM_FILES,
+        "micro_limit": STREAM_MICRO_LIMIT,
+        "pipelines": results,
+        "breaches": sorted(breaches),
+        "errors": errors,
+    }
+
+
 def time_duckdb(
     sf_dir: str,
     names: list[str],
@@ -842,6 +1055,14 @@ def main():
         except Exception as exc:  # noqa: BLE001
             out["sf10_ann"] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
 
+    # streaming stanza (r9): the x-family's perf datapoint — parity +
+    # micro-batch scaling gates, self-normalized (see _stream_bench)
+    if at_sf01 and os.environ.get("SPARK_GRAFT_STREAM_SPOT", "1") != "0":
+        try:
+            out["streaming"] = _stream_bench(spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001
+            out["streaming"] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+
     # gated breaches (r6 judge task #8 — the scale stanzas are gated, not
     # informational): sf1 compute-bound ratios beyond 2x (denominator
     # floor: see GATE_DENOM_FLOOR) and sf10 scaling beyond the limit
@@ -885,6 +1106,8 @@ def main():
     if sf10_ann:
         sf10_ann["scaling_breaches"] = ann_breaches
     sf10_breaches = sf10_breaches + corp_breaches + ann_breaches
+    stream_spot = out.get("streaming", {})
+    stream_breaches = stream_spot.get("breaches", [])
     print(json.dumps(out))
     # compact summary line LAST (< 500 B): the driver records only a stdout
     # tail and the full line above outgrew it ("parsed": null in r6) — this
@@ -902,6 +1125,7 @@ def main():
         "sf1_vs_duckdb_live_total": sf1_spot.get("vs_duckdb_live_total"),
         "sf1_breaches": sf1_breaches,
         "sf10_scaling_breaches": sf10_breaches,
+        "stream_breaches": stream_breaches,
         "errors": sorted(errors),
     }
     print(json.dumps(summary))
@@ -913,6 +1137,9 @@ def main():
             + sorted(sf10_corp.get("errors", {}))
             + sorted(sf10_ann.get("errors", {}))
         )
+        stream_errs = sorted(stream_spot.get("errors", {}))
+        if "error" in stream_spot:
+            stream_errs.append("streaming_stanza")
         if (
             (live is not None and live > 2.0)
             or regressions
@@ -921,12 +1148,15 @@ def main():
             or sf1_errs
             or sf10_breaches
             or sf10_errs
+            or stream_breaches
+            or stream_errs
         ):
             print(
                 f"GATE FAIL: vs_duckdb_live_total={live} regressions={regressions}"
                 f" errors={sorted(errors)} sf1_breaches={sf1_breaches}"
                 f" sf1_errors={sf1_errs} sf10_breaches={sf10_breaches}"
-                f" sf10_errors={sf10_errs}",
+                f" sf10_errors={sf10_errs} stream_breaches={stream_breaches}"
+                f" stream_errors={stream_errs}",
                 file=sys.stderr,
             )
             sys.exit(1)

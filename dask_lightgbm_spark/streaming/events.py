@@ -43,10 +43,19 @@ def read_events_stream(
     return normalize_event_time(src)
 
 
-def stream_hourly_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_hourly_aggregate(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Run the hourly event aggregation as a real streaming query (complete
-    mode → memory sink), drain it, and return the final result table."""
-    src = read_events_stream(spark, sf_dir)
+    mode → memory sink), drain it, and return the final result table.
+    ``glob``/``max_files_per_trigger`` pass through to the source so the
+    bench/tests can fold the windowed state across several micro-batches."""
+    src = read_events_stream(
+        spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+    )
     agg = src.groupBy(
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
     ).agg(
@@ -92,17 +101,26 @@ def stream_distinct_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-def stream_static_segment_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_static_segment_totals(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Stream-static join: enrich the event stream with the static customer
     dimension (user_id = c_custkey), then aggregate per market segment.
 
     The static side is a plain batch DataFrame — Spark re-plans it per
     micro-batch and broadcasts it into the stream (the standard enrichment
     topology: dims in a warehouse table, facts on a bus). Complete-mode
-    memory sink, drained synchronously."""
+    memory sink, drained synchronously. ``glob``/``max_files_per_trigger``
+    pass through to the source (the micro-batched path re-broadcasts the
+    dim per batch — exactly the cost the bench's streaming stanza measures)."""
     from dask_lightgbm_spark.sources.readers import load_table
 
-    src = read_events_stream(spark, sf_dir)
+    src = read_events_stream(
+        spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+    )
     dim = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )

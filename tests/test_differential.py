@@ -1040,6 +1040,77 @@ def test_interval_join_matches_across_microbatches(spark, tmp_path_factory):
     assert got == [(1, 0, 1)]
 
 
+def test_hourly_agg_folds_across_microbatches(spark, tmp_path_factory):
+    """Complete-mode windowed agg folded across 3 real micro-batches (the
+    bench's streaming-stanza drain shape): the final snapshot must equal a
+    pure-Python fold over all batches — repeated (hour, type) groups across
+    triggers exercise the running-agg state the single-file drain never
+    touches."""
+    from dask_lightgbm_spark.streaming.events import stream_hourly_aggregate
+
+    batches = [
+        [(1, 0, 1.0, "view"), (2, 10, 2.5, "click")],
+        [(1, 20, 0.5, "view"), (3, 70, 1.0, "view")],
+        [(2, 75, 2.0, "click")],
+    ]
+    sf, base_us = _write_event_batches(tmp_path_factory, "xhourly", batches)
+    got = {
+        (int(r.hour.timestamp() * 1_000_000), r.event_type): (r.n, r.sum_value)
+        for r in stream_hourly_aggregate(
+            spark, sf, glob="events_*.parquet", max_files_per_trigger=1
+        ).collect()
+    }
+    expected: dict[tuple[int, str], tuple[int, float]] = {}
+    for batch in batches:
+        for uid, minutes, value, etype in batch:
+            ts = pd.Timestamp(base_us + minutes * 60_000_000, unit="us")
+            key = (int(ts.floor("h").timestamp() * 1_000_000), etype)
+            n, cents = expected.get(key, (0, 0))
+            expected[key] = (n + 1, cents + round(value * 100))
+    assert got == {k: (n, cents / 100.0) for k, (n, cents) in expected.items()}
+
+
+def test_static_join_agg_across_microbatches(spark, tmp_path_factory):
+    """Stream-static broadcast join + complete-mode agg across 3 real
+    micro-batches (the dim is re-planned/re-broadcast per trigger): the
+    final snapshot must equal a pure-Python join-then-fold over all rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dask_lightgbm_spark.streaming.events import (
+        stream_static_segment_totals,
+    )
+
+    batches = [
+        [(1, 0, 1.0, "view"), (2, 10, 2.5, "click")],
+        [(1, 20, 0.5, "view"), (3, 70, 1.0, "view")],
+        [(2, 75, 2.0, "click")],
+    ]
+    sf, _ = _write_event_batches(tmp_path_factory, "xstatjoin", batches)
+    seg = {1: "AUTOMOBILE", 2: "AUTOMOBILE", 3: "BUILDING"}
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(sorted(seg), pa.int64()),
+                "c_mktsegment": pa.array([seg[k] for k in sorted(seg)], pa.string()),
+            }
+        ),
+        f"{sf}/customer.parquet",
+    )
+    got = {
+        r.c_mktsegment: (r.n_events, r.sum_value)
+        for r in stream_static_segment_totals(
+            spark, sf, glob="events_*.parquet", max_files_per_trigger=1
+        ).collect()
+    }
+    expected: dict[str, tuple[int, int]] = {}
+    for batch in batches:
+        for uid, _minutes, value, _etype in batch:
+            n, cents = expected.get(seg[uid], (0, 0))
+            expected[seg[uid]] = (n + 1, cents + round(value * 100))
+    assert got == {k: (n, cents / 100.0) for k, (n, cents) in expected.items()}
+
+
 def test_left_outer_join_null_extends_across_microbatches(
     spark, tmp_path_factory
 ):
