@@ -300,6 +300,101 @@ def test_streaming_checkpoint_resume_exactly_once(spark, tmp_path):
     assert (final["v"] == final["event_id"] * 2).all()
 
 
+def test_stateful_restart_recovers_state_store(spark, tmp_path):
+    """STATEFUL restart: a keyed running aggregation stops mid-stream and a
+    restarted query (same checkpoint) folds a new file into RECOVERED state
+    — the update emitted for a key after restart must carry the pre-restart
+    counts (state-store replay from the checkpoint), not a from-zero
+    recount of the new file. This is the recovery half of the streaming
+    stanza's state story; the stateless half is the offsets test above."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def write_batch(name: str, users: list[int]) -> None:
+        pd.DataFrame(
+            {"user_id": users, "v": [1] * len(users)}
+        ).to_parquet(f"{src}/{name}.parquet", index=False)
+
+    emitted: list[tuple[int, int, int]] = []  # (batch_id, user_id, n)
+
+    def run_stream() -> None:
+        agg = (
+            spark.readStream.schema("user_id long, v long")
+            .parquet(src)
+            .groupBy("user_id")
+            .agg(F.sum("v").alias("n"))
+        )
+
+        def sink(batch_df, batch_id):
+            for r in batch_df.collect():
+                emitted.append((batch_id, r.user_id, r.n))
+
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    write_batch("a", [1, 1, 1, 2])
+    run_stream()  # user 1 -> 3, user 2 -> 1
+    write_batch("b", [1, 1, 3])
+    run_stream()  # restart: folds b into state recovered from the checkpoint
+    final = {u: n for _, u, n in sorted(emitted)}
+    # user 1's post-restart update must be 3 (recovered) + 2 (new) = 5;
+    # a state loss would emit 2, a replay-from-zero would emit 5 twice
+    assert final == {1: 5, 2: 1, 3: 1}
+    post_restart = [(u, n) for b, u, n in emitted if b > 0]
+    assert sorted(post_restart) == [(1, 5), (3, 1)]  # only keys file b touched
+
+
+def test_rocksdb_state_store_parity(spark, tmp_path_factory):
+    """The RocksDB state-store provider (the backend a 100 TB deployment
+    runs — state spills off-heap/disk instead of living in executor JVM
+    heap) must produce the same final totals as the default HDFS-backed
+    provider for the custom applyInPandasWithState operator, folded across
+    real micro-batches."""
+    from dask_lightgbm_spark.streaming.sessions import stream_user_totals
+    from tests.test_differential import _write_event_batches
+
+    batches = [
+        [(1, 0, 1.0), (2, 1, 2.5)],
+        [(1, 2, 0.5), (3, 3, 1.0)],
+        [(2, 4, 2.0), (1, 5, 1.0)],
+    ]
+    sf, _ = _write_event_batches(tmp_path_factory, "xrocks", batches)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        got = stream_user_totals(
+            spark, sf, glob="events_*.parquet", max_files_per_trigger=1
+        ).toPandas()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    final = {
+        int(r.user_id): (int(r.n_events), r.sum_value)
+        for _, r in got.sort_values("n_events").groupby("user_id").tail(1).iterrows()
+    }
+    expected: dict[int, tuple[int, int]] = {}
+    for batch in batches:
+        for uid, _m, value in batch:
+            n, cents = expected.get(uid, (0, 0))
+            expected[uid] = (n + 1, cents + round(value * 100))
+    assert final == {u: (n, c / 100.0) for u, (n, c) in expected.items()}
+
+
 def test_s15_lazy_result_survives_other_sf_invocation(spark):
     """r6 review finding: the persisted-index scratch path is keyed by
     sf_dir, so building the index for ANOTHER sf must not clobber the files
