@@ -395,6 +395,48 @@ def test_rocksdb_state_store_parity(spark, tmp_path_factory):
     assert final == {u: (n, c / 100.0) for u, (n, c) in expected.items()}
 
 
+def test_stream_bench_fixture_contract():
+    """The streaming stanza's replay-order parity silently depends on the
+    fixture layout: files must be DISJOINT contiguous event-time ranges
+    whose union is exactly the 10x-replicated source, with strictly
+    increasing mtimes (the file source orders micro-batches by mtime).
+    Pin those properties so a fixture-builder change cannot quietly turn
+    the ordered replay into an out-of-order one."""
+    import duckdb
+
+    from bench import STREAM_FILES, STREAM_SCALE, ensure_stream_events
+
+    src_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    d = ensure_stream_events(src_dir)
+    files = sorted(
+        f for f in os.listdir(d) if f.startswith("events_") and f.endswith(".parquet")
+    )
+    assert len(files) == STREAM_FILES
+    mtimes = [os.path.getmtime(os.path.join(d, f)) for f in files]
+    assert all(a < b for a, b in zip(mtimes, mtimes[1:]))
+    assert os.path.exists(os.path.join(d, "customer.parquet"))
+
+    con = duckdb.connect()
+    n_src = con.execute(
+        f"SELECT count(*) FROM read_parquet('{src_dir}/events.parquet')"
+    ).fetchone()[0]
+    total, distinct = con.execute(
+        f"SELECT count(*), count(DISTINCT event_id) "
+        f"FROM read_parquet('{d}/events_*.parquet')"
+    ).fetchone()
+    assert total == n_src * STREAM_SCALE
+    assert distinct == total  # replicas got fresh ids; files are disjoint
+    spans = [
+        con.execute(
+            f"SELECT min(ts), max(ts) FROM read_parquet('{d}/{f}')"
+        ).fetchone()
+        for f in files
+    ]
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi <= lo  # contiguous: replay order == event-time order
+    con.close()
+
+
 def test_s15_lazy_result_survives_other_sf_invocation(spark):
     """r6 review finding: the persisted-index scratch path is keyed by
     sf_dir, so building the index for ANOTHER sf must not clobber the files
