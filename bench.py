@@ -612,6 +612,102 @@ def time_duckdb(
     return timings
 
 
+def collect_gates(out: dict, regressions: list, errors: dict) -> dict:
+    """Gate bookkeeping over a bench record, pure apart from attaching the
+    breach lists to the stanza dicts the JSON output carries (r6 judge
+    task #8 — the scale stanzas are gated, not informational):
+
+    - sf1/sf10 live ratios beyond 2x where the DuckDB denominator does at
+      least GATE_DENOM_FLOOR of real work;
+    - sf10 sf1→sf10 scaling beyond SF10_SCALING_LIMIT (relational, corpus,
+      ANN build/serve);
+    - streaming parity/scaling breaches (computed in _stream_bench);
+    - per-query errors, and stanzas that died WHOLESALE (fixture build,
+      import) leaving only a top-level "error" key — those must fail the
+      gate too, not slip past as an empty per-query error dict.
+
+    Factored out of main() so the decision logic is unit-testable without
+    a 12-minute bench run (the wholesale-error hole survived two rounds
+    precisely because this path only ran end-to-end)."""
+    sf1_spot = out.get("sf1_spot", {})
+    _sf1_duck = sf1_spot.get("duckdb_live", {})
+    sf1_breaches = sorted(
+        n
+        for n, r in sf1_spot.get("vs_duckdb_live", {}).items()
+        if r > 2.0 and (_sf1_duck.get(n) or 0) >= GATE_DENOM_FLOOR
+    )
+    if sf1_spot:
+        sf1_spot["breaches"] = sf1_breaches
+        sf1_spot["gate_denom_floor"] = GATE_DENOM_FLOOR
+    sf10_rel = out.get("sf10_relational", {})
+    rel_breaches = sorted(
+        n
+        for n, r in sf10_rel.get("spark_scaling_vs_sf1", {}).items()
+        if r > SF10_SCALING_LIMIT
+    ) + sorted(
+        n
+        for n, r in sf10_rel.get("vs_duckdb_live", {}).items()
+        if r > 2.0 and (sf10_rel.get("duckdb_live", {}).get(n) or 0) >= GATE_DENOM_FLOOR
+        and n not in sf10_rel.get("spark_scaling_vs_sf1", {})
+    )
+    if sf10_rel:
+        sf10_rel["scaling_breaches"] = rel_breaches
+    sf10_corp = out.get("sf10_corpus", {})
+    corp_breaches = sorted(
+        n
+        for n, r in sf10_corp.get("spark_scaling_vs_sf1", {}).items()
+        if r > SF10_SCALING_LIMIT
+    )
+    if sf10_corp:
+        sf10_corp["scaling_breaches"] = corp_breaches
+    sf10_ann = out.get("sf10_ann", {})
+    ann_breaches = sorted(
+        f"ann_{m}"
+        for m, r in sf10_ann.get("spark_scaling_vs_sf1", {}).items()
+        if r > SF10_SCALING_LIMIT
+    )
+    if sf10_ann:
+        sf10_ann["scaling_breaches"] = ann_breaches
+    stream_spot = out.get("streaming", {})
+    stream_breaches = list(stream_spot.get("breaches", []))
+
+    sf1_errors = sorted(sf1_spot.get("errors", {}))
+    if "error" in sf1_spot:
+        sf1_errors.append("sf1_stanza")
+    sf10_errors = (
+        sorted(sf10_rel.get("errors", {}))
+        + sorted(sf10_corp.get("errors", {}))
+        + sorted(sf10_ann.get("errors", {}))
+    )
+    for label, stanza in (
+        ("sf10_relational_stanza", sf10_rel),
+        ("sf10_corpus_stanza", sf10_corp),
+        ("sf10_ann_stanza", sf10_ann),
+    ):
+        if "error" in stanza:
+            sf10_errors.append(label)
+    stream_errors = sorted(stream_spot.get("errors", {}))
+    if "error" in stream_spot:
+        stream_errors.append("streaming_stanza")
+
+    live = out.get("vs_duckdb_live_total")
+    gates = {
+        "sf1_breaches": sf1_breaches,
+        "sf10_breaches": rel_breaches + corp_breaches + ann_breaches,
+        "stream_breaches": stream_breaches,
+        "sf1_errors": sf1_errors,
+        "sf10_errors": sf10_errors,
+        "stream_errors": stream_errors,
+    }
+    gates["fail"] = bool(
+        (live is not None and live > 2.0)
+        or regressions
+        or errors
+        or any(gates[k] for k in list(gates))
+    )
+    return gates
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -1116,51 +1212,11 @@ def main():
         except Exception as exc:  # noqa: BLE001
             out["streaming"] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
 
-    # gated breaches (r6 judge task #8 — the scale stanzas are gated, not
-    # informational): sf1 compute-bound ratios beyond 2x (denominator
-    # floor: see GATE_DENOM_FLOOR) and sf10 scaling beyond the limit
+    gates = collect_gates(out, regressions, errors)
     sf1_spot = out.get("sf1_spot", {})
-    _sf1_duck = sf1_spot.get("duckdb_live", {})
-    sf1_breaches = sorted(
-        n
-        for n, r in sf1_spot.get("vs_duckdb_live", {}).items()
-        if r > 2.0 and (_sf1_duck.get(n) or 0) >= GATE_DENOM_FLOOR
-    )
-    if sf1_spot:
-        sf1_spot["breaches"] = sf1_breaches
-        sf1_spot["gate_denom_floor"] = GATE_DENOM_FLOOR
-    sf10_rel = out.get("sf10_relational", {})
-    sf10_breaches = sorted(
-        n
-        for n, r in sf10_rel.get("spark_scaling_vs_sf1", {}).items()
-        if r > SF10_SCALING_LIMIT
-    ) + sorted(
-        n
-        for n, r in sf10_rel.get("vs_duckdb_live", {}).items()
-        if r > 2.0 and (sf10_rel.get("duckdb_live", {}).get(n) or 0) >= GATE_DENOM_FLOOR
-        and n not in sf10_rel.get("spark_scaling_vs_sf1", {})
-    )
-    if sf10_rel:
-        sf10_rel["scaling_breaches"] = sf10_breaches
-    sf10_corp = out.get("sf10_corpus", {})
-    corp_breaches = sorted(
-        n
-        for n, r in sf10_corp.get("spark_scaling_vs_sf1", {}).items()
-        if r > SF10_SCALING_LIMIT
-    )
-    if sf10_corp:
-        sf10_corp["scaling_breaches"] = corp_breaches
-    sf10_ann = out.get("sf10_ann", {})
-    ann_breaches = sorted(
-        f"ann_{m}"
-        for m, r in sf10_ann.get("spark_scaling_vs_sf1", {}).items()
-        if r > SF10_SCALING_LIMIT
-    )
-    if sf10_ann:
-        sf10_ann["scaling_breaches"] = ann_breaches
-    sf10_breaches = sf10_breaches + corp_breaches + ann_breaches
-    stream_spot = out.get("streaming", {})
-    stream_breaches = stream_spot.get("breaches", [])
+    sf1_breaches = gates["sf1_breaches"]
+    sf10_breaches = gates["sf10_breaches"]
+    stream_breaches = gates["stream_breaches"]
     print(json.dumps(out))
     # compact summary line LAST (< 500 B): the driver records only a stdout
     # tail and the full line above outgrew it ("parsed": null in r6) — this
@@ -1182,49 +1238,24 @@ def main():
         "errors": sorted(errors),
     }
     print(json.dumps(summary))
-    if "--enforce" in sys.argv and at_sf01:
-        live = out["vs_duckdb_live_total"]
-        sf1_errs = sorted(sf1_spot.get("errors", {}))
-        sf10_errs = (
-            sorted(sf10_rel.get("errors", {}))
-            + sorted(sf10_corp.get("errors", {}))
-            + sorted(sf10_ann.get("errors", {}))
+    if "--enforce" in sys.argv and at_sf01 and gates["fail"]:
+        print(
+            "GATE FAIL: vs_duckdb_live_total={} regressions={} errors={}"
+            " sf1_breaches={} sf1_errors={} sf10_breaches={} sf10_errors={}"
+            " stream_breaches={} stream_errors={}".format(
+                out["vs_duckdb_live_total"],
+                regressions,
+                sorted(errors),
+                sf1_breaches,
+                gates["sf1_errors"],
+                sf10_breaches,
+                gates["sf10_errors"],
+                stream_breaches,
+                gates["stream_errors"],
+            ),
+            file=sys.stderr,
         )
-        stream_errs = sorted(stream_spot.get("errors", {}))
-        # a stanza that died WHOLESALE (fixture build, import) leaves only
-        # a top-level "error" — that must fail the gate too, not slip past
-        # as an empty per-query error dict
-        if "error" in sf1_spot:
-            sf1_errs.append("sf1_stanza")
-        for label, stanza in (
-            ("sf10_relational_stanza", sf10_rel),
-            ("sf10_corpus_stanza", sf10_corp),
-            ("sf10_ann_stanza", sf10_ann),
-        ):
-            if "error" in stanza:
-                sf10_errs.append(label)
-        if "error" in stream_spot:
-            stream_errs.append("streaming_stanza")
-        if (
-            (live is not None and live > 2.0)
-            or regressions
-            or errors
-            or sf1_breaches
-            or sf1_errs
-            or sf10_breaches
-            or sf10_errs
-            or stream_breaches
-            or stream_errs
-        ):
-            print(
-                f"GATE FAIL: vs_duckdb_live_total={live} regressions={regressions}"
-                f" errors={sorted(errors)} sf1_breaches={sf1_breaches}"
-                f" sf1_errors={sf1_errs} sf10_breaches={sf10_breaches}"
-                f" sf10_errors={sf10_errs} stream_breaches={stream_breaches}"
-                f" stream_errors={stream_errs}",
-                file=sys.stderr,
-            )
-            sys.exit(1)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

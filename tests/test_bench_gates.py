@@ -1,0 +1,122 @@
+"""Unit tests for bench.collect_gates — the --enforce decision logic,
+factored out of main() so a gating hole (like the stanza-wholesale-error
+one that survived two rounds) is caught here instead of needing a
+12-minute end-to-end bench run."""
+
+from bench import GATE_DENOM_FLOOR, SF10_SCALING_LIMIT, collect_gates
+
+
+def _green_record() -> dict:
+    return {
+        "vs_duckdb_live_total": 1.2,
+        "sf1_spot": {
+            "vs_duckdb_live": {"t05": 0.4, "q01": 3.0},
+            "duckdb_live": {"t05": 4.0, "q01": 0.01},  # q01 under the floor
+            "errors": {},
+        },
+        "sf10_relational": {
+            "spark_scaling_vs_sf1": {"q01": 1.4},
+            "vs_duckdb_live": {"q01": 9.0},  # scaling-gated, ratio exempt
+            "duckdb_live": {"q01": 0.6},
+            "errors": {},
+        },
+        "sf10_corpus": {"spark_scaling_vs_sf1": {"t40": 4.4}, "errors": {}},
+        "sf10_ann": {"spark_scaling_vs_sf1": {"build": 3.0, "serve": 1.2}, "errors": {}},
+        "streaming": {"breaches": [], "errors": {}},
+    }
+
+
+def test_all_green_passes_and_attaches_lists():
+    out = _green_record()
+    gates = collect_gates(out, [], {})
+    assert gates["fail"] is False
+    assert gates["sf1_breaches"] == []
+    assert gates["sf10_breaches"] == []
+    assert gates["stream_breaches"] == []
+    # the JSON record carries the (empty) verdicts per stanza
+    assert out["sf1_spot"]["breaches"] == []
+    assert out["sf1_spot"]["gate_denom_floor"] == GATE_DENOM_FLOOR
+    assert out["sf10_relational"]["scaling_breaches"] == []
+    assert out["sf10_corpus"]["scaling_breaches"] == []
+    assert out["sf10_ann"]["scaling_breaches"] == []
+
+
+def test_sub_floor_ratio_is_reported_not_gated():
+    out = _green_record()
+    # q01's 3.0x ratio sits on a 10 ms denominator — job-launch floor,
+    # not plan cost; must NOT breach. t05's compute-bound 4 s denominator
+    # at 2.5x MUST breach.
+    out["sf1_spot"]["vs_duckdb_live"]["t05"] = 2.5
+    gates = collect_gates(out, [], {})
+    assert gates["sf1_breaches"] == ["t05"]
+    assert gates["fail"] is True
+
+
+def test_sf10_scaling_breaches_aggregate_across_stanzas():
+    out = _green_record()
+    out["sf10_corpus"]["spark_scaling_vs_sf1"]["t40"] = SF10_SCALING_LIMIT + 0.1
+    out["sf10_ann"]["spark_scaling_vs_sf1"]["build"] = 7.0
+    gates = collect_gates(out, [], {})
+    assert gates["sf10_breaches"] == ["t40", "ann_build"]
+    assert out["sf10_corpus"]["scaling_breaches"] == ["t40"]
+    assert out["sf10_ann"]["scaling_breaches"] == ["ann_build"]
+    assert gates["fail"] is True
+
+
+def test_sf10_relational_ratio_gates_only_unscaled_queries():
+    out = _green_record()
+    # q01 has a scaling entry → its live ratio is exempt (already green);
+    # q99 has only a compute-bound ratio → it gates
+    out["sf10_relational"]["vs_duckdb_live"]["q99"] = 2.5
+    out["sf10_relational"]["duckdb_live"]["q99"] = 0.7
+    gates = collect_gates(out, [], {})
+    assert gates["sf10_breaches"] == ["q99"]
+
+
+def test_wholesale_stanza_error_fails_gate():
+    for stanza, bucket, label in (
+        ("sf1_spot", "sf1_errors", "sf1_stanza"),
+        ("sf10_relational", "sf10_errors", "sf10_relational_stanza"),
+        ("sf10_corpus", "sf10_errors", "sf10_corpus_stanza"),
+        ("sf10_ann", "sf10_errors", "sf10_ann_stanza"),
+        ("streaming", "stream_errors", "streaming_stanza"),
+    ):
+        out = _green_record()
+        out[stanza] = {"error": "OSError: fixture build died"}
+        gates = collect_gates(out, [], {})
+        assert label in gates[bucket], (stanza, gates)
+        assert gates["fail"] is True, stanza
+
+
+def test_streaming_breaches_and_per_query_errors_fail_gate():
+    out = _green_record()
+    out["streaming"]["breaches"] = ["user_totals_parity"]
+    gates = collect_gates(out, [], {})
+    assert gates["stream_breaches"] == ["user_totals_parity"]
+    assert gates["fail"] is True
+
+    out = _green_record()
+    out["sf1_spot"]["errors"] = {"t05": "AnalysisException: boom"}
+    gates = collect_gates(out, [], {})
+    assert gates["sf1_errors"] == ["t05"]
+    assert gates["fail"] is True
+
+
+def test_headline_conditions_fail_gate():
+    out = _green_record()
+    out["vs_duckdb_live_total"] = 2.1
+    assert collect_gates(out, [], {})["fail"] is True
+
+    assert collect_gates(_green_record(), ["q01"], {})["fail"] is True
+    assert collect_gates(_green_record(), [], {"q01": "err"})["fail"] is True
+    # a missing live total (all-error run) must not crash or pass silently
+    out = _green_record()
+    out["vs_duckdb_live_total"] = None
+    out["streaming"]["breaches"] = ["x"]
+    assert collect_gates(out, [], {})["fail"] is True
+
+
+def test_missing_stanzas_are_tolerated():
+    gates = collect_gates({"vs_duckdb_live_total": 1.0}, [], {})
+    assert gates["fail"] is False
+    assert gates["sf10_breaches"] == []
