@@ -6,7 +6,9 @@ State = (n_events, sum_value_cents) per user; each micro-batch folds its
 rows into state and emits the updated totals. On a bounded file stream
 drained in one batch the emitted rows equal the batch groupBy — which is
 what the oracle checks. At scale the same operator runs over Kafka with
-watermark-driven state eviction (add GroupStateTimeout.EventTimeTimeout)."""
+watermark-driven state eviction: :func:`stream_user_totals_ttl` is that
+production form (``GroupStateTimeout.EventTimeTimeout``, closed-row emit
+on eviction, state bounded by the keys active in the ttl horizon)."""
 
 from __future__ import annotations
 
@@ -62,6 +64,82 @@ def stream_user_totals(
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"stream_state_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+_TTL_OUT_SCHEMA = (
+    "user_id bigint, n_events bigint, sum_value double, closed boolean"
+)
+
+
+def stream_user_totals_ttl(
+    spark: SparkSession,
+    sf_dir: str,
+    ttl_ms: int = 3_600_000,
+    delay: str = "0 seconds",
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Per-user totals with WATERMARK-BOUNDED state — the production form
+    of :func:`stream_user_totals`, whose ``NoTimeout`` state grows with
+    total key cardinality forever. ``GroupStateTimeout.EventTimeTimeout``
+    evicts a user once the watermark passes (last event + ``ttl_ms``): the
+    kernel is invoked with ``hasTimedOut`` set, emits a final
+    ``closed=true`` row, and removes the state, so resident state is
+    bounded by the keys ACTIVE inside the ttl horizon. A user reappearing
+    after eviction restarts from zero — running rows emit ``closed=false``.
+
+    Same nested-kernel/cloudpickle rationale as :func:`stream_user_totals`."""
+
+    def update(
+        key, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, sum_cents = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [sum_cents / 100.0],
+                    "closed": [True],
+                }
+            )
+            return
+        n, sum_cents = state.get if state.exists else (0, 0)
+        last_ms = 0
+        for pdf in batches:
+            n += len(pdf)
+            sum_cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+            # pandas Timestamp.value is ns since epoch
+            last_ms = max(last_ms, int(pdf["ts"].max().value // 1_000_000))
+        state.update((n, sum_cents))
+        state.setTimeoutTimestamp(last_ms + ttl_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [sum_cents / 100.0],
+                "closed": [False],
+            }
+        )
+
+    src = read_events_stream(
+        spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+    ).select("ts", "user_id", "value").withWatermark("ts", delay)
+    out = src.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_TTL_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
     name = f"stream_state_{uuid.uuid4().hex[:8]}"
     q = out.writeStream.outputMode("update").format("memory").queryName(name).start()

@@ -1040,6 +1040,44 @@ def test_interval_join_matches_across_microbatches(spark, tmp_path_factory):
     assert got == [(1, 0, 1)]
 
 
+def test_event_time_timeout_evicts_state(spark, tmp_path_factory):
+    """Watermark-bounded state: EventTimeTimeout must EVICT a user's state
+    once the watermark passes last-event + ttl — the kernel emits a final
+    closed=true row and a reappearing user restarts from ZERO (state
+    really removed, not merely hidden). This is the claim the scale story
+    makes for applyInPandasWithState's 100 TB footprint (resident state ~
+    keys active in the ttl horizon, not all keys ever seen)."""
+    from dask_lightgbm_spark.streaming.sessions import stream_user_totals_ttl
+
+    # watermark advances at END of each batch, so: user 1's timeout
+    # (minute 1 + 30 min ttl = 31) is passed once batch 2 (minute 120)
+    # commits; batch 3's processing then fires the timeout.
+    batches = [
+        [(1, 0, 1.0), (1, 1, 1.0)],  # user 1: n=2
+        [(2, 120, 1.0)],  # advances watermark to 120 min
+        [(3, 121, 1.0)],  # processing fires user 1's timeout
+        [(1, 122, 1.0)],  # user 1 reappears — must restart from zero
+    ]
+    sf, _ = _write_event_batches(tmp_path_factory, "xttl", batches)
+    got = stream_user_totals_ttl(
+        spark,
+        sf,
+        ttl_ms=30 * 60_000,
+        glob="events_*.parquet",
+        max_files_per_trigger=1,
+    ).collect()
+    by_user: dict[int, list[tuple[int, float, bool]]] = {}
+    for r in got:
+        by_user.setdefault(int(r.user_id), []).append(
+            (int(r.n_events), r.sum_value, bool(r.closed))
+        )
+    # user 1: running total, evicted-closed row, then restart from zero
+    assert by_user[1] == [(2, 2.0, False), (2, 2.0, True), (1, 1.0, False)]
+    # users 2/3: still inside their ttl horizon at drain end — open only
+    assert by_user[2] == [(1, 1.0, False)]
+    assert by_user[3] == [(1, 1.0, False)]
+
+
 def test_hourly_agg_folds_across_microbatches(spark, tmp_path_factory):
     """Complete-mode windowed agg folded across 3 real micro-batches (the
     bench's streaming-stanza drain shape): the final snapshot must equal a
