@@ -366,22 +366,26 @@ STREAM_SCALE = 10  # 10x the sf0.1 events = 1M rows
 STREAM_MICRO_LIMIT = 8.0
 
 
-def ensure_stream_events(src_dir: str) -> str:
+def ensure_stream_events(src_dir: str, scale: int = STREAM_SCALE) -> str:
     """Materialize the streaming-stanza fixture: the sf0.1 events replicated
-    ``STREAM_SCALE``x (event ids shifted, ts/user unchanged — 10x the bus
+    ``scale``x (event ids shifted, ts/user unchanged — ``scale``x the bus
     density), split into ``STREAM_FILES`` contiguous EVENT-TIME ranges with
     strictly increasing file mtimes. The file source orders micro-batches by
     modification time, so a ``maxFilesPerTrigger=1`` drain replays the month
     in time order — how a file-landing event bus actually arrives. Same
-    fingerprint-cache contract as :func:`ensure_sf1`."""
+    fingerprint-cache contract as :func:`ensure_sf1`. The default scale is
+    the stanza's 1M-row fixture; ``scale=STREAM_SCALE * 10`` (10M rows)
+    backs the streaming scaling leg and lands in its own cache dir."""
     out = os.environ.get("SPARK_GRAFT_STREAM_DIR", "/tmp/dls_bench_stream")
+    if scale != STREAM_SCALE:
+        out = f"{out}_x{scale}"
     marker = os.path.join(out, "_DONE")
     src = os.path.join(src_dir, "events.parquet")
     dim = os.path.join(src_dir, "customer.parquet")
     fp = (
         f"events:{os.path.getmtime(src)}:{os.path.getsize(src)}"
         f":cust:{os.path.getmtime(dim)}:{os.path.getsize(dim)}"
-        f":x{STREAM_SCALE}/{STREAM_FILES}"
+        f":x{scale}/{STREAM_FILES}"
     )
     if os.path.exists(marker):
         with open(marker) as fh:
@@ -400,7 +404,7 @@ def ensure_stream_events(src_dir: str) -> str:
                value, props,
                ntile({STREAM_FILES}) OVER (ORDER BY ts, event_id) AS part
         FROM read_parquet('{src}'),
-             (SELECT unnest(generate_series(0, {STREAM_SCALE - 1})) AS k)""")
+             (SELECT unnest(generate_series(0, {scale - 1})) AS k)""")
     for i in range(STREAM_FILES):
         con.sql(f"""
             COPY (SELECT event_id, ts, user_id, event_type, value, props
@@ -449,9 +453,9 @@ def _stream_bench(spark, src_dir: str) -> dict:
     d = ensure_stream_events(src_dir)
     glob = "events_*.parquet"
 
-    def batch_src():
+    def batch_src(from_dir: str = d):
         return normalize_event_time(
-            spark.read.option("pathGlobFilter", glob).parquet(d)
+            spark.read.option("pathGlobFilter", glob).parquet(from_dir)
         )
 
     n_rows = batch_src().count()
@@ -459,9 +463,9 @@ def _stream_bench(spark, src_dir: str) -> dict:
         F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / F.lit(100.0)
     ).alias("sum_value")
 
-    def batch_hourly():
+    def batch_hourly(from_dir: str = d):
         return (
-            batch_src()
+            batch_src(from_dir)
             .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
             .agg(F.count(F.lit(1)).alias("n"), cents_sum)
             .toPandas()
@@ -555,11 +559,68 @@ def _stream_bench(spark, src_dir: str) -> dict:
         except Exception as exc:  # noqa: BLE001 — the stanza degrades, not crashes
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"# streaming {name}: ERROR {type(exc).__name__}", file=sys.stderr)
+
+    # scaling leg: the streaming family's 10x-data datapoint — the windowed
+    # agg micro-drained at 10M rows. State cardinality is volume-invariant
+    # ((hour, type) domain), so the curve isolates the per-row machinery:
+    # gate micro(10x)/micro(1x) < SF10_SCALING_LIMIT, parity still exact.
+    # One pipeline only — the other two share the same source/state-store/
+    # sink machinery, and the stanza already costs ~1 min.
+    scaling_10x = None
+    if "hourly_agg" in results and results["hourly_agg"].get("micro"):
+        try:
+            d10 = ensure_stream_events(src_dir, scale=STREAM_SCALE * 10)
+
+            def micro_at(from_dir: str):
+                return stream_hourly_aggregate(
+                    spark, from_dir, glob=glob, max_files_per_trigger=1
+                ).toPandas()
+
+            t10, p10 = tmin(lambda: micro_at(d10), runs=1)
+            base = results["hourly_agg"]["micro"]
+            scaling_10x = round(t10 / base, 2)
+            if scaling_10x > SF10_SCALING_LIMIT:
+                # adjacent re-pair (same rationale as the sf10 stanzas)
+                tb, _ = tmin(lambda: micro_at(d), runs=1)
+                t10b, p10 = tmin(lambda: micro_at(d10), runs=1)
+                base, t10 = min(base, tb), min(t10, t10b)
+                scaling_10x = round(t10 / base, 2)
+            pb10 = batch_hourly(d10)
+            keys10 = ["hour", "event_type"]
+            parity10 = (
+                p10.sort_values(keys10)
+                .reset_index(drop=True)
+                .equals(pb10.sort_values(keys10).reset_index(drop=True))
+            )
+            results["hourly_agg_10x"] = {
+                "rows": n_rows * 10,
+                "micro": t10,
+                "scaling_vs_1x": scaling_10x,
+                "rows_per_sec_micro": int(n_rows * 10 / t10) if t10 else None,
+                "parity": parity10,
+            }
+            if not parity10:
+                breaches.append("hourly_agg_10x_parity")
+            if scaling_10x > SF10_SCALING_LIMIT:
+                breaches.append("hourly_agg_10x_scaling")
+            print(
+                f"# streaming hourly_agg_10x: micro {t10:.2f}s "
+                f"(x{scaling_10x} vs 1x, parity {parity10})",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors["hourly_agg_10x"] = f"{type(exc).__name__}: {exc}"[:300]
+            print(
+                f"# streaming hourly_agg_10x: ERROR {type(exc).__name__}",
+                file=sys.stderr,
+            )
+
     return {
         "sf": 1.0,
         "rows": n_rows,
         "files": STREAM_FILES,
         "micro_limit": STREAM_MICRO_LIMIT,
+        "scaling_limit_10x": SF10_SCALING_LIMIT,
         "pipelines": results,
         "breaches": sorted(breaches),
         "errors": errors,
