@@ -297,6 +297,7 @@ def train_lightgbm_barrier(
     time_out: int = DEFAULT_TIME_OUT,
     ingest: str = "matrix",
     sequence_batch_rows: int = 65536,
+    max_retries: int = 1,
     **fit_kwargs,
 ):
     """Train a LightGBM estimator across a barrier stage (reference
@@ -332,6 +333,12 @@ def train_lightgbm_barrier(
     reference where only workers that own parts participate
     (``worker_map``, core.py:113-117). Real LightGBM rejects 0-sample fit,
     so an empty task joining the ring would deadlock the rendezvous.
+
+    ``max_retries`` re-runs the whole (side-effect-free) training job when
+    Spark aborts the barrier stage — barrier ResultStages are never
+    stage-retried by the scheduler, so without this a single lost task
+    kills a multi-hour distributed fit (tests/test_fault_tolerance.py pins
+    both the abort at ``max_retries=0`` and the recovery at the default).
     """
     if not _HAVE_LGBM:
         raise RuntimeError(
@@ -510,7 +517,31 @@ def train_lightgbm_barrier(
         if rank == 0:  # first data-holding task returns the model (core.py:77-80)
             yield pd.DataFrame({"model": [pickle.dumps(model)]})
 
-    out = part.mapInPandas(_train_task, "model binary", barrier=True).collect()
+    # Barrier ResultStage failures are NOT stage-retried by Spark: the
+    # scheduler aborts the job on the first failed barrier task ("Could not
+    # recover from a failed barrier ResultStage" — partial results may
+    # already sit driver-side, so there is nothing to roll back to). At
+    # 1000 executors over a multi-hour fit, a lost task is routine, so the
+    # trainer retries the WHOLE training job app-side: it is idempotent by
+    # construction (no side effects until the model returns; each attempt
+    # rebuilds its own socket ring, and the failed attempt's ring died with
+    # its python workers / the finally-clause LGBM_NetworkFree). Only
+    # barrier-stage aborts are retried (Spark cannot tell a lost executor
+    # from a deterministic task raise — both abort the stage — so a truly
+    # deterministic failure burns the retry budget, then re-raises);
+    # non-barrier errors (driver-side, analysis) re-raise immediately.
+    out = None
+    for attempt in range(int(max_retries) + 1):
+        # a FRESH DataFrame per attempt: re-collecting the same one would
+        # reuse its QueryExecution, whose adaptive plan holds the failed
+        # stage state and rethrows without launching a new job
+        train = part.mapInPandas(_train_task, "model binary", barrier=True)
+        try:
+            out = train.collect()
+            break
+        except Exception as exc:  # noqa: BLE001 — classify, retry or re-raise
+            if attempt >= max_retries or "barrier" not in str(exc).lower():
+                raise
     if not out:
         raise RuntimeError("barrier training returned no model")
     fitted = pickle.loads(out[0].model)
