@@ -53,6 +53,7 @@ class _SparkLGBMBase:
         num_classes: int | None = None,
         seed: int = 42,
         ingest: str = "matrix",
+        max_retries: int = 1,
         **extra_params,
     ):
         self.n_estimators = n_estimators
@@ -73,6 +74,9 @@ class _SparkLGBMBase:
         # 'matrix' (sklearn fit on a preallocated copy, ≈1.5× peak) or
         # 'sequence' (stream blocks into lightgbm.Dataset, ≈1.0× peak)
         self.ingest = ingest
+        # app-level re-runs of the training job on barrier-stage aborts
+        # (Spark never stage-retries barrier ResultStages; see core)
+        self.max_retries = max_retries
         self.extra_params = extra_params
         self._model = None  # fitted driver-local model (lightgbm or mllib)
         self._backend_used = None
@@ -181,6 +185,7 @@ class _SparkLGBMBase:
                 local_listen_port=self.local_listen_port,
                 time_out=self.time_out,
                 ingest=self.ingest,
+                max_retries=self.max_retries,
                 **fit_kwargs,
             )
             if self._is_classifier:

@@ -235,6 +235,13 @@ print("FAULT_TOLERANCE_OK")
 """
 
 
+def test_estimator_exposes_barrier_retry_knob():
+    from dask_lightgbm_spark.estimators import SparkLGBMClassifier
+
+    assert SparkLGBMClassifier().max_retries == 1  # resilient by default
+    assert SparkLGBMClassifier(max_retries=3).max_retries == 3
+
+
 def test_retry_determinism_under_injected_task_failures():
     env = dict(os.environ)
     env["PYTHONPATH"] = (
