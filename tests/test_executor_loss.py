@@ -133,3 +133,145 @@ def test_job_survives_executor_jvm_loss_mid_shuffle():
         f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-4000:]}"
     )
     assert "EXECUTOR_LOSS_RECOVERY_OK" in proc.stdout
+
+
+# ---------------------------------------------------------------------------
+# Stateful STREAMING under executor loss: the state store lives on
+# executors; killing one mid-drain forces the next trigger's state-store
+# task onto the survivor, which must reload the fold's state from the
+# checkpoint (snapshot + deltas) and continue bit-exact. A clean drain on
+# the same cluster first calibrates the kill delay AND supplies the
+# expected result from the identical code path; the pure-Python fold pins
+# both against ground truth.
+# ---------------------------------------------------------------------------
+
+STREAM_SCRIPT = """
+import os
+import signal
+import subprocess
+import threading
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import SparkSession
+
+from dask_lightgbm_spark.streaming.sessions import stream_user_totals
+
+spark = (
+    SparkSession.builder.master("local-cluster[2,1,1200]")
+    .appName("stream-executor-loss")
+    .config("spark.executor.memory", "1g")
+    .config("spark.driver.memory", "2g")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
+    .getOrCreate()
+)
+
+BATCHES, USERS, BASE_US = 12, 4, 1_700_000_000_000_000
+roots = []
+for drain in ("clean", "chaos"):
+    root = f"/tmp/exloss_stream_{os.getpid()}_{drain}"
+    os.makedirs(root)
+    roots.append(root)
+    eid = 0
+    for b in range(BATCHES):
+        rows = [(eid + u, BASE_US + (b * 60 + u) * 1_000_000, u % USERS,
+                 "view", (b * USERS + u) * 0.25, "{}") for u in range(USERS)]
+        eid += len(rows)
+        pq.write_table(
+            pa.table({
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }),
+            f"{root}/events_{b:02d}.parquet",
+        )
+
+# independent pure-Python fold of the same construction rule
+expected = {}
+for b in range(BATCHES):
+    for u in range(USERS):
+        n, c = expected.get(u % USERS, (0, 0))
+        expected[u % USERS] = (n + 1, c + round((b * USERS + u) * 0.25 * 100))
+expected = {str(u): [n, c / 100.0] for u, (n, c) in expected.items()}
+
+
+def finals_of(df):
+    out = {}
+    for r in df.collect():
+        if r.user_id not in out or r.n_events > out[r.user_id][0]:
+            out[r.user_id] = [r.n_events, r.sum_value]
+    return {str(u): v for u, v in out.items()}
+
+
+def drain(root):
+    return finals_of(stream_user_totals(
+        spark, root, glob="events_*.parquet", max_files_per_trigger=1
+    ))
+
+
+def executor_pids():
+    out = subprocess.run(
+        ["ps", "-eo", "pid,args"], capture_output=True, text=True
+    ).stdout
+    pids = []
+    for line in out.splitlines():
+        pid, _, args = line.strip().partition(" ")
+        if "CoarseGrainedExecutorBackend" in args and "java" in args.split()[0]:
+            pids.append(int(pid))
+    return [p for p in pids if p != os.getpid()]
+
+
+deadline = time.time() + 60
+while len(executor_pids()) < 2 and time.time() < deadline:
+    time.sleep(0.5)
+assert len(executor_pids()) >= 2
+
+t0 = time.time()
+clean = drain(roots[0])
+t_clean = time.time() - t0
+assert clean == expected, (clean, expected)
+
+killed = {}
+
+
+def kill_one_executor(delay):
+    time.sleep(delay)
+    pids = executor_pids()
+    if pids:
+        os.kill(pids[0], signal.SIGKILL)
+        killed["pid"] = pids[0]
+
+
+t = threading.Thread(
+    target=kill_one_executor, args=(max(2.0, t_clean * 0.4),), daemon=True
+)
+t.start()
+chaos = drain(roots[1])
+t.join()
+
+assert "pid" in killed, "killer never fired"
+assert killed["pid"] not in executor_pids()
+assert chaos == expected, (chaos, expected)
+print("STREAM_EXECUTOR_LOSS_OK", killed["pid"])
+"""
+
+
+def test_stateful_stream_survives_executor_jvm_loss_mid_drain():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-c", STREAM_SCRIPT],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, (
+        f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-4000:]}"
+    )
+    assert "STREAM_EXECUTOR_LOSS_OK" in proc.stdout
