@@ -156,8 +156,11 @@ def q03_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q04 — multi-way join with broadcast dims: revenue per region/nation.
-# supplier/nation/region are tiny → broadcast (no shuffle of lineitem
-# beyond the final groupBy); at 100 TB the same plan holds.
+# nation/region are CONSTANT-size → forced broadcast at any SF. supplier
+# GROWS with SF, so it gets no hint: Catalyst auto-broadcasts it below
+# spark.sql.autoBroadcastJoinThreshold (every local fixture) and falls
+# back to a shuffle join at the SF where a forced broadcast would OOM —
+# lineitem shuffles only beyond that point, plus the final groupBy.
 # ---------------------------------------------------------------------------
 
 _Q04_SQL = """
@@ -183,7 +186,7 @@ def q04_join_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ep_c = _cents(F.col("l_extendedprice"))
     disc_c = _pct(F.col("l_discount"))
     return (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
@@ -551,7 +554,7 @@ def q18_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_c = _pct(F.col("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg((F.sum(ep_c * (F.lit(100) - disc_c)).cast("double") / F.lit(10000.0)).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -888,7 +891,7 @@ def q29_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _cents(F.col("l_extendedprice")) * (F.lit(100) - _pct(F.col("l_discount")))
     promo = F.when(F.col("p_type").like("ECONOMY%"), rev).otherwise(F.lit(0))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .agg(
             (F.sum(promo).cast("double") / F.sum(rev).cast("double")).alias("promo_frac"),
             F.count(F.lit(1)).alias("n"),
@@ -923,7 +926,7 @@ def q30_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#33") & F.col("p_size").between(20, 50) & q.between(20, 50))
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -1530,7 +1533,7 @@ def q49_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count_if(F.col("o_orderstatus") == "F").alias("n_filled"),
@@ -2159,9 +2162,11 @@ def q63_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q64 — TPC-H Q9 shape (product-type profit by nation and year): lineitem
-# joins FOUR dimensions. The scale story: part/supplier/nation are all
-# broadcast (the fact table is never shuffled for them); the only shuffle
-# is the lineitem⋈orders equi-join on orderkey. The fixture has no
+# joins FOUR dimensions. The scale story: nation (constant) is
+# hint-broadcast; part/supplier (SF-growing) join unhinted — planner-
+# broadcast while under the threshold, shuffle-joined at the SF where a
+# forced broadcast would OOM. The only always-shuffle is the
+# lineitem⋈orders equi-join on orderkey. The fixture has no
 # partsupp, so supply cost is modeled as 10% of p_retailprice — profit =
 # extprice·(1-disc) - 0.1·retailprice·qty, all in exact 1e-4-dollar int64
 # units per the fixed-point contract.
@@ -2199,8 +2204,8 @@ def q64_tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_retailprice")
     ) * F.lit(10)
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
@@ -2518,11 +2523,11 @@ def q69_global_sorted_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 # revenue flows classified by SUPPLIER nation × CUSTOMER nation, i.e. two
 # independent joins against the same dimension (nation) under different
 # roles — the classic self-dimension aliasing query. Scale: nation/region
-# are broadcast twice (aliased), supplier is broadcast, so the fact table
-# shuffles exactly twice — lineitem⋈orders on orderkey, then ⋈customer on
-# custkey — the minimum for this shape (customer is data-sized, NOT
-# broadcast). Revenue is exact int64 fixed-point per the determinism
-# contract.
+# are hint-broadcast twice (aliased, constant size); supplier joins
+# unhinted (planner-broadcast while small); the fact table shuffles
+# exactly twice — lineitem⋈orders on orderkey, then ⋈customer on custkey
+# — the minimum for this shape (customer is data-sized, NOT broadcast).
+# Revenue is exact int64 fixed-point per the determinism contract.
 # ---------------------------------------------------------------------------
 
 _Q70_SQL = """
@@ -2576,7 +2581,7 @@ def q70_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(100) - _pct(F.col("l_discount"))
     )
     return (
-        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        l.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("supp_nationkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
@@ -2655,9 +2660,9 @@ def q71_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 # numerator and denominator are exact int64 sums, and the share is ONE
 # division of those two integers — bit-identical across engines (IEEE 754
 # division is exactly specified given identical operands). Part filter
-# pushed to the part scan and broadcast; customer-side region restriction
-# rides the broadcast nation dim; the fact shuffles on orderkey/custkey
-# only.
+# pushed to the part scan (planner-broadcast while small); customer-side
+# region restriction rides the hint-broadcast nation dim; the fact
+# shuffles on orderkey/custkey only.
 # ---------------------------------------------------------------------------
 
 _Q72_SQL = """
@@ -2714,8 +2719,8 @@ def q72_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(100) - _pct(F.col("l_discount"))
     )
     vol = (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("supp_nationkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
@@ -2888,8 +2893,9 @@ def q74_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a declarative battery of integrity checks — referential (FK anti-joins),
 # domain ranges, sign rules, key uniqueness — each evaluated as ONE
 # aggregate pass and unioned into a single report. Scale: every check is
-# scan+agg (no row-level output, counts only); the FK checks are LEFT ANTI
-# joins whose dim side broadcasts; the PK-uniqueness check is one groupBy
+# scan+agg (no row-level output, counts only); the FK checks are LEFT
+# ANTI joins whose parent-key side the planner broadcasts while small
+# (both parents grow with SF, so no forced hint); the PK check is one groupBy
 # on the candidate key. The fixture genuinely fails two checks (negative
 # balances, duplicate (orderkey, linenumber) pairs) and passes the FK
 # checks — the audit finds real findings, it doesn't rubber-stamp.
@@ -2958,7 +2964,7 @@ def q75_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1),
         ),
         # FK: count rows whose key has no match — LEFT ANTI against the
-        # broadcast parent key set
+        # parent key set (planner-broadcast while under the threshold)
         l.join(
             o.select("o_orderkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
@@ -2989,7 +2995,7 @@ def q75_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         check("lineitem_quantity_max45", l, F.col("l_quantity") > 45),
         o.join(
-            F.broadcast(c.select("c_custkey")),
+            c.select("c_custkey"),
             F.col("o_custkey") == F.col("c_custkey"),
             "left_anti",
         )

@@ -450,7 +450,10 @@ def t13_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (a driver-side d.count() here would run a Spark job at plan-build time)
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        # df_ is VOCABULARY-sized (grows with the corpus) — no broadcast
+        # hint; the planner broadcasts it while under the threshold and
+        # shuffle-joins on term at the scale where it no longer fits
+        tf.join(df_, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
