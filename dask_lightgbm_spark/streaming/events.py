@@ -115,7 +115,13 @@ def stream_static_segment_totals(
     topology: dims in a warehouse table, facts on a bus). Complete-mode
     memory sink, drained synchronously. ``glob``/``max_files_per_trigger``
     pass through to the source (the micro-batched path re-broadcasts the
-    dim per batch — exactly the cost the bench's streaming stanza measures)."""
+    dim per batch — exactly the cost the bench's streaming stanza measures).
+
+    Scale note: the hint is right while the dim fits the broadcast
+    threshold (every fixture SF; per-batch re-broadcast then amortizes
+    into the trigger). At the SF where customer outgrows it, drop the hint
+    — Spark shuffle-joins each micro-batch against the static side — or
+    pre-aggregate the dim to the segment columns actually joined."""
     from dask_lightgbm_spark.sources.readers import load_table
 
     src = read_events_stream(
