@@ -261,6 +261,122 @@ print("STREAM_EXECUTOR_LOSS_OK", killed["pid"])
 """
 
 
+# ---------------------------------------------------------------------------
+# Iterative algorithm + RELIABLE checkpoint under executor loss:
+# connected_components truncates per-round lineage with df.checkpoint()
+# when a checkpoint dir is set — the docstring claims that mode "survives
+# executor loss" (localCheckpoint blocks would die with the executor and
+# fail the job). Pin the claim: kill an executor mid-iteration on a
+# path-shaped graph (many cheap rounds); later rounds must recompute from
+# the on-disk checkpoint files and converge to the union-find answer.
+# ---------------------------------------------------------------------------
+
+CC_SCRIPT = """
+import os
+import signal
+import subprocess
+import threading
+import time
+
+from pyspark.sql import SparkSession
+
+from dask_lightgbm_spark.operators.components import connected_components
+
+spark = (
+    SparkSession.builder.master("local-cluster[2,1,1200]")
+    .appName("cc-executor-loss")
+    .config("spark.executor.memory", "1g")
+    .config("spark.driver.memory", "2g")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
+    .getOrCreate()
+)
+sc = spark.sparkContext
+sc.setCheckpointDir(f"/tmp/exloss_cc_ckpt_{os.getpid()}")
+
+# a 14-node path (13 propagation rounds) + a triangle + two singletons:
+# the path forces MANY rounds, giving the kill a wide window to land in
+PATH = [(i, i + 1) for i in range(13)]
+TRI = [(20, 21), (21, 22), (22, 20)]
+NODES = list(range(14)) + [20, 21, 22, 30, 31]
+expected = sorted(
+    [(n, 0) for n in range(14)]
+    + [(20, 20), (21, 20), (22, 20), (30, 30), (31, 31)]
+)
+
+edges = spark.createDataFrame(PATH + TRI, "id_a long, id_b long")
+nodes = spark.createDataFrame([(n,) for n in NODES], "doc_id long")
+
+
+def run_cc():
+    return sorted(
+        (r.doc_id, r.component)
+        for r in connected_components(edges, nodes).collect()
+    )
+
+
+def executor_pids():
+    out = subprocess.run(
+        ["ps", "-eo", "pid,args"], capture_output=True, text=True
+    ).stdout
+    pids = []
+    for line in out.splitlines():
+        pid, _, args = line.strip().partition(" ")
+        if "CoarseGrainedExecutorBackend" in args and "java" in args.split()[0]:
+            pids.append(int(pid))
+    return [p for p in pids if p != os.getpid()]
+
+
+deadline = time.time() + 60
+while len(executor_pids()) < 2 and time.time() < deadline:
+    time.sleep(0.5)
+assert len(executor_pids()) >= 2
+
+t0 = time.time()
+assert run_cc() == expected  # clean run calibrates the kill delay
+t_clean = time.time() - t0
+
+killed = {}
+
+
+def kill_one_executor(delay):
+    time.sleep(delay)
+    pids = executor_pids()
+    if pids:
+        os.kill(pids[0], signal.SIGKILL)
+        killed["pid"] = pids[0]
+
+
+t = threading.Thread(
+    target=kill_one_executor, args=(max(2.0, t_clean * 0.4),), daemon=True
+)
+t.start()
+got = run_cc()
+t.join()
+
+assert "pid" in killed, "killer never fired"
+assert killed["pid"] not in executor_pids()
+assert got == expected, got
+print("CC_EXECUTOR_LOSS_OK", killed["pid"])
+"""
+
+
+def test_checkpointed_components_survive_executor_jvm_loss():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-c", CC_SCRIPT],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, (
+        f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-4000:]}"
+    )
+    assert "CC_EXECUTOR_LOSS_OK" in proc.stdout
+
+
 def test_stateful_stream_survives_executor_jvm_loss_mid_drain():
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
