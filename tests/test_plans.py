@@ -32,6 +32,43 @@ def test_dim_joins_broadcast(spark, sf_dir):
     assert has_broadcast_join(df)
 
 
+def test_sf_growing_dims_follow_threshold_hinted_dims_do_not(spark, sf_dir):
+    """Broadcast policy (r9s4): SF-GROWING dims (supplier/part/customer)
+    join UNHINTED — the planner broadcasts them from file stats while they
+    fit and degrades to a shuffle join past the threshold, where a forced
+    hint would OOM the driver. Constant-size nation/region keep their
+    F.broadcast hints. Pin both halves by disabling auto-broadcast on q04:
+    the supplier join must flip to a non-broadcast join, while the hinted
+    nation/region joins must stay BroadcastHashJoin regardless."""
+    import re
+
+    from dask_lightgbm_spark.plans.explain import formatted_plan
+
+    orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    orig_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        plan = formatted_plan(
+            all_queries()["q04_join_nation_revenue"](spark, sf_dir)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", orig_aqe)
+    joins = re.findall(
+        r"^\(\d+\) (BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)",
+        plan,
+        re.MULTILINE,
+    )
+    # exactly one non-broadcast join (lineitem⋈supplier, following the
+    # threshold) and the two hinted dims still broadcast
+    assert sorted(joins) == [
+        "BroadcastHashJoin",
+        "BroadcastHashJoin",
+        "SortMergeJoin",
+    ], joins
+
+
 def test_topk_is_take_ordered(spark, sf_dir):
     """Global sort+limit must compile to TakeOrderedAndProject, not a full
     sort — the difference between O(n log k) per partition and a global
