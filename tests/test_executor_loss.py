@@ -262,6 +262,138 @@ print("STREAM_EXECUTOR_LOSS_OK", killed["pid"])
 
 
 # ---------------------------------------------------------------------------
+# Executor JVM loss MID-DISTRIBUTED-TRAINING: kills the whole barrier
+# story end-to-end. A dead executor aborts the barrier ResultStage (Spark
+# never retries those); the trainer's app-level max_retries must re-run
+# the training job once the standalone worker relaunches the executor —
+# the barrier scheduler waits for the slots to come back (periodic slot
+# re-check), then the retry builds a fresh socket ring and fits. Chaos =
+# the stub fit SLEEPS on the first attempt (marker file) so the kill
+# lands mid-fit; the retry's fit is immediate.
+# ---------------------------------------------------------------------------
+
+TRAIN_SCRIPT = """
+import os
+import signal
+import subprocess
+import threading
+import time
+
+import numpy as np
+import pandas as pd
+
+import lightgbm  # stub via PYTHONPATH
+
+from pyspark.sql import SparkSession
+
+from dask_lightgbm_spark import core
+
+spark = (
+    SparkSession.builder.master("local-cluster[2,1,1200]")
+    .appName("train-executor-loss")
+    .config("spark.executor.memory", "1g")
+    .config("spark.driver.memory", "2g")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
+    .getOrCreate()
+)
+assert core.have_lightgbm()
+
+MARKER = f"/tmp/exloss_train_{os.getpid()}_slow_once"
+
+
+def slow_once_factory(**params):
+    model = lightgbm.LGBMClassifier(**params)
+
+    def fit_slow(*a, **kw):
+        if not os.path.exists(MARKER):
+            if params.get("local_listen_port") == 12400:
+                with open(MARKER, "w") as f:
+                    f.write("armed")
+            time.sleep(10)  # hold attempt 0 open so the kill lands mid-fit
+        del model.fit  # restore the class method so the model pickles
+        return model.fit(*a, **kw)
+
+    model.fit = fit_slow
+    return model
+
+
+def executor_pids():
+    out = subprocess.run(
+        ["ps", "-eo", "pid,args"], capture_output=True, text=True
+    ).stdout
+    pids = []
+    for line in out.splitlines():
+        pid, _, args = line.strip().partition(" ")
+        if "CoarseGrainedExecutorBackend" in args and "java" in args.split()[0]:
+            pids.append(int(pid))
+    return [p for p in pids if p != os.getpid()]
+
+
+deadline = time.time() + 60
+while len(executor_pids()) < 2 and time.time() < deadline:
+    time.sleep(0.5)
+before = executor_pids()
+assert len(before) >= 2
+
+killed = {}
+
+
+def kill_one_executor():
+    # wait for the marker (attempt 0 is inside fit), then kill an executor
+    deadline = time.time() + 60
+    while not os.path.exists(MARKER) and time.time() < deadline:
+        time.sleep(0.2)
+    time.sleep(1.0)
+    pids = executor_pids()
+    if pids:
+        os.kill(pids[0], signal.SIGKILL)
+        killed["pid"] = pids[0]
+
+
+rng = np.random.default_rng(11)
+pdf = pd.DataFrame({
+    "f0": rng.normal(size=120), "f1": rng.normal(size=120),
+    "target": (rng.random(120) > 0.5).astype(float),
+})
+t = threading.Thread(target=kill_one_executor, daemon=True)
+t.start()
+model = core.train_lightgbm_barrier(
+    spark.createDataFrame(pdf),
+    feature_cols=["f0", "f1"], label_col="target",
+    model_factory=slow_once_factory, params={"n_estimators": 2},
+    num_workers=2,
+)
+t.join()
+
+assert "pid" in killed, "killer never fired"
+assert killed["pid"] not in executor_pids()
+assert model.fitted_rows_ > 0
+assert model.params["num_machines"] == 2, model.params
+print("TRAIN_EXECUTOR_LOSS_OK", killed["pid"])
+"""
+
+
+def test_training_survives_executor_jvm_loss_mid_fit():
+    env = dict(os.environ)
+    stubs = os.path.join(REPO, "tests", "stubs")
+    env["PYTHONPATH"] = (
+        stubs + os.pathsep + REPO + os.pathsep + env.get("PYTHONPATH", "")
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", TRAIN_SCRIPT],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, (
+        f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-4000:]}"
+    )
+    assert "TRAIN_EXECUTOR_LOSS_OK" in proc.stdout
+
+
+# ---------------------------------------------------------------------------
 # Iterative algorithm + RELIABLE checkpoint under executor loss:
 # connected_components truncates per-round lineage with df.checkpoint()
 # when a checkpoint dir is set — the docstring claims that mode "survives
