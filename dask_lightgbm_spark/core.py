@@ -531,7 +531,8 @@ def train_lightgbm_barrier(
     # deterministic failure burns the retry budget, then re-raises);
     # non-barrier errors (driver-side, analysis) re-raise immediately.
     out = None
-    for attempt in range(int(max_retries) + 1):
+    max_retries = max(0, int(max_retries))  # loop bound and re-raise agree
+    for attempt in range(max_retries + 1):
         # a FRESH DataFrame per attempt: re-collecting the same one would
         # reuse its QueryExecution, whose adaptive plan holds the failed
         # stage state and rethrows without launching a new job
