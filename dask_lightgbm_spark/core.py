@@ -283,6 +283,26 @@ def _booster_params(params: dict, is_classifier: bool, n_classes: int):
     return p, n_rounds
 
 
+# The DAGScheduler's abort signatures for a failed barrier stage. A bare
+# "barrier" substring is too wide: an unrelated exception that merely
+# mentions the word (a param name, a path) must NOT burn a multi-hour
+# re-fit. "Could not recover from a failed barrier ResultStage" is the
+# abort every failed/lost barrier task surfaces as; the allocation-check
+# signatures cover a retry racing executor replacement (slots temporarily
+# below the stage's requirement while the replacement registers).
+_BARRIER_ABORT_SIGNATURES = (
+    "could not recover from a failed barrier",
+    "barrierjobslotsnumbercheckfailed",
+    "barrierjoballocationfailed",
+    "requires more slots",
+)
+
+
+def _is_barrier_stage_abort(exc: BaseException) -> bool:
+    msg = str(exc).lower()
+    return any(sig in msg for sig in _BARRIER_ABORT_SIGNATURES)
+
+
 def train_lightgbm_barrier(
     df: DataFrame,
     feature_cols: list[str] | None,
@@ -541,7 +561,7 @@ def train_lightgbm_barrier(
             out = train.collect()
             break
         except Exception as exc:  # noqa: BLE001 — classify, retry or re-raise
-            if attempt >= max_retries or "barrier" not in str(exc).lower():
+            if attempt >= max_retries or not _is_barrier_stage_abort(exc):
                 raise
     if not out:
         raise RuntimeError("barrier training returned no model")

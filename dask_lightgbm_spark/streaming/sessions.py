@@ -77,6 +77,10 @@ def stream_user_totals(
 _TTL_OUT_SCHEMA = (
     "user_id bigint, n_events bigint, sum_value double, closed boolean"
 )
+# carries last_ms so a LATE (but in-watermark) batch can never move the
+# timeout backward: the eviction horizon is keyed to the max event time
+# ever seen for the key, not to whatever the current batch happens to hold
+_TTL_STATE_SCHEMA = "n bigint, sum_cents bigint, last_ms bigint"
 
 
 def stream_user_totals_ttl(
@@ -102,7 +106,7 @@ def stream_user_totals_ttl(
         key, batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
-            n, sum_cents = state.get
+            n, sum_cents, _ = state.get
             state.remove()
             yield pd.DataFrame(
                 {
@@ -113,15 +117,22 @@ def stream_user_totals_ttl(
                 }
             )
             return
-        n, sum_cents = state.get if state.exists else (0, 0)
-        last_ms = 0
+        n, sum_cents, last_ms = state.get if state.exists else (0, 0, 0)
         for pdf in batches:
             n += len(pdf)
             sum_cents += int(pdf["value"].mul(100).round().astype("int64").sum())
-            # pandas Timestamp.value is ns since epoch
+            # pandas Timestamp.value is ns since epoch; max() with the
+            # stored last_ms means a late batch never shrinks the horizon
             last_ms = max(last_ms, int(pdf["ts"].max().value // 1_000_000))
-        state.update((n, sum_cents))
-        state.setTimeoutTimestamp(last_ms + ttl_ms)
+        state.update((n, sum_cents, last_ms))
+        # setTimeoutTimestamp throws (killing the whole query) if the
+        # target is at/behind the current watermark — reachable whenever
+        # delay > 0 or ttl_ms is small and a late-but-in-watermark batch
+        # arrives. Clamp to watermark+1: the key is then evicted at the
+        # next watermark advance, the earliest legal moment.
+        state.setTimeoutTimestamp(
+            max(last_ms + ttl_ms, state.getCurrentWatermarkMs() + 1)
+        )
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
@@ -137,7 +148,7 @@ def stream_user_totals_ttl(
     out = src.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=_TTL_OUT_SCHEMA,
-        stateStructType=_STATE_SCHEMA,
+        stateStructType=_TTL_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -1078,6 +1078,78 @@ def test_event_time_timeout_evicts_state(spark, tmp_path_factory):
     assert by_user[3] == [(1, 1.0, False)]
 
 
+def test_ttl_late_batch_cannot_shrink_eviction_horizon(
+    spark, tmp_path_factory
+):
+    """Out-of-order regime (nonzero watermark delay, small ttl): a LATE but
+    in-watermark batch must not move a key's timeout BACKWARD. The eviction
+    horizon is last-event-ever + ttl, not last-batch-max + ttl — a kernel
+    that recomputes the timeout from only the current batch evicts user 1
+    after the minute-171 straggler (171+5 < the minute-200 watermark) and
+    the minute-202 event then restarts the count from zero. With last_ms
+    carried in state, user 1 stays open through the whole drain."""
+    from dask_lightgbm_spark.streaming.sessions import stream_user_totals_ttl
+
+    # delay 60 min, ttl 5 min; watermark advances at END of each batch:
+    # 140 / 170 / 170 / 200 / 201 after batches 1-5
+    batches = [
+        [(1, 200, 1.0)],  # u1 horizon = 205
+        [(2, 230, 1.0)],  # wm -> 170
+        [(1, 171, 1.0)],  # late straggler: batch-local horizon would be 176
+        [(3, 260, 1.0)],  # wm -> 200: 176 < 200 would evict u1 here
+        [(9, 261, 1.0)],  # timeout check vs wm=200 happens this batch
+        [(1, 202, 1.0)],  # in-watermark (wm=201): must fold into n=3
+    ]
+    sf, _ = _write_event_batches(tmp_path_factory, "xttl_late", batches)
+    got = stream_user_totals_ttl(
+        spark,
+        sf,
+        ttl_ms=5 * 60_000,
+        delay="60 minutes",
+        glob="events_*.parquet",
+        max_files_per_trigger=1,
+    ).collect()
+    u1 = [
+        (int(r.n_events), bool(r.closed))
+        for r in got
+        if int(r.user_id) == 1
+    ]
+    assert u1 == [(1, False), (2, False), (3, False)], u1
+
+
+def test_ttl_zero_with_delay_survives(spark, tmp_path_factory):
+    """ttl_ms=0 + nonzero delay puts the naive timeout (last_ms + 0) AT the
+    watermark whenever an event arrives exactly on it — setTimeoutTimestamp
+    throws on that, killing the whole query. The watermark+1 clamp keeps
+    the query alive; the key is simply evicted at the next advance."""
+    from dask_lightgbm_spark.streaming.sessions import stream_user_totals_ttl
+
+    batches = [
+        [(1, 100, 1.0)],  # wm -> 40
+        [(2, 160, 1.0)],  # wm -> 100
+        [(1, 100, 1.0)],  # event exactly AT the watermark, timeout = wm
+        [(3, 220, 1.0)],  # advances wm past the clamped timeout -> evict
+        [(4, 221, 1.0)],  # timeout check fires this batch
+    ]
+    sf, _ = _write_event_batches(tmp_path_factory, "xttl_zero", batches)
+    got = stream_user_totals_ttl(
+        spark,
+        sf,
+        ttl_ms=0,
+        delay="60 minutes",
+        glob="events_*.parquet",
+        max_files_per_trigger=1,
+    ).collect()
+    u1 = [
+        (int(r.n_events), bool(r.closed))
+        for r in got
+        if int(r.user_id) == 1
+    ]
+    # both open rows arrive, then the clamped timeout evicts with n=2
+    assert u1[:2] == [(1, False), (2, False)], u1
+    assert (2, True) in u1[2:], u1
+
+
 def test_hourly_agg_folds_across_microbatches(spark, tmp_path_factory):
     """Complete-mode windowed agg folded across 3 real micro-batches (the
     bench's streaming-stanza drain shape): the final snapshot must equal a

@@ -76,15 +76,22 @@ expected = sorted(
 
 
 def executor_pids():
+    # scope to THIS app's executors: every executor JVM carries the driver's
+    # unique scheduler endpoint in --driver-url, so a parallel test run (or
+    # any other Spark cluster on the host) can never donate a victim; the
+    # "java" argv[0] check still excludes this driver, whose own command
+    # line contains the class-name literal (it is in this script's source)
+    conf = spark.sparkContext.getConf()
+    tag = "CoarseGrainedScheduler@%s:%s" % (
+        conf.get("spark.driver.host"), conf.get("spark.driver.port"))
     out = subprocess.run(
         ["ps", "-eo", "pid,args"], capture_output=True, text=True
     ).stdout
     pids = []
     for line in out.splitlines():
         pid, _, args = line.strip().partition(" ")
-        # match only executor JVMs — this very driver's command line also
-        # contains the class-name literal (it is in this script's source)
-        if "CoarseGrainedExecutorBackend" in args and "java" in args.split()[0]:
+        if ("CoarseGrainedExecutorBackend" in args and tag in args
+                and "java" in args.split()[0]):
             pids.append(int(pid))
     return [p for p in pids if p != os.getpid()]
 
@@ -215,13 +222,22 @@ def drain(root):
 
 
 def executor_pids():
+    # scope to THIS app's executors: every executor JVM carries the driver's
+    # unique scheduler endpoint in --driver-url, so a parallel test run (or
+    # any other Spark cluster on the host) can never donate a victim; the
+    # "java" argv[0] check still excludes this driver, whose own command
+    # line contains the class-name literal (it is in this script's source)
+    conf = spark.sparkContext.getConf()
+    tag = "CoarseGrainedScheduler@%s:%s" % (
+        conf.get("spark.driver.host"), conf.get("spark.driver.port"))
     out = subprocess.run(
         ["ps", "-eo", "pid,args"], capture_output=True, text=True
     ).stdout
     pids = []
     for line in out.splitlines():
         pid, _, args = line.strip().partition(" ")
-        if "CoarseGrainedExecutorBackend" in args and "java" in args.split()[0]:
+        if ("CoarseGrainedExecutorBackend" in args and tag in args
+                and "java" in args.split()[0]):
             pids.append(int(pid))
     return [p for p in pids if p != os.getpid()]
 
@@ -319,13 +335,22 @@ def slow_once_factory(**params):
 
 
 def executor_pids():
+    # scope to THIS app's executors: every executor JVM carries the driver's
+    # unique scheduler endpoint in --driver-url, so a parallel test run (or
+    # any other Spark cluster on the host) can never donate a victim; the
+    # "java" argv[0] check still excludes this driver, whose own command
+    # line contains the class-name literal (it is in this script's source)
+    conf = spark.sparkContext.getConf()
+    tag = "CoarseGrainedScheduler@%s:%s" % (
+        conf.get("spark.driver.host"), conf.get("spark.driver.port"))
     out = subprocess.run(
         ["ps", "-eo", "pid,args"], capture_output=True, text=True
     ).stdout
     pids = []
     for line in out.splitlines():
         pid, _, args = line.strip().partition(" ")
-        if "CoarseGrainedExecutorBackend" in args and "java" in args.split()[0]:
+        if ("CoarseGrainedExecutorBackend" in args and tag in args
+                and "java" in args.split()[0]):
             pids.append(int(pid))
     return [p for p in pids if p != os.getpid()]
 
@@ -448,13 +473,22 @@ def run_cc():
 
 
 def executor_pids():
+    # scope to THIS app's executors: every executor JVM carries the driver's
+    # unique scheduler endpoint in --driver-url, so a parallel test run (or
+    # any other Spark cluster on the host) can never donate a victim; the
+    # "java" argv[0] check still excludes this driver, whose own command
+    # line contains the class-name literal (it is in this script's source)
+    conf = spark.sparkContext.getConf()
+    tag = "CoarseGrainedScheduler@%s:%s" % (
+        conf.get("spark.driver.host"), conf.get("spark.driver.port"))
     out = subprocess.run(
         ["ps", "-eo", "pid,args"], capture_output=True, text=True
     ).stdout
     pids = []
     for line in out.splitlines():
         pid, _, args = line.strip().partition(" ")
-        if "CoarseGrainedExecutorBackend" in args and "java" in args.split()[0]:
+        if ("CoarseGrainedExecutorBackend" in args and tag in args
+                and "java" in args.split()[0]):
             pids.append(int(pid))
     return [p for p in pids if p != os.getpid()]
 

@@ -242,6 +242,38 @@ def test_estimator_exposes_barrier_retry_knob():
     assert SparkLGBMClassifier(max_retries=3).max_retries == 3
 
 
+def test_retry_classifier_matches_only_scheduler_abort_text():
+    """The retry budget is a multi-hour re-fit: only the DAGScheduler's
+    barrier-abort signatures may spend it, not any exception that happens
+    to contain the word 'barrier' (a param name, a path, a log line)."""
+    from dask_lightgbm_spark.core import _is_barrier_stage_abort
+
+    assert _is_barrier_stage_abort(
+        Exception(
+            "org.apache.spark.SparkException: Job aborted due to stage "
+            "failure: Could not recover from a failed barrier ResultStage. "
+            "Most recent failure reason: Stage failed because barrier task "
+            "ResultTask(3, 0) finished unsuccessfully."
+        )
+    )
+    assert _is_barrier_stage_abort(
+        Exception(
+            "[SPARK-24819]: Barrier execution mode does not allow run a "
+            "barrier stage that requires more slots than the total number "
+            "of slots in the cluster currently."
+        )
+    )
+    assert not _is_barrier_stage_abort(
+        ValueError("invalid value for parameter barrier_listen_port")
+    )
+    assert not _is_barrier_stage_abort(
+        FileNotFoundError("/data/barrier/part-0001.parquet not found")
+    )
+    assert not _is_barrier_stage_abort(
+        Exception("AnalysisException: column 'label' not found")
+    )
+
+
 def test_retry_determinism_under_injected_task_failures():
     env = dict(os.environ)
     env["PYTHONPATH"] = (
