@@ -49,5 +49,36 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 def whole_stage_codegen_ids(df: DataFrame) -> int:
     """Count of whole-stage-codegen spans (wider is better — Python UDFs and
-    certain exprs break them). Formatted plans tag them `[codegen id : N]`."""
+    certain exprs break them). Formatted plans tag them `[codegen id : N]`.
+
+    NOTE: under AQE an UNEXECUTED DataFrame prints the isFinalPlan=false
+    initial plan, which carries no codegen tags at all — execute first
+    (or use :func:`executed_formatted_plan`) for a real count."""
     return len(set(re.findall(r"codegen id : (\d+)", formatted_plan(df))))
+
+
+def executed_formatted_plan(df: DataFrame) -> str:
+    """Formatted plan AFTER materializing the DataFrame — the plan that
+    actually ran. Under AQE the pre-execution explain prints the
+    isFinalPlan=false initial plan: zero codegen spans and possibly
+    different join strategies than the runtime re-plan picks. Collecting
+    through the DataFrame's own QueryExecution finalizes the adaptive plan;
+    the subsequent explain shows `== Final Plan ==` with real codegen ids,
+    AQEShuffleRead coalescing, and runtime-chosen joins."""
+    df.collect()
+    return formatted_plan(df)
+
+
+def final_plan_tree(plan: str) -> str:
+    """The `== Final Plan ==` tree slice of an executed adaptive plan.
+
+    The formatted text of an executed AQE plan prints BOTH trees (final +
+    initial) and detail blocks for the union of their nodes, so counting
+    node names over the whole text double-counts anything AQE re-planned
+    (an initial SortMergeJoin replaced by a runtime broadcast join would
+    appear as both). Falls back to the full text for non-adaptive or
+    unexecuted plans."""
+    m = re.search(
+        r"== Final Plan ==\n(.*?)\n\s*\+- == Initial Plan ==", plan, re.S
+    )
+    return m.group(1) if m else plan
