@@ -633,6 +633,67 @@ def _stream_bench(spark, src_dir: str) -> dict:
                 file=sys.stderr,
             )
 
+    # user_totals 10x leg: the applyInPandasWithState pipeline is the
+    # suite's closest-to-gate micro ratio (~6x vs the 8x gate), and
+    # tools/profile_user_totals.py shows why: ~0.9 s/trigger of FIXED
+    # per-batch machinery (job launch + state commit + WAL + sink) against
+    # a near-zero marginal fold cost. This leg pins that proof per-round:
+    # 10x the rows per trigger must cost ~1x the wall time (same
+    # SF10_SCALING_LIMIT gate as hourly_agg_10x — a structural per-row
+    # state rewrite would push it toward 10x).
+    if "user_totals" in results and results["user_totals"].get("micro"):
+        try:
+            d10 = ensure_stream_events(src_dir, scale=STREAM_SCALE * 10)
+
+            def ut_micro_at(from_dir: str):
+                return stream_user_totals(
+                    spark, from_dir, glob=glob, max_files_per_trigger=1
+                ).toPandas()
+
+            t10u, p10u = tmin(lambda: ut_micro_at(d10), runs=1)
+            base_u = results["user_totals"]["micro"]
+            scaling_u = round(t10u / base_u, 2)
+            if scaling_u > SF10_SCALING_LIMIT:
+                tbu, _ = tmin(lambda: ut_micro_at(d), runs=1)
+                t10ub, p10u = tmin(lambda: ut_micro_at(d10), runs=1)
+                base_u, t10u = min(base_u, tbu), min(t10u, t10ub)
+                scaling_u = round(t10u / base_u, 2)
+            # update-mode sink: reduce to final totals, compare to batch
+            p10u = final_totals(p10u)
+            pb10u = (
+                batch_src(d10)
+                .groupBy("user_id")
+                .agg(F.count(F.lit(1)).alias("n_events"), cents_sum)
+                .toPandas()
+            )
+            parity_u = (
+                p10u.sort_values(["user_id"])
+                .reset_index(drop=True)
+                .equals(pb10u.sort_values(["user_id"]).reset_index(drop=True))
+            )
+            results["user_totals_10x"] = {
+                "rows": n_rows * 10,
+                "micro": t10u,
+                "scaling_vs_1x": scaling_u,
+                "rows_per_sec_micro": int(n_rows * 10 / t10u) if t10u else None,
+                "parity": parity_u,
+            }
+            if not parity_u:
+                breaches.append("user_totals_10x_parity")
+            if scaling_u > SF10_SCALING_LIMIT:
+                breaches.append("user_totals_10x_scaling")
+            print(
+                f"# streaming user_totals_10x: micro {t10u:.2f}s "
+                f"(x{scaling_u} vs 1x, parity {parity_u})",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors["user_totals_10x"] = f"{type(exc).__name__}: {exc}"[:300]
+            print(
+                f"# streaming user_totals_10x: ERROR {type(exc).__name__}",
+                file=sys.stderr,
+            )
+
     return {
         "sf": 1.0,
         "rows": n_rows,
