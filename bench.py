@@ -147,6 +147,10 @@ SF1_SERVE_FAMILY = (
     "s17_knn_pq",
     "s18_knn_ivf_pq",
 )
+# bump when a _scale_* generation recipe changes, so cached /tmp fixtures
+# regenerate (the mtime-based fingerprint only sees SOURCE changes)
+_FIXTURE_VERSION = "v2"
+
 SF1_TABLES = (
     "documents",
     "embeddings",
@@ -196,13 +200,16 @@ SF10_SCALING_LIMIT = 6.0
 # (~500k docs), GATED on the sf1→sf10 Spark scaling shape exactly like the
 # relational stanza — the curve, not the single-node ratio, is the 100 TB
 # claim. Two shapes: chunk-level exact dedup (digest-keyed shuffle,
-# measured ~2x for 10x data) and two-sided LSH ingest dedup (~4.5x — the
-# r9 measurement (tools/profile_t40.py): 10x input → 100x VERIFIED
-# pairs (replication-factor-squared by fixture construction: 2,700 → 269,860),
-# so the time curve is sublinear in true work; bucket_cap measured slower
-# here because the bucket growth is uniform, not skewed). No DuckDB
-# denominators here: both full oracles are already gated at sf1 in
-# SF1_SPOT, and at sf10 they would add minutes for no additional signal.
+# measured ~2.3x for 10x data) and two-sided LSH ingest dedup (~5x). The
+# r10 fixture makes replicas DISTINCT documents (per-replica affine
+# substitution; replica 1 stays a near-dup), so verified pairs grow
+# LINEARLY with corpus size (324 → 2,753 measured) and the gate measures
+# the machinery — the r9 fixture's every-replica-matches-every-replica
+# construction grew pairs with the SQUARE of the replication factor and
+# needed tools/profile_t40.py to prove the 4-5x curve was fixture, not
+# operator. No DuckDB denominators here: both full oracles are already
+# gated at sf1 in SF1_SPOT, and at sf10 they would add minutes for no
+# additional signal.
 SF10_CORPUS = ["t39_chunk_dedup", "t40_incremental_ingest_dedup"]
 
 # sf1 queries that ALWAYS get the second (min-of-2) run, beyond would-be
@@ -228,8 +235,9 @@ def ensure_sf1(src_dir: str) -> str:
     marker = os.path.join(out, "_DONE")
     # cache key = source fixture fingerprint: a driver-regenerated sf0.1
     # (the r4 incident) must invalidate the derived sf1, not silently bench
-    # stale data (r6 review finding)
-    fp = ",".join(
+    # stale data (r6 review finding). _FIXTURE_VERSION invalidates on
+    # generation-recipe changes (r10: linear-pair documents).
+    fp = _FIXTURE_VERSION + "," + ",".join(
         f"{t}:{os.path.getmtime(p)}:{os.path.getsize(p)}"
         for t in SF1_TABLES
         for p in [os.path.join(src_dir, f"{t}.parquet")]
@@ -258,20 +266,55 @@ def ensure_sf1(src_dir: str) -> str:
 
 
 def _scale_documents(con, src_dir: str, out: str, n: int) -> None:
-    """Replicate documents ``n``x with shifted ids; replica text gets a
-    one-token suffix so replicas are near- but not exact duplicates —
-    realistic crawl duplication for the dedup paths."""
+    """Replicate documents ``n``x with shifted ids. Replica 1 keeps a
+    one-token suffix (a near- but not exact duplicate of the base — the
+    crawl-duplication case the LSH paths must catch across sources), while
+    replicas >= 2 get a per-TOKEN replica tag, making them DISTINCT
+    documents with zero shingle overlap against every other replica.
+
+    The r9 fixture made EVERY replica a near-dup of every other, so each
+    doc's dup cluster grew with n and candidate pairs grew with n² — the
+    sf1→sf10 "scaling" then measured fixture-squared pair work, not the
+    operator (tools/profile_t40.py's known-inherent finding). With a
+    fixed-size cluster per doc (base + one near-dup + the source corpus's
+    own natural dups), pair count grows LINEARLY with corpus size and the
+    scaling gate measures the machinery."""
     src_docs = f"{src_dir}/documents.parquet"
     n_docs = con.sql(
         f"SELECT max(doc_id) + 1 FROM read_parquet('{src_docs}')"
     ).fetchone()[0]
+    # per-replica AFFINE SUBSTITUTION on letters (i -> a*i + b mod 26, a
+    # coprime to 26, (a, b) unique per k, never identity): a char
+    # BIJECTION preserves each replica's internal char-shingle Jaccard
+    # structure EXACTLY while two distinct affine maps agree on <= 2
+    # letters, so 5-char grams never collide across replicas. A uniform
+    # per-token suffix was tried first and is a trap: shingling is
+    # CHARACTER k-grams, so the shared suffix homogenizes every doc's
+    # shingle set within a replica and whole replicas collapse into one
+    # giant near-dup cluster (measured 27 -> 3.5M verified pairs at sf1).
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    coprime = (3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+
+    def _to_alpha(k: int) -> str:
+        a, b = coprime[k % len(coprime)], k // len(coprime)
+        return "".join(alpha[(a * i + b) % 26] for i in range(26))
+
+    maps = ", ".join(
+        f"({k}, '{_to_alpha(k) if k >= 2 else alpha}')" for k in range(n)
+    )
+    text_expr = f"""
+        CASE WHEN k = 0 THEN text
+             WHEN k = 1 THEN text || ' rep1'
+             ELSE translate(text, '{alpha}', t)
+        END"""
     con.sql(f"""
         COPY (
           SELECT doc_id + k * {n_docs} AS doc_id,
-                 CASE WHEN k = 0 THEN text ELSE text || ' rep' || k END AS text,
+                 {text_expr} AS text,
                  lang, source,
-                 CAST(length(CASE WHEN k = 0 THEN text ELSE text || ' rep' || k END) AS BIGINT) AS n_chars
-          FROM read_parquet('{src_docs}'), (SELECT unnest(generate_series(0, {n - 1})) AS k)
+                 CAST(length({text_expr}) AS BIGINT) AS n_chars
+          FROM read_parquet('{src_docs}')
+               CROSS JOIN (VALUES {maps}) AS maps(k, t)
           ORDER BY doc_id
         ) TO '{out}/documents.parquet' (FORMAT PARQUET)""")
 
@@ -329,7 +372,7 @@ def ensure_sf10(src_dir: str) -> str:
     built once (~60 s)."""
     out = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/dls_bench_sf10")
     marker = os.path.join(out, "_DONE")
-    fp = ",".join(
+    fp = _FIXTURE_VERSION + "," + ",".join(
         f"{t}:{os.path.getmtime(p)}:{os.path.getsize(p)}"
         for t in SF10_TABLES + ("documents", "embeddings")
         for p in [os.path.join(src_dir, f"{t}.parquet")]

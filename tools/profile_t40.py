@@ -13,24 +13,29 @@ Usage: python tools/profile_t40.py <sf_dir> [bucket_cap]
 (sf1/sf10 dirs come from bench.ensure_sf1/ensure_sf10 — run bench once or
 call those helpers to materialize /tmp/dls_bench_sf1 and _sf10.)
 
-Measured r9 (local[32], warm JVM) — the numbers behind SCALE.md's
-"t40 sf10 time is sublinear in true work" row:
+Measured r10 (local[32], warm JVM) on the LINEAR-PAIR fixture (replicas
+are distinct documents under per-replica affine substitution; replica 1
+stays a near-dup — see bench._scale_documents):
 
-    stage                      sf1 (10x reps)   sf10 (100x reps)   growth
-    raw band collisions        211,043  5.2s    20,280,676  13.5s   96x
-    estimate-prefilter cand     37,012  6.4s     3,536,299  14.8s   96x
-    verified hits (jac>=0.7)     2,700  5.3s       269,860  31.6s  100x
-    full t40 query                       6.1s                35.2s  5.8x
-    corpus bucket max/p999      351/170           3,361/1,288
+    stage                      sf1 (10x reps)   sf10 (100x reps)  growth
+    raw band collisions         52,059  2.7s       507,942 11.7s   9.8x
+    estimate-prefilter cand     12,781  2.4s       113,973 10.8s   8.9x
+    verified hits (jac>=0.7)       324  4.1s         2,753 21.2s   8.5x
+    full t40 query                      4.2s               29.4s   6.9x
+      (warm min-of-2, bench-style:     5.2s               28.3s   5.5x)
+    corpus bucket max/p999      318/29             488/26
 
-Every cardinality grows ~100x for 10x input — pair count scales with the
-SQUARE of the fixture replication factor (each new-doc replica matches
-every replica of its corpus near-dup set) — while wall time grows <6x:
-the curve is sublinear in the work the verify stage is proportional to.
-bucket_cap=2000 at sf10 measured SLOWER (41.6s vs 32.0s, identical hits):
-bucket growth here is uniform (max/p999 ratio ~2.6, no viral bucket), so
-the cap's group-count join + new-side replication is pure overhead; it
-stays reserved for the skewed single-hot-bucket regime it guards.
+Every cardinality now grows ~LINEARLY with corpus size — the fixture
+artifact is fixed at the source instead of being explained away. For the
+record, the r9 fixture (every replica a near-dup of every other) measured
+collisions 211k → 20.3M (96x), verified pairs 2,700 → 269,860 (100x),
+full query 6.1 → 35.2 s: pair work grew with the SQUARE of the
+replication factor, and this tool existed to prove the 4-5x wall-time
+curve was sublinear in that true work. bucket_cap=2000 at sf10 measured
+SLOWER on the r9 fixture (41.6s vs 32.0s, identical hits): bucket growth
+was uniform (no viral bucket), so the cap's group-count join + new-side
+replication is pure overhead; it stays reserved for the skewed
+single-hot-bucket regime it guards.
 """
 
 import sys
