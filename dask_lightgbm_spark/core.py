@@ -360,7 +360,11 @@ def train_lightgbm_barrier(
     kills a multi-hour distributed fit (tests/test_fault_tolerance.py pins
     both the abort at ``max_retries=0`` and the recovery at the default).
     """
-    if not _HAVE_LGBM:
+    # collective models (the factory class itself exposes set_barrier_comm,
+    # e.g. histgbm.HistGBMRegressor) reduce over BarrierTaskContext
+    # .allGather and never touch the lightgbm native library — they run
+    # wheel-free through the same barrier stage
+    if not _HAVE_LGBM and not hasattr(model_factory, "set_barrier_comm"):
         raise RuntimeError(
             "lightgbm is not importable on the executors; use backend='mllib'"
         )
@@ -486,12 +490,11 @@ def train_lightgbm_barrier(
             "time_out": time_out,
         }
 
-        from lightgbm.basic import _LIB, _safe_call
-
         label = np.concatenate(y_parts)
         weight = np.concatenate(w_parts) if w_parts else None
 
         if booster_params_net is not None:
+            from lightgbm.basic import _LIB, _safe_call
             # STREAMING ingest: the accumulated float64 blocks are the
             # training data — lightgbm.Dataset pulls batch_size-row slices
             # through the Sequence protocol and bins them into its own
@@ -529,11 +532,30 @@ def train_lightgbm_barrier(
                 off += len(p)
 
         local_params = {**params, **net}
-        try:
-            model = model_factory(**local_params)
+        model = model_factory(**local_params)
+        if hasattr(model, "set_barrier_comm"):
+            # COLLECTIVE model (e.g. histgbm.HistGBMRegressor): its fit
+            # reduces over BarrierTaskContext.allGather instead of the
+            # LightGBM socket ring — no lightgbm import, no NetworkFree.
+            # allGather blocks until EVERY task in the stage calls it, so
+            # a task that exited early (empty partition) would deadlock
+            # the collective: refuse up front with an actionable error.
+            if len(active) != len(counts):
+                empty = sorted(set(range(len(counts))) - set(active))
+                raise ValueError(
+                    "collective (allGather-based) models require every "
+                    f"partition to hold rows; partitions {empty} are "
+                    "empty — lower num_workers or repartition upstream"
+                )
+            model.set_barrier_comm(ctx)
             model.fit(data, label, sample_weight=weight, **fit_kwargs)
-        finally:
-            _safe_call(_LIB.LGBM_NetworkFree())  # reference core.py:81
+        else:
+            from lightgbm.basic import _LIB, _safe_call
+
+            try:
+                model.fit(data, label, sample_weight=weight, **fit_kwargs)
+            finally:
+                _safe_call(_LIB.LGBM_NetworkFree())  # reference core.py:81
         if rank == 0:  # first data-holding task returns the model (core.py:77-80)
             yield pd.DataFrame({"model": [pickle.dumps(model)]})
 

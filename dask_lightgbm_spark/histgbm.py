@@ -1,0 +1,326 @@
+"""Pure-Python data-parallel histogram GBDT — the differential proof for
+the barrier trainer's distributed-training MATH.
+
+The lightgbm wheel cannot be installed in this image, so the socket-ring
+plumbing is proven with a stub (tests/test_barrier_cluster.py) but the
+reference's core numeric claim — per-worker histograms merged across the
+ring reproduce the single-machine model (reference
+system_tests/test_fit_predict.py:26-59 asserts it statistically via
+accuracy thresholds) — had no executable counterpart. This module makes
+it BIT-EXACTLY testable: a deterministic exact-histogram GBDT (squared
+loss, level-wise trees — LightGBM's data-parallel algorithm in
+miniature) whose distributed fit runs through
+:func:`core.train_lightgbm_barrier`'s barrier stage with
+``BarrierTaskContext.allGather`` as the collective, in place of
+LightGBM's socket ring.
+
+Bit-equality under ANY partitioning is by construction, not hope:
+
+- gradients are quantized to int64 fixed point (``* 2**24``) and every
+  cross-worker reduction (histogram counts + gradient sums) is an int64
+  SUM — associative and commutative, so partial-then-total equals
+  single-pass exactly;
+- bin edges derive from the global per-feature min/max (float min/max is
+  exact and order-free), so every worker bins identically;
+- split choice and leaf values are pure functions of the merged int64
+  histograms (identical ints -> identical float gains -> identical
+  argmax with numpy's first-max tie-break).
+
+Therefore ``HistGBMRegressor().fit(X, y)`` on the driver and the same
+fit sharded over N barrier tasks produce identical trees and
+bit-identical predictions — which is the differential test
+(tests/test_histgbm_differential.py) the real LightGBM path cannot have
+here. The per-level allGather of (count, grad) histograms is exactly the
+merge LightGBM's ``tree_learner=data`` performs over its ring
+(Reduce-Scatter in the paper; allGather here since payloads are tiny).
+"""
+
+from __future__ import annotations
+
+import base64
+
+import numpy as np
+
+_SCALE = np.int64(1) << np.int64(24)  # gradient fixed-point scale
+
+
+class LocalComm:
+    """Single-process collective: reductions over one participant."""
+
+    size = 1
+    rank = 0
+
+    def allgather_sum_i64(self, arr: np.ndarray) -> np.ndarray:
+        return arr.copy()
+
+    def allgather_minmax(self, mn: np.ndarray, mx: np.ndarray):
+        return mn.copy(), mx.copy()
+
+
+class BarrierComm:
+    """Collectives over ``BarrierTaskContext.allGather`` (rank-ordered,
+    base64-framed — allGather speaks strings). Every participant gets
+    every payload; reductions are int64 sums / float min-max, so the
+    combine order cannot matter."""
+
+    def __init__(self, ctx):
+        self._ctx = ctx
+        infos = ctx.getTaskInfos()
+        self.size = len(infos)
+        self.rank = ctx.partitionId()
+
+    def _exchange(self, arr: np.ndarray) -> list[np.ndarray]:
+        payload = base64.b64encode(
+            np.ascontiguousarray(arr).tobytes()
+        ).decode("ascii")
+        dtype = arr.dtype
+        return [
+            np.frombuffer(base64.b64decode(m), dtype=dtype)
+            for m in self._ctx.allGather(payload)
+        ]
+
+    def allgather_sum_i64(self, arr: np.ndarray) -> np.ndarray:
+        out = np.zeros_like(arr)
+        for part in self._exchange(arr):
+            out += part.reshape(arr.shape)
+        return out
+
+    def allgather_minmax(self, mn: np.ndarray, mx: np.ndarray):
+        parts = self._exchange(np.concatenate([mn, mx]))
+        n = len(mn)
+        g_mn, g_mx = mn.copy(), mx.copy()
+        for part in parts:
+            g_mn = np.minimum(g_mn, part[:n])
+            g_mx = np.maximum(g_mx, part[n:])
+        return g_mn, g_mx
+
+
+class HistGBMRegressor:
+    """Deterministic exact-histogram GBDT (squared loss, level-wise).
+
+    sklearn-ish surface (``fit``/``predict``) so it slots into
+    ``train_lightgbm_barrier``'s ``model_factory`` contract; network
+    params the trainer injects (machines/local_listen_port/...) are
+    accepted and ignored — the collective is the barrier context, wired
+    in by the trainer via :meth:`set_barrier_comm`."""
+
+    def __init__(
+        self,
+        n_estimators: int = 10,
+        max_depth: int = 3,
+        n_bins: int = 16,
+        learning_rate: float = 0.3,
+        reg_lambda: float = 1.0,
+        min_child_rows: int = 1,
+        **_network_params,
+    ):
+        self.n_estimators = int(n_estimators)
+        self.max_depth = int(max_depth)
+        self.n_bins = int(n_bins)
+        self.learning_rate = float(learning_rate)
+        self.reg_lambda = float(reg_lambda)
+        self.min_child_rows = int(min_child_rows)
+        self._comm = LocalComm()
+        self.trees_ = None
+        self.base_score_ = 0.0
+        self.bin_mn_ = None
+        self.bin_mx_ = None
+
+    def set_barrier_comm(self, ctx) -> None:
+        """Called by the barrier trainer; replaces the local collective
+        with allGather over the barrier stage's tasks."""
+        self._comm = BarrierComm(ctx)
+
+    # -- binning ----------------------------------------------------------
+    def _bins_of(self, X: np.ndarray) -> np.ndarray:
+        span = self.bin_mx_ - self.bin_mn_
+        span = np.where(span > 0, span, 1.0)
+        b = ((X - self.bin_mn_) / span * self.n_bins).astype(np.int64)
+        return np.clip(b, 0, self.n_bins - 1)
+
+    # -- fit --------------------------------------------------------------
+    def fit(self, X, y, sample_weight=None, **_ignored):
+        if sample_weight is not None:
+            raise NotImplementedError(
+                "HistGBMRegressor is the determinism proof harness; "
+                "weighted fits are out of its scope"
+            )
+        X = np.asarray(X, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        n, n_feat = X.shape
+        comm = self._comm
+
+        # global bin edges: float min/max is exact and order-free
+        mn = X.min(axis=0) if n else np.full(n_feat, np.inf)
+        mx = X.max(axis=0) if n else np.full(n_feat, -np.inf)
+        self.bin_mn_, self.bin_mx_ = comm.allgather_minmax(mn, mx)
+
+        # base score: exact int64 mean of fixed-point labels
+        tot = comm.allgather_sum_i64(
+            np.array(
+                [np.rint(y * float(_SCALE)).astype(np.int64).sum(), n],
+                dtype=np.int64,
+            )
+        )
+        n_total = int(tot[1])
+        self.base_score_ = (int(tot[0]) / float(_SCALE)) / n_total
+        pred = np.full(n, self.base_score_)
+
+        bins = self._bins_of(X)  # (n, n_feat) int64 in [0, n_bins)
+        B, F = self.n_bins, n_feat
+        lam = self.reg_lambda
+        self.trees_ = []
+        for _ in range(self.n_estimators):
+            grad_i = np.rint((pred - y) * float(_SCALE)).astype(np.int64)
+            nid = np.zeros(n, dtype=np.int64)  # heap ids; -1 = settled leaf
+            n_nodes = (1 << (self.max_depth + 1)) - 1
+            feat = np.full(n_nodes, -1, dtype=np.int64)
+            sbin = np.full(n_nodes, -1, dtype=np.int64)
+            gsum = np.zeros(n_nodes, dtype=np.int64)
+            csum = np.zeros(n_nodes, dtype=np.int64)
+            for depth in range(self.max_depth):
+                base = (1 << depth) - 1
+                width = 1 << depth
+                live = nid >= 0
+                # level histogram: (width, F, B) int64 counts + grad sums
+                cnt = np.zeros(width * F * B, dtype=np.int64)
+                gh = np.zeros(width * F * B, dtype=np.int64)
+                if live.any():
+                    rows = np.nonzero(live)[0]
+                    node_off = (nid[rows] - base) * (F * B)
+                    idx = (
+                        node_off[:, None]
+                        + np.arange(F, dtype=np.int64)[None, :] * B
+                        + bins[rows]
+                    )
+                    np.add.at(cnt, idx.ravel(), 1)
+                    np.add.at(
+                        gh, idx.ravel(), np.repeat(grad_i[rows], F)
+                    )
+                cnt = comm.allgather_sum_i64(cnt).reshape(width, F, B)
+                gh = comm.allgather_sum_i64(gh).reshape(width, F, B)
+                for j in range(width):
+                    node = base + j
+                    N = int(cnt[j, 0].sum())
+                    G = int(gh[j, 0].sum())
+                    gsum[node], csum[node] = G, N
+                    if N < 2 * self.min_child_rows:
+                        continue
+                    # prefix sums over bins -> candidate (f, b) splits
+                    cl = cnt[j].cumsum(axis=1).astype(np.float64)
+                    gl = gh[j].cumsum(axis=1).astype(np.float64)
+                    nr = N - cl
+                    gr = G - gl
+                    ok = (cl >= self.min_child_rows) & (
+                        nr >= self.min_child_rows
+                    )
+                    gain = np.where(
+                        ok,
+                        gl * gl / (cl + lam)
+                        + gr * gr / (nr + lam)
+                        - (G * G) / (N + lam),
+                        -np.inf,
+                    )
+                    # last bin splits nothing; argmax tie-break = first
+                    gain[:, B - 1] = -np.inf
+                    flat = int(np.argmax(gain))
+                    if not np.isfinite(gain.ravel()[flat]) or (
+                        gain.ravel()[flat] <= 0.0
+                    ):
+                        continue
+                    feat[node] = flat // B
+                    sbin[node] = flat % B
+                # route rows of split nodes; settle the rest as leaves
+                if live.any():
+                    rows = np.nonzero(live)[0]
+                    node = nid[rows]
+                    f = feat[node]
+                    split = f >= 0
+                    go_left = np.zeros(len(rows), dtype=bool)
+                    if split.any():
+                        r = rows[split]
+                        go_left[split] = (
+                            bins[r, f[split]] <= sbin[node[split]]
+                        )
+                    new = np.where(
+                        split,
+                        np.where(split & go_left, 2 * node + 1, 2 * node + 2),
+                        -1,
+                    )
+                    nid[rows] = new
+            # leaf values: every un-split node with rows becomes a leaf.
+            # csum/gsum were filled level-wise for internal levels; fill
+            # the last level from a final collective so all workers agree
+            base = (1 << self.max_depth) - 1
+            width = 1 << self.max_depth
+            cnt = np.zeros(width, dtype=np.int64)
+            gh = np.zeros(width, dtype=np.int64)
+            live = nid >= 0
+            if live.any():
+                rows = np.nonzero(live)[0]
+                off = nid[rows] - base
+                np.add.at(cnt, off, 1)
+                np.add.at(gh, off, grad_i[rows])
+            cnt_g = comm.allgather_sum_i64(cnt)
+            gh_g = comm.allgather_sum_i64(gh)
+            for j in range(width):
+                csum[base + j] = int(cnt_g[j])
+                gsum[base + j] = int(gh_g[j])
+            value = np.zeros(n_nodes, dtype=np.float64)
+            is_leaf = np.zeros(n_nodes, dtype=bool)
+            for node in range(n_nodes):
+                if feat[node] >= 0:
+                    continue
+                if csum[node] == 0:
+                    continue
+                parent = (node - 1) // 2
+                if node != 0 and feat[parent] < 0:
+                    continue  # unreachable (parent is itself a leaf)
+                is_leaf[node] = True
+                g = int(gsum[node]) / float(_SCALE)
+                value[node] = (
+                    -g / (csum[node] + lam) * self.learning_rate
+                )
+            tree = {
+                "feat": feat,
+                "sbin": sbin,
+                "leaf": is_leaf,
+                "value": value,
+            }
+            self.trees_.append(tree)
+            pred = pred + self._tree_scores(tree, bins)
+        return self
+
+    # -- predict ----------------------------------------------------------
+    def _tree_scores(self, tree, bins: np.ndarray) -> np.ndarray:
+        n = len(bins)
+        nid = np.zeros(n, dtype=np.int64)
+        out = np.zeros(n, dtype=np.float64)
+        pending = np.ones(n, dtype=bool)
+        feat, sbin = tree["feat"], tree["sbin"]
+        leaf, value = tree["leaf"], tree["value"]
+        for _ in range(self.max_depth + 1):
+            if not pending.any():
+                break
+            rows = np.nonzero(pending)[0]
+            node = nid[rows]
+            at_leaf = leaf[node]
+            out[rows[at_leaf]] = value[node[at_leaf]]
+            pending[rows[at_leaf]] = False
+            walk = ~at_leaf & (feat[node] >= 0)
+            r = rows[walk]
+            if len(r):
+                nd = node[walk]
+                left = bins[r, feat[nd]] <= sbin[nd]
+                nid[r] = np.where(left, 2 * nd + 1, 2 * nd + 2)
+            dead = ~at_leaf & (feat[node] < 0)
+            pending[rows[dead]] = False  # empty subtree: contributes 0
+        return out
+
+    def predict(self, X) -> np.ndarray:
+        X = np.asarray(X, dtype=np.float64)
+        bins = self._bins_of(X)
+        pred = np.full(len(X), self.base_score_)
+        for tree in self.trees_:
+            pred = pred + self._tree_scores(tree, bins)
+        return pred

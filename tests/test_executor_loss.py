@@ -419,6 +419,70 @@ def test_training_survives_executor_jvm_loss_mid_fit():
 
 
 # ---------------------------------------------------------------------------
+# The 1000-executor common case (r9 judge task): executor loss WITH
+# SURVIVING PEERS mid-barrier. local-cluster[2,2] runs a 4-worker ring
+# with two barrier tasks per JVM; SIGKILLing one executor kills two ring
+# members while the other two are blocked inside fit on the survivor.
+# The barrier abort must tear down the survivors too (gang semantics),
+# the standalone worker relaunches a REPLACEMENT JVM, and the app-level
+# retry must re-form a fresh 4-machine socket ring spanning survivor +
+# replacement. The reference fails the whole job here
+# (/root/reference/dask_lightgbm/core.py:108-110, a worker death kills
+# train()); this path must be strictly better.
+# ---------------------------------------------------------------------------
+
+TRAIN_PEERS_SCRIPT = (
+    TRAIN_SCRIPT.replace(
+        'local-cluster[2,1,1200]', 'local-cluster[2,2,1200]'
+    )
+    .replace("num_workers=2,", "num_workers=4,")
+    .replace(
+        '''assert "pid" in killed, "killer never fired"
+assert killed["pid"] not in executor_pids()
+assert model.fitted_rows_ > 0
+assert model.params["num_machines"] == 2, model.params
+print("TRAIN_EXECUTOR_LOSS_OK", killed["pid"])''',
+        '''assert "pid" in killed, "killer never fired"
+after = executor_pids()
+assert killed["pid"] not in after
+# the retry needed all 4 slots, so a REPLACEMENT JVM must have joined the
+# surviving peer before the ring could re-form
+new_pids = set(after) - set(before)
+assert new_pids, (before, after)
+assert set(after) & set(before), (before, after)  # a peer survived
+assert model.fitted_rows_ > 0
+# 4-machine ring re-formed across survivor + replacement
+assert model.params["num_machines"] == 4, model.params
+print("TRAIN_PEER_SURVIVAL_OK", killed["pid"], sorted(new_pids))''',
+    )
+)
+# guard: the derived script must actually differ in all three ways, or a
+# TRAIN_SCRIPT edit silently turned this back into the [2,1] test
+assert "local-cluster[2,2,1200]" in TRAIN_PEERS_SCRIPT
+assert "num_workers=4," in TRAIN_PEERS_SCRIPT
+assert "TRAIN_PEER_SURVIVAL_OK" in TRAIN_PEERS_SCRIPT
+
+
+def test_training_ring_reforms_with_replacement_and_surviving_peer():
+    env = dict(os.environ)
+    stubs = os.path.join(REPO, "tests", "stubs")
+    env["PYTHONPATH"] = (
+        stubs + os.pathsep + REPO + os.pathsep + env.get("PYTHONPATH", "")
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", TRAIN_PEERS_SCRIPT],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, (
+        f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-4000:]}"
+    )
+    assert "TRAIN_PEER_SURVIVAL_OK" in proc.stdout
+
+
+# ---------------------------------------------------------------------------
 # Iterative algorithm + RELIABLE checkpoint under executor loss:
 # connected_components truncates per-round lineage with df.checkpoint()
 # when a checkpoint dir is set — the docstring claims that mode "survives

@@ -1,0 +1,158 @@
+"""Differential proof of the barrier trainer's distributed-training MATH.
+
+The reference's system test (system_tests/test_fit_predict.py:26-59) fits
+real LightGBM over a worker cluster and checks accuracy thresholds; that
+wheel is not installable here, so the socket-ring plumbing is stub-proven
+(test_barrier_cluster.py) but the training NUMERICS were not. HistGBM is
+the executable counterpart: the same data-parallel algorithm (per-worker
+exact histograms, merged per tree level, identical split decisions
+everywhere) with int64 fixed-point reductions, so the distributed fit is
+BIT-EQUAL to a driver-local fit on the same rows — a stronger check than
+the reference's statistical one, with zero native deps."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _synth(n=400, seed=42):
+    # regression_synth shape (FIXTURES.md §2): continuous features/target,
+    # seeded 42 like the reference's _create_data
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, 5))
+    y = X[:, 0] * 2.0 - X[:, 1] + 0.3 * rng.normal(size=n)
+    return X, y
+
+
+def test_histgbm_learns_locally():
+    from dask_lightgbm_spark.histgbm import HistGBMRegressor
+
+    X, y = _synth()
+    m = HistGBMRegressor(n_estimators=20, max_depth=3).fit(X, y)
+    mse0 = float(((y - y.mean()) ** 2).mean())
+    mse = float(((y - m.predict(X)) ** 2).mean())
+    assert mse < 0.3 * mse0, (mse, mse0)
+
+
+def test_distributed_fit_bit_equal_to_local(spark):
+    """2 barrier tasks through train_lightgbm_barrier vs one driver-local
+    fit on the identical rows: predictions must be BIT-equal. Every
+    cross-worker reduction is an int64 sum (associative) over globally
+    identical bins, so Spark's row routing cannot perturb a single bit."""
+    from dask_lightgbm_spark import core
+    from dask_lightgbm_spark.histgbm import HistGBMRegressor
+
+    X, y = _synth()
+    pdf = pd.DataFrame({f"f{i}": X[:, i] for i in range(5)})
+    pdf["target"] = y
+    df = spark.createDataFrame(pdf)
+
+    # 6x2 keeps the barrier-coordinator round count low (~2 s per
+    # allGather); the bit-equality claim is config-independent
+    dist = core.train_lightgbm_barrier(
+        df,
+        feature_cols=[f"f{i}" for i in range(5)],
+        label_col="target",
+        model_factory=HistGBMRegressor,
+        params={"n_estimators": 6, "max_depth": 2},
+        num_workers=2,
+    )
+    local = HistGBMRegressor(n_estimators=6, max_depth=2).fit(X, y)
+    p_dist, p_local = dist.predict(X), local.predict(X)
+    assert np.array_equal(p_dist, p_local)
+    # and it actually learned — bit-equality of two broken fits proves
+    # nothing
+    mse = float(((y - p_dist) ** 2).mean())
+    assert mse < 0.3 * float(((y - y.mean()) ** 2).mean())
+
+
+def test_collective_model_refuses_empty_partition(spark):
+    """allGather blocks until every task in the barrier stage calls it, so
+    an empty partition that exits early would DEADLOCK the collective —
+    the task must refuse with an actionable error instead."""
+    from dask_lightgbm_spark import core
+    from dask_lightgbm_spark.histgbm import HistGBMRegressor
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"f0": [1.0], "target": [1.0]})
+    )
+    with pytest.raises(Exception, match="collective"):
+        core.train_lightgbm_barrier(
+            df,
+            feature_cols=["f0"],
+            label_col="target",
+            model_factory=HistGBMRegressor,
+            params={"n_estimators": 2},
+            num_workers=2,
+            max_retries=0,
+        )
+
+
+TWO_JVM_SCRIPT = """
+import numpy as np
+import pandas as pd
+import os
+
+from dask_lightgbm_spark.session import get_spark
+from dask_lightgbm_spark import core
+from dask_lightgbm_spark.histgbm import HistGBMRegressor
+
+spark = get_spark(
+    "histgbm-cluster-test",
+    cpus=4,
+    shuffle_partitions=4,
+    master="local-cluster[2,2,1024]",
+    extra_conf={
+        "spark.executor.memory": "1g",
+        "spark.executorEnv.PYTHONPATH": os.environ["PYTHONPATH"],
+        "spark.driver.memory": "2g",
+    },
+)
+
+rng = np.random.default_rng(42)
+X = rng.normal(size=(400, 5))
+y = X[:, 0] * 2.0 - X[:, 1] + 0.3 * rng.normal(size=400)
+pdf = pd.DataFrame({f"f{i}": X[:, i] for i in range(5)})
+pdf["target"] = y
+
+dist = core.train_lightgbm_barrier(
+    spark.createDataFrame(pdf),
+    feature_cols=[f"f{i}" for i in range(5)],
+    label_col="target",
+    model_factory=HistGBMRegressor,
+    params={"n_estimators": 6, "max_depth": 2},
+    num_workers=2,
+)
+local = HistGBMRegressor(n_estimators=6, max_depth=2).fit(X, y)
+assert np.array_equal(dist.predict(X), local.predict(X))
+mse = float(((y - dist.predict(X)) ** 2).mean())
+assert mse < 0.3 * float(((y - y.mean()) ** 2).mean())
+print("HISTGBM_TWO_JVM_BIT_EQUAL_OK")
+"""
+
+
+def test_two_jvm_distributed_fit_bit_equal_to_local():
+    """The histogram merge crosses REAL process boundaries: one barrier
+    task per executor JVM on local-cluster[2,2], allGather payloads over
+    the barrier coordinator, and the model still matches the driver-local
+    fit bit-for-bit. No lightgbm stub on PYTHONPATH — this is the
+    wheel-free distributed-GBM path standing on its own."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-c", TWO_JVM_SCRIPT],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, (
+        f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-4000:]}"
+    )
+    assert "HISTGBM_TWO_JVM_BIT_EQUAL_OK" in proc.stdout
