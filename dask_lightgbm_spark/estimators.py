@@ -152,11 +152,29 @@ class _SparkLGBMBase:
     ):
         backend = self._resolve_backend()
         self._backend_used = backend
-        if backend == "lightgbm":
-            if not core.have_lightgbm():
+        if backend in ("lightgbm", "histgbm"):
+            if backend == "lightgbm" and not core.have_lightgbm():
                 raise RuntimeError(
                     "lightgbm is not importable; use backend='mllib' or 'auto'"
                 )
+            if backend == "histgbm":
+                # the wheel-free collective GBDT (histgbm.HistGBMRegressor):
+                # same barrier stage, allGather collective instead of the
+                # LightGBM socket ring — squared-loss regression only
+                if self._is_classifier:
+                    raise ValueError(
+                        "backend='histgbm' is regression-only (squared "
+                        "loss); use backend='mllib' for classification"
+                    )
+                if features_col is not None:
+                    raise ValueError(
+                        "backend='histgbm' takes dense feature_cols; the "
+                        "sparse/vector layouts are lightgbm-backend paths"
+                    )
+                if self.ingest != "matrix":
+                    raise ValueError(
+                        "backend='histgbm' supports ingest='matrix' only"
+                    )
             if (feature_cols is None) == (features_col is None):
                 raise ValueError(
                     "lightgbm backend requires feature_cols (numeric columns) "
@@ -172,12 +190,18 @@ class _SparkLGBMBase:
                 self._feature_cols = list(feature_cols)
                 self._features_col = None
                 self._n_features = len(self._feature_cols)
+            if backend == "histgbm":
+                from dask_lightgbm_spark.histgbm import HistGBMRegressor
+
+                factory, params = HistGBMRegressor, self._histgbm_params()
+            else:
+                factory, params = self._lgbm_factory(), self._lgbm_params()
             self._model = core.train_lightgbm_barrier(
                 df,
                 self._feature_cols,
                 label_col,
-                self._lgbm_factory(),
-                self._lgbm_params(),
+                factory,
+                params,
                 weight_col=weight_col,
                 features_col=self._features_col,
                 n_features=self._n_features,
@@ -207,6 +231,17 @@ class _SparkLGBMBase:
         est = self._mllib_estimator(assembled, vec_col, label_col, weight_col)
         self._model = est.fit(assembled)
         return self
+
+    def _histgbm_params(self) -> dict:
+        # HistGBMRegressor's knobs, mapped from the shared surface;
+        # lightgbm's unlimited-depth convention (-1/0) maps to a sane
+        # finite default since level-wise histograms need a bound
+        return {
+            "n_estimators": self.n_estimators,
+            "max_depth": self.max_depth if self.max_depth > 0 else 6,
+            "learning_rate": self.learning_rate,
+            "min_child_rows": max(1, self.min_child_samples),
+        }
 
     def _lgbm_params(self) -> dict:
         p = {
@@ -251,7 +286,7 @@ class _SparkLGBMBase:
         ``predict(..., **kwargs)``, core.py:163-173; lightgbm backend only."""
         if self._model is None:
             raise RuntimeError("fit() first")
-        if self._backend_used == "lightgbm":
+        if self._backend_used in ("lightgbm", "histgbm"):
             vec_col = features_col or getattr(self, "_features_col", None)
             if vec_col is not None and feature_cols is None:
                 fv = core.unwrapped_features(df, vec_col)
@@ -321,6 +356,10 @@ class _SparkLGBMBase:
         naming; MLlib models expose featureImportances as a vector)."""
         if self._model is None:
             raise RuntimeError("fit() first")
+        if self._backend_used == "histgbm":
+            raise NotImplementedError(
+                "histgbm models do not track feature importances"
+            )
         if self._backend_used == "lightgbm":
             return list(self._model.feature_importances_)
         return list(self._model.featureImportances.toArray())
