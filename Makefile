@@ -29,7 +29,7 @@ cluster-sim:
 # driver-side line coverage; threshold calibrated to the measured baseline
 # (executor-side code excluded by construction — see tools/coverage.py)
 coverage:
-	python tools/coverage.py --fail-under 75 --with-catalog
+	python tools/coverage.py --fail-under 85 --with-catalog
 
 bench:
 	python bench.py
