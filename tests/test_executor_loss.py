@@ -277,6 +277,35 @@ print("STREAM_EXECUTOR_LOSS_OK", killed["pid"])
 """
 
 
+# Scaled variant (r10): the 4-user fixture proves the mechanism but its
+# state snapshot is trivially small. 2000 distinct users x 12 batches
+# (24k rows, one row per user per batch) makes the survivor reload a
+# 2000-key state store mid-drain — the shape of the bench's 10M-row
+# streaming leg, sized to stay CI-fast on a 2-core local-cluster (the
+# per-key Python kernel is the cost driver, not the row count).
+STREAM_SCALED_SCRIPT = STREAM_SCRIPT.replace(
+    "BATCHES, USERS, BASE_US = 12, 4,", "BATCHES, USERS, BASE_US = 12, 2000,"
+).replace("STREAM_EXECUTOR_LOSS_OK", "STREAM_SCALED_LOSS_OK")
+assert "= 12, 2000," in STREAM_SCALED_SCRIPT
+assert "STREAM_SCALED_LOSS_OK" in STREAM_SCALED_SCRIPT
+
+
+def test_stream_survives_executor_loss_with_wide_state():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-c", STREAM_SCALED_SCRIPT],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, (
+        f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-4000:]}"
+    )
+    assert "STREAM_SCALED_LOSS_OK" in proc.stdout
+
+
 # ---------------------------------------------------------------------------
 # Executor JVM loss MID-DISTRIBUTED-TRAINING: kills the whole barrier
 # story end-to-end. A dead executor aborts the barrier ResultStage (Spark
