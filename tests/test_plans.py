@@ -292,3 +292,25 @@ def test_t39_dedup_is_join_free(spark, sf_dir):
         r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", tree
     )
     assert joins == ["BroadcastHashJoin"], joins
+
+
+def test_catalog_has_no_cartesian_or_unbroadcast_nested_loop():
+    """Catalog-wide fence over the generated audit: every NestedLoop in
+    docs/PLANS.md must be the Broadcast variant (a 1-row or k-bounded
+    scalar gate — O(n), fine), and no plan may contain a CartesianProduct.
+    A plain NestedLoopJoin or cartesian appearing in a future audit run
+    means an O(n*m) join crept into a registered query."""
+    import os
+    import re
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs",
+        "PLANS.md",
+    )
+    text = open(path).read()
+    assert "CartesianProduct" not in text
+    loops = set(re.findall(r"\w*NestedLoopJoin", text))
+    assert loops <= {"BroadcastNestedLoopJoin"}, loops
+    # the audit really covers the batch catalog, not a shrunken list
+    assert text.count("### ") >= 170, text.count("### ")
