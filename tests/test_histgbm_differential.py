@@ -222,3 +222,103 @@ def test_estimator_histgbm_rejects_classifier_and_vectors(spark):
         SparkLGBMRegressor(backend="histgbm").fit(
             df, features_col="f0", label_col="target"
         )
+
+
+def test_bit_equality_is_partition_invariant_property():
+    """Property pin (no Spark): for random data, ANY worker count and ANY
+    row assignment, the collective fit equals the single-fit bit-for-bit.
+    This is the invariant the Spark tests sample once; hypothesis sweeps
+    the partitioning space (uneven splits, tiny shards, 2-4 workers)."""
+    import threading
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dask_lightgbm_spark.histgbm import HistGBMRegressor
+
+    class ThreadComm:
+        def __init__(self, n):
+            self.n = n
+            self.bar = threading.Barrier(n)
+            self.box = [None] * n
+
+        def client(self, rank):
+            parent = self
+
+            class C:
+                size = parent.n
+
+                def allgather_sum_i64(self, arr):
+                    parent.box[rank] = arr.copy()
+                    parent.bar.wait()
+                    out = np.zeros_like(arr)
+                    for p in parent.box:
+                        out += p.reshape(arr.shape)
+                    parent.bar.wait()
+                    return out
+
+                def allgather_minmax(self, mn, mx):
+                    parent.box[rank] = (mn.copy(), mx.copy())
+                    parent.bar.wait()
+                    g_mn, g_mx = mn.copy(), mx.copy()
+                    for a, b in parent.box:
+                        g_mn = np.minimum(g_mn, a)
+                        g_mx = np.maximum(g_mx, b)
+                    parent.bar.wait()
+                    return g_mn, g_mx
+
+            return C()
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        n_workers=st.integers(2, 4),
+        data=st.data(),
+    )
+    def check(seed, n_workers, data):
+        rng = np.random.default_rng(seed)
+        n = data.draw(st.integers(n_workers * 2, 120))
+        X = rng.normal(size=(n, 3))
+        y = X[:, 0] - 0.5 * X[:, 2] + 0.1 * rng.normal(size=n)
+        # random assignment of rows to workers; every worker nonempty
+        assign = np.array(
+            list(range(n_workers))
+            + list(data.draw(
+                st.lists(
+                    st.integers(0, n_workers - 1),
+                    min_size=n - n_workers,
+                    max_size=n - n_workers,
+                )
+            ))
+        )
+        rng.shuffle(assign)
+
+        ref = HistGBMRegressor(n_estimators=4, max_depth=2).fit(X, y)
+        comm = ThreadComm(n_workers)
+        models = [None] * n_workers
+        errs = []
+
+        def worker(rank):
+            try:
+                m = HistGBMRegressor(n_estimators=4, max_depth=2)
+                m._comm = comm.client(rank)
+                sel = assign == rank
+                m.fit(X[sel], y[sel])
+                models[rank] = m
+            except Exception as exc:  # noqa: BLE001 — surface in main thread
+                errs.append(exc)
+
+        ts = [
+            threading.Thread(target=worker, args=(r,))
+            for r in range(n_workers)
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs, errs
+        p_ref = ref.predict(X)
+        for m in models:
+            assert np.array_equal(m.predict(X), p_ref)
+
+    check()
