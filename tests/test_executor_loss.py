@@ -306,6 +306,39 @@ def test_stream_survives_executor_loss_with_wide_state():
     assert "STREAM_SCALED_LOSS_OK" in proc.stdout
 
 
+# RocksDB variant (r10): the backend a 100 TB deployment actually runs
+# (state off-heap/on-disk instead of executor JVM heap). r9 pinned
+# RocksDB PARITY in-process; this pins RECOVERY — the survivor must
+# rebuild the lost executor's RocksDB instances from the checkpoint
+# (snapshot + changelog) mid-drain and finish bit-equal, same 2000-key
+# state as the scaled HDFS-backed case above.
+STREAM_ROCKSDB_SCRIPT = STREAM_SCALED_SCRIPT.replace(
+    '.config("spark.sql.shuffle.partitions", "4")',
+    '.config("spark.sql.shuffle.partitions", "4")\n'
+    '    .config("spark.sql.streaming.stateStore.providerClass",\n'
+    '            "org.apache.spark.sql.execution.streaming.state.'
+    'RocksDBStateStoreProvider")',
+).replace("STREAM_SCALED_LOSS_OK", "STREAM_ROCKSDB_LOSS_OK")
+assert "RocksDBStateStoreProvider" in STREAM_ROCKSDB_SCRIPT
+assert "STREAM_ROCKSDB_LOSS_OK" in STREAM_ROCKSDB_SCRIPT
+
+
+def test_stream_survives_executor_loss_under_rocksdb():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-c", STREAM_ROCKSDB_SCRIPT],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, (
+        f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-4000:]}"
+    )
+    assert "STREAM_ROCKSDB_LOSS_OK" in proc.stdout
+
+
 # ---------------------------------------------------------------------------
 # Executor JVM loss MID-DISTRIBUTED-TRAINING: kills the whole barrier
 # story end-to-end. A dead executor aborts the barrier ResultStage (Spark
