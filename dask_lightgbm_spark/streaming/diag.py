@@ -1,0 +1,33 @@
+"""Streaming-plan capture: the batch catalog's physical plans are audited
+via ``executed_formatted_plan`` (docs/PLANS.md), but a drained streaming
+query's plan dies with the query handle — the x-family operators start,
+drain, and stop internally, so nothing outside could ever assert that the
+micro-batch plan actually contains the stateful operator / watermark /
+state-store nodes the scale story claims. ``drain_and_capture`` replaces
+the bare ``processAllAvailable``/``stop`` pattern at the drain sites and
+stashes the final explain text; ``last_drain_explain()`` hands it to
+tests (tests/test_stream_plans.py)."""
+
+from __future__ import annotations
+
+_LAST: dict[str, str] = {"text": ""}
+
+
+def drain_and_capture(q) -> None:
+    """processAllAvailable + stop, capturing the executed micro-batch
+    plan in between. Capture is best-effort (py4j internal API) and can
+    never fail the drain itself."""
+    try:
+        q.processAllAvailable()
+        try:
+            _LAST["text"] = q._jsq.explainInternal(True)
+        except Exception:  # noqa: BLE001 — diagnostics must never break a drain
+            pass
+    finally:
+        q.stop()
+
+
+def last_drain_explain() -> str:
+    """Explain text (extended) of the most recently drained query on this
+    driver. Empty string if no capture has happened yet."""
+    return _LAST["text"]

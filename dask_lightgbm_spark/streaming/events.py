@@ -15,6 +15,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+from dask_lightgbm_spark.streaming.diag import drain_and_capture
 
 
 def read_events_stream(
@@ -71,10 +72,7 @@ def stream_hourly_aggregate(
         .queryName(name)
         .start()
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    drain_and_capture(q)
     return spark.table(name)
 
 
@@ -94,10 +92,7 @@ def stream_distinct_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"stream_dedup_{_uuid.uuid4().hex[:8]}"
     q = counts.writeStream.outputMode("complete").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    drain_and_capture(q)
     return spark.table(name)
 
 
@@ -148,10 +143,7 @@ def stream_static_segment_totals(
         .queryName(name)
         .start()
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    drain_and_capture(q)
     return spark.table(name)
 
 
@@ -190,10 +182,7 @@ def stream_windowed_append(
         .queryName(name)
         .start()
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    drain_and_capture(q)
     return spark.table(name)
 
 
@@ -238,10 +227,7 @@ def stream_session_window(
         .queryName(name)
         .start()
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    drain_and_capture(q)
     return spark.table(name)
 
 
@@ -276,10 +262,7 @@ def stream_dedup_within_watermark(
         .queryName(name)
         .start()
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    drain_and_capture(q)
     return spark.table(name)
 
 
@@ -344,10 +327,7 @@ def stream_stream_interval_join(
         .queryName(name)
         .start()
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    drain_and_capture(q)
     return spark.table(name)
 
 
@@ -383,10 +363,7 @@ def stream_foreachbatch_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFr
         .foreachBatch(write_batch)
         .start()
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    drain_and_capture(q)
     return spark.read.parquet(out_dir + "/agg")
 
 
@@ -453,10 +430,7 @@ def stream_stream_left_outer_join(
         .queryName(name)
         .start()
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    drain_and_capture(q)
     return spark.table(name)
 
 
@@ -555,10 +529,7 @@ def stream_upsert_state_sink(
         shutil.rmtree(old, ignore_errors=True)
 
     q = src.writeStream.foreachBatch(handle).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    drain_and_capture(q)
     return (
         spark.read.parquet(out)
         .select("user_id", "last_ts", "last_event_id", "last_value")

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from dask_lightgbm_spark.streaming.events import read_events_stream
+from dask_lightgbm_spark.streaming.diag import drain_and_capture
 
 _OUT_SCHEMA = "user_id bigint, n_events bigint, sum_value double"
 _STATE_SCHEMA = "n bigint, sum_cents bigint"
@@ -72,10 +73,7 @@ def stream_user_totals(
     )
     name = f"stream_state_{uuid.uuid4().hex[:8]}"
     q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    drain_and_capture(q)
     return spark.table(name)
 
 
@@ -160,8 +158,5 @@ def stream_user_totals_ttl(
     )
     name = f"stream_state_{uuid.uuid4().hex[:8]}"
     q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    drain_and_capture(q)
     return spark.table(name)

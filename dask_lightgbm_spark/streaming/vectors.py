@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from dask_lightgbm_spark.operators.similarity import dot
+from dask_lightgbm_spark.streaming.diag import drain_and_capture
 
 
 def stream_ann_serving(
@@ -90,10 +91,7 @@ def stream_ann_serving(
         results[batch_id] = topk.collect()
 
     q = src.writeStream.foreachBatch(handle).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    drain_and_capture(q)
     rows = [r for b in sorted(results) for r in results[b]]
     return spark.createDataFrame(rows, out_schema)
 
@@ -155,10 +153,7 @@ def stream_ivf_insert(
         assigned.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
 
     q = src.writeStream.foreachBatch(handle).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    drain_and_capture(q)
 
     delta_dirs = (
         [f"{out}/{d}" for d in sorted(os.listdir(out)) if d.startswith("batch=")]
