@@ -52,3 +52,31 @@ def test_stream_static_join_is_broadcast(spark, sf_dir):
     # shuffle join here would re-exchange the stream every trigger
     assert "BroadcastHashJoin" in plan, plan[:1500]
     assert "StateStoreSave" in plan, plan[:1500]
+
+
+def test_watermarked_dedup_plan_bounds_its_state(spark, sf_dir):
+    from dask_lightgbm_spark.streaming.events import (
+        stream_dedup_within_watermark,
+    )
+
+    stream_dedup_within_watermark(spark, sf_dir).count()
+    plan = last_drain_explain()
+    # StreamingDeduplicate WITH a watermark = seen-keys state is evicted
+    # as event time advances; without the watermark node the dedup state
+    # grows with every key ever seen — unusable on an unbounded bus
+    assert "StreamingDeduplicate" in plan, plan[:1500]
+    assert "EventTimeWatermark" in plan, plan[:1500]
+
+
+def test_stream_stream_join_is_symmetric_hash_with_watermark(spark, sf_dir):
+    from dask_lightgbm_spark.streaming.events import (
+        stream_stream_interval_join,
+    )
+
+    stream_stream_interval_join(spark, sf_dir).count()
+    plan = last_drain_explain()
+    # both sides buffer in the symmetric-hash operator; the watermark +
+    # interval condition is what lets either side's buffer be trimmed —
+    # losing it means unbounded join state at scale
+    assert "StreamingSymmetricHashJoin" in plan, plan[:1500]
+    assert "EventTimeWatermark" in plan, plan[:1500]
