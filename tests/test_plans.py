@@ -314,3 +314,67 @@ def test_catalog_has_no_cartesian_or_unbroadcast_nested_loop():
     assert loops <= {"BroadcastNestedLoopJoin"}, loops
     # the audit really covers the batch catalog, not a shrunken list
     assert text.count("### ") >= 170, text.count("### ")
+
+
+def test_aqe_skew_join_fires_and_its_suppression_boundary(spark):
+    """session.py enables spark.sql.adaptive.skewJoin; this pins that it
+    actually FIRES on a skewed SortMergeJoin (hot key = 95% of rows,
+    thresholds scaled to fixture bytes) — and the boundary where it does
+    NOT: a downstream groupBy on the SAME join key makes splitting the
+    hot partition require an extra shuffle, which OptimizeSkewedJoin
+    refuses (without forceOptimizeSkewedJoin). At 100 TB that means AQE
+    rescues join-then-reduce-on-other-keys for free, while join-then-
+    aggregate-on-the-join-key still needs the manual salting operators
+    (q53/q62) — the reason both exist."""
+    from pyspark.sql import functions as F
+
+    pad = "x" * 100
+    left = spark.range(0, 200_000).select(
+        F.when(F.col("id") < 190_000, F.lit(0))
+        .otherwise((F.col("id") % 200) + 1)
+        .alias("k"),
+        F.concat(F.lit(pad), F.col("id").cast("string")).alias("payload"),
+    )
+    right = spark.range(0, 2000).select(
+        (F.col("id") % 201).alias("k"), F.col("id").alias("v")
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "100KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # global agg downstream: partial agg is partitioning-agnostic, so
+        # the rule is free to split the hot partition. The agg must
+        # CONSUME payload — a bare count lets column pruning drop it from
+        # the shuffle and the hot partition shrinks below the threshold
+        fired = final_plan_tree(executed_formatted_plan(
+            left.join(right, "k").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.length("payload")).alias("b"),
+            )
+        ))
+        assert "SortMergeJoin(skew=true)" in fired, fired[:1500]
+        # same-key groupBy downstream: splitting would break the agg's
+        # required partitioning -> rule suppressed, hot task remains
+        # same payload consumption as the fired case: the ONLY difference
+        # is the downstream partitioning requirement, so a pass here can't
+        # be below-threshold masquerading as suppression
+        suppressed = final_plan_tree(executed_formatted_plan(
+            left.join(right, "k")
+            .groupBy("k")
+            .agg(F.sum(F.length("payload")).alias("b"))
+        ))
+        assert "skew=true" not in suppressed, suppressed[:1500]
+        assert "SortMergeJoin" in suppressed
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
