@@ -378,3 +378,30 @@ def test_aqe_skew_join_fires_and_its_suppression_boundary(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_coalesces_overpartitioned_shuffles(spark):
+    """The scale story sizes spark.sql.shuffle.partitions for the LARGE
+    stages and relies on AQE to coalesce the small ones — pin that the
+    executed plan really shows the coalesced AQEShuffleRead (Arguments:
+    coalesced) when 32 shuffle partitions carry a few KB. Without this,
+    every small agg would pay 32 tasks of scheduling floor at any scale."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        df = (
+            spark.range(0, 10_000)
+            .groupBy((F.col("id") % 100).alias("k"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = executed_formatted_plan(df)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    blocks = re.findall(
+        r"\(\d+\) AQEShuffleRead\n(?:.+\n)*?Arguments: (\w+)", plan
+    )
+    assert "coalesced" in blocks, (blocks, plan[:1200])
