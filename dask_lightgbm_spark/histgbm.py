@@ -140,30 +140,39 @@ class HistGBMRegressor:
 
     # -- fit --------------------------------------------------------------
     def fit(self, X, y, sample_weight=None, **_ignored):
-        if sample_weight is not None:
-            raise NotImplementedError(
-                "HistGBMRegressor is the determinism proof harness; "
-                "weighted fits are out of its scope"
-            )
         X = np.asarray(X, dtype=np.float64)
         y = np.asarray(y, dtype=np.float64)
         n, n_feat = X.shape
         comm = self._comm
+        S = float(_SCALE)
+        # weights ride the SAME int64 fixed-point contract: hessians are
+        # rint(w * 2^24) sums, so weighted fits stay bit-equal under any
+        # partitioning, and w=1 reduces EXACTLY to the unweighted math
+        # (each row's hessian is exactly 2^24; k*2^24/2^24 == k in float64
+        # while a node holds < 2^29 rows)
+        w = (
+            np.ones(n)
+            if sample_weight is None
+            else np.asarray(sample_weight, dtype=np.float64)
+        )
+        hess_i = np.rint(w * S).astype(np.int64)
 
         # global bin edges: float min/max is exact and order-free
         mn = X.min(axis=0) if n else np.full(n_feat, np.inf)
         mx = X.max(axis=0) if n else np.full(n_feat, -np.inf)
         self.bin_mn_, self.bin_mx_ = comm.allgather_minmax(mn, mx)
 
-        # base score: exact int64 mean of fixed-point labels
+        # base score: exact weighted mean, sum(w*y)/sum(w) in fixed point
         tot = comm.allgather_sum_i64(
             np.array(
-                [np.rint(y * float(_SCALE)).astype(np.int64).sum(), n],
+                [
+                    np.rint(w * y * S).astype(np.int64).sum(),
+                    hess_i.sum(),
+                ],
                 dtype=np.int64,
             )
         )
-        n_total = int(tot[1])
-        self.base_score_ = (int(tot[0]) / float(_SCALE)) / n_total
+        self.base_score_ = (int(tot[0]) / S) / (int(tot[1]) / S)
         pred = np.full(n, self.base_score_)
 
         bins = self._bins_of(X)  # (n, n_feat) int64 in [0, n_bins)
@@ -171,20 +180,26 @@ class HistGBMRegressor:
         lam = self.reg_lambda
         self.trees_ = []
         for _ in range(self.n_estimators):
-            grad_i = np.rint((pred - y) * float(_SCALE)).astype(np.int64)
+            grad_i = np.rint(w * (pred - y) * S).astype(np.int64)
             nid = np.zeros(n, dtype=np.int64)  # heap ids; -1 = settled leaf
             n_nodes = (1 << (self.max_depth + 1)) - 1
             feat = np.full(n_nodes, -1, dtype=np.int64)
             sbin = np.full(n_nodes, -1, dtype=np.int64)
             gsum = np.zeros(n_nodes, dtype=np.int64)
+            hsum = np.zeros(n_nodes, dtype=np.int64)
             csum = np.zeros(n_nodes, dtype=np.int64)
             for depth in range(self.max_depth):
                 base = (1 << depth) - 1
                 width = 1 << depth
                 live = nid >= 0
-                # level histogram: (width, F, B) int64 counts + grad sums
-                cnt = np.zeros(width * F * B, dtype=np.int64)
-                gh = np.zeros(width * F * B, dtype=np.int64)
+                # level histogram, ONE fused collective: (width, F, B)
+                # int64 counts + grad sums + hessian sums concatenated —
+                # each allGather round costs ~2 s through the barrier
+                # coordinator, so per-level fusion matters more than
+                # payload size (LightGBM batches per level for the same
+                # reason)
+                seg = width * F * B
+                hist = np.zeros(3 * seg, dtype=np.int64)
                 if live.any():
                     rows = np.nonzero(live)[0]
                     node_off = (nid[rows] - base) * (F * B)
@@ -192,33 +207,43 @@ class HistGBMRegressor:
                         node_off[:, None]
                         + np.arange(F, dtype=np.int64)[None, :] * B
                         + bins[rows]
-                    )
-                    np.add.at(cnt, idx.ravel(), 1)
+                    ).ravel()
+                    np.add.at(hist, idx, 1)
                     np.add.at(
-                        gh, idx.ravel(), np.repeat(grad_i[rows], F)
+                        hist[seg:], idx, np.repeat(grad_i[rows], F)
                     )
-                cnt = comm.allgather_sum_i64(cnt).reshape(width, F, B)
-                gh = comm.allgather_sum_i64(gh).reshape(width, F, B)
+                    np.add.at(
+                        hist[2 * seg:], idx, np.repeat(hess_i[rows], F)
+                    )
+                hist = comm.allgather_sum_i64(hist)
+                cnt = hist[:seg].reshape(width, F, B)
+                gh = hist[seg : 2 * seg].reshape(width, F, B)
+                hh = hist[2 * seg :].reshape(width, F, B)
                 for j in range(width):
                     node = base + j
                     N = int(cnt[j, 0].sum())
                     G = int(gh[j, 0].sum())
-                    gsum[node], csum[node] = G, N
+                    H = int(hh[j, 0].sum())
+                    gsum[node], hsum[node], csum[node] = G, H, N
                     if N < 2 * self.min_child_rows:
                         continue
-                    # prefix sums over bins -> candidate (f, b) splits
+                    # prefix sums over bins -> candidate (f, b) splits;
+                    # child-size guards stay on COUNTS, gains use the
+                    # (scaled) hessian mass like LightGBM
                     cl = cnt[j].cumsum(axis=1).astype(np.float64)
                     gl = gh[j].cumsum(axis=1).astype(np.float64)
+                    hl = hh[j].cumsum(axis=1) / S
                     nr = N - cl
                     gr = G - gl
+                    hr = (H / S) - hl
                     ok = (cl >= self.min_child_rows) & (
                         nr >= self.min_child_rows
                     )
                     gain = np.where(
                         ok,
-                        gl * gl / (cl + lam)
-                        + gr * gr / (nr + lam)
-                        - (G * G) / (N + lam),
+                        gl * gl / (hl + lam)
+                        + gr * gr / (hr + lam)
+                        - (G * G) / ((H / S) + lam),
                         -np.inf,
                     )
                     # last bin splits nothing; argmax tie-break = first
@@ -249,23 +274,24 @@ class HistGBMRegressor:
                     )
                     nid[rows] = new
             # leaf values: every un-split node with rows becomes a leaf.
-            # csum/gsum were filled level-wise for internal levels; fill
-            # the last level from a final collective so all workers agree
+            # csum/gsum/hsum were filled level-wise for internal levels;
+            # fill the last level from ONE fused collective so all
+            # workers agree
             base = (1 << self.max_depth) - 1
             width = 1 << self.max_depth
-            cnt = np.zeros(width, dtype=np.int64)
-            gh = np.zeros(width, dtype=np.int64)
+            tail = np.zeros(3 * width, dtype=np.int64)
             live = nid >= 0
             if live.any():
                 rows = np.nonzero(live)[0]
                 off = nid[rows] - base
-                np.add.at(cnt, off, 1)
-                np.add.at(gh, off, grad_i[rows])
-            cnt_g = comm.allgather_sum_i64(cnt)
-            gh_g = comm.allgather_sum_i64(gh)
+                np.add.at(tail, off, 1)
+                np.add.at(tail[width:], off, grad_i[rows])
+                np.add.at(tail[2 * width:], off, hess_i[rows])
+            tail = comm.allgather_sum_i64(tail)
             for j in range(width):
-                csum[base + j] = int(cnt_g[j])
-                gsum[base + j] = int(gh_g[j])
+                csum[base + j] = int(tail[j])
+                gsum[base + j] = int(tail[width + j])
+                hsum[base + j] = int(tail[2 * width + j])
             value = np.zeros(n_nodes, dtype=np.float64)
             is_leaf = np.zeros(n_nodes, dtype=bool)
             for node in range(n_nodes):
@@ -277,10 +303,9 @@ class HistGBMRegressor:
                 if node != 0 and feat[parent] < 0:
                     continue  # unreachable (parent is itself a leaf)
                 is_leaf[node] = True
-                g = int(gsum[node]) / float(_SCALE)
-                value[node] = (
-                    -g / (csum[node] + lam) * self.learning_rate
-                )
+                g = int(gsum[node]) / S
+                h = int(hsum[node]) / S
+                value[node] = -g / (h + lam) * self.learning_rate
             tree = {
                 "feat": feat,
                 "sbin": sbin,

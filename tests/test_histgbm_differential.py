@@ -322,3 +322,38 @@ def test_bit_equality_is_partition_invariant_property():
             assert np.array_equal(m.predict(X), p_ref)
 
     check()
+
+
+def test_weighted_distributed_fit_bit_equal_to_local(spark):
+    """sample_weight is the reference's default test regime (every
+    _create_data variant ships a weight column) — the weighted fit must
+    hold the same bit-equality: weights ride the int64 fixed-point
+    contract (hessian = rint(w * 2^24) sums), so the weight_col plumbing
+    through the barrier task changes nothing."""
+    from dask_lightgbm_spark import core
+    from dask_lightgbm_spark.histgbm import HistGBMRegressor
+
+    X, y = _synth()
+    rng = np.random.default_rng(1)
+    w = rng.uniform(0.0, 0.01, size=len(y))  # FIXTURES.md weight shape
+    pdf = pd.DataFrame({f"f{i}": X[:, i] for i in range(5)})
+    pdf["target"] = y
+    pdf["w"] = w
+    df = spark.createDataFrame(pdf)
+
+    dist = core.train_lightgbm_barrier(
+        df,
+        feature_cols=[f"f{i}" for i in range(5)],
+        label_col="target",
+        model_factory=HistGBMRegressor,
+        params={"n_estimators": 6, "max_depth": 2},
+        weight_col="w",
+        num_workers=2,
+    )
+    local = HistGBMRegressor(n_estimators=6, max_depth=2).fit(
+        X, y, sample_weight=w
+    )
+    unweighted = HistGBMRegressor(n_estimators=6, max_depth=2).fit(X, y)
+    assert np.array_equal(dist.predict(X), local.predict(X))
+    # and the weights were actually consumed, not silently dropped
+    assert not np.array_equal(local.predict(X), unweighted.predict(X))
