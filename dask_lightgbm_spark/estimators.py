@@ -158,13 +158,16 @@ class _SparkLGBMBase:
                     "lightgbm is not importable; use backend='mllib' or 'auto'"
                 )
             if backend == "histgbm":
-                # the wheel-free collective GBDT (histgbm.HistGBMRegressor):
-                # same barrier stage, allGather collective instead of the
-                # LightGBM socket ring — squared-loss regression only
-                if self._is_classifier:
+                # the wheel-free collective GBDT (histgbm module): same
+                # barrier stage, allGather collective instead of the
+                # LightGBM socket ring — squared-loss regression and
+                # BINARY logistic classification
+                if self._is_classifier and (
+                    self.num_classes is not None and self.num_classes > 2
+                ):
                     raise ValueError(
-                        "backend='histgbm' is regression-only (squared "
-                        "loss); use backend='mllib' for classification"
+                        "backend='histgbm' classification is binary; use "
+                        "backend='mllib' for multiclass"
                     )
                 if features_col is not None:
                     raise ValueError(
@@ -191,9 +194,17 @@ class _SparkLGBMBase:
                 self._features_col = None
                 self._n_features = len(self._feature_cols)
             if backend == "histgbm":
-                from dask_lightgbm_spark.histgbm import HistGBMRegressor
+                from dask_lightgbm_spark.histgbm import (
+                    HistGBMClassifier,
+                    HistGBMRegressor,
+                )
 
-                factory, params = HistGBMRegressor, self._histgbm_params()
+                factory = (
+                    HistGBMClassifier
+                    if self._is_classifier
+                    else HistGBMRegressor
+                )
+                params = self._histgbm_params()
             else:
                 factory, params = self._lgbm_factory(), self._lgbm_params()
             self._model = core.train_lightgbm_barrier(

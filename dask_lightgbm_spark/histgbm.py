@@ -131,6 +131,17 @@ class HistGBMRegressor:
         with allGather over the barrier stage's tasks."""
         self._comm = BarrierComm(ctx)
 
+    # -- loss hooks (overridden by the classifier) -------------------------
+    def _check_labels(self, y: np.ndarray) -> None:
+        pass
+
+    def _base_raw(self, weighted_mean_y: float) -> float:
+        return weighted_mean_y
+
+    def _grad_hess(self, pred_raw, y, w):
+        # squared loss: grad = w*(pred - y), hess = w
+        return w * (pred_raw - y), w
+
     # -- binning ----------------------------------------------------------
     def _bins_of(self, X: np.ndarray) -> np.ndarray:
         span = self.bin_mx_ - self.bin_mn_
@@ -150,29 +161,34 @@ class HistGBMRegressor:
         # partitioning, and w=1 reduces EXACTLY to the unweighted math
         # (each row's hessian is exactly 2^24; k*2^24/2^24 == k in float64
         # while a node holds < 2^29 rows)
+        self._check_labels(y)
         w = (
             np.ones(n)
             if sample_weight is None
             else np.asarray(sample_weight, dtype=np.float64)
         )
-        hess_i = np.rint(w * S).astype(np.int64)
+        w_i = np.rint(w * S).astype(np.int64)
 
         # global bin edges: float min/max is exact and order-free
         mn = X.min(axis=0) if n else np.full(n_feat, np.inf)
         mx = X.max(axis=0) if n else np.full(n_feat, -np.inf)
         self.bin_mn_, self.bin_mx_ = comm.allgather_minmax(mn, mx)
 
-        # base score: exact weighted mean, sum(w*y)/sum(w) in fixed point
+        # base score: exact weighted mean, sum(w*y)/sum(w) in fixed
+        # point, mapped to raw-score space by the loss (identity for
+        # squared loss, logit for binary)
         tot = comm.allgather_sum_i64(
             np.array(
                 [
                     np.rint(w * y * S).astype(np.int64).sum(),
-                    hess_i.sum(),
+                    w_i.sum(),
                 ],
                 dtype=np.int64,
             )
         )
-        self.base_score_ = (int(tot[0]) / S) / (int(tot[1]) / S)
+        self.base_score_ = self._base_raw(
+            (int(tot[0]) / S) / (int(tot[1]) / S)
+        )
         pred = np.full(n, self.base_score_)
 
         bins = self._bins_of(X)  # (n, n_feat) int64 in [0, n_bins)
@@ -180,7 +196,12 @@ class HistGBMRegressor:
         lam = self.reg_lambda
         self.trees_ = []
         for _ in range(self.n_estimators):
-            grad_i = np.rint(w * (pred - y) * S).astype(np.int64)
+            # per-tree gradient/hessian from the loss hook — row-local and
+            # deterministic, so quantized sums keep the bit-equality
+            # contract (squared loss: hess == w, same ints every tree)
+            g_f, h_f = self._grad_hess(pred, y, w)
+            grad_i = np.rint(g_f * S).astype(np.int64)
+            hess_i = np.rint(h_f * S).astype(np.int64)
             nid = np.zeros(n, dtype=np.int64)  # heap ids; -1 = settled leaf
             n_nodes = (1 << (self.max_depth + 1)) - 1
             feat = np.full(n_nodes, -1, dtype=np.int64)
@@ -342,10 +363,49 @@ class HistGBMRegressor:
             pending[rows[dead]] = False  # empty subtree: contributes 0
         return out
 
-    def predict(self, X) -> np.ndarray:
+    def _raw_scores(self, X) -> np.ndarray:
         X = np.asarray(X, dtype=np.float64)
         bins = self._bins_of(X)
         pred = np.full(len(X), self.base_score_)
         for tree in self.trees_:
             pred = pred + self._tree_scores(tree, bins)
         return pred
+
+    def predict(self, X) -> np.ndarray:
+        return self._raw_scores(X)
+
+
+class HistGBMClassifier(HistGBMRegressor):
+    """Binary classification (logistic loss) on the same exact-histogram
+    machinery — the reference's PRIMARY estimator shape
+    (``LGBMClassifier``, reference core.py:176-213) made wheel-free.
+    Gradients/hessians are the standard logistic ones
+    (``p - y`` / ``p*(1-p)``, weighted), computed ROW-LOCALLY from the
+    raw margin and quantized to int64 like everything else, so the
+    bit-equality-under-any-partitioning contract is unchanged."""
+
+    _P_CLIP = 1e-6
+
+    def _check_labels(self, y: np.ndarray) -> None:
+        bad = ~np.isin(y, (0.0, 1.0))
+        if bad.any():
+            raise ValueError(
+                "HistGBMClassifier is binary: labels must be 0/1, got "
+                f"{np.unique(y[bad])[:5]}"
+            )
+        self.classes_ = [0.0, 1.0]
+
+    def _base_raw(self, weighted_mean_y: float) -> float:
+        p0 = min(max(weighted_mean_y, self._P_CLIP), 1.0 - self._P_CLIP)
+        return float(np.log(p0 / (1.0 - p0)))
+
+    def _grad_hess(self, pred_raw, y, w):
+        p = 1.0 / (1.0 + np.exp(-pred_raw))
+        return w * (p - y), w * p * (1.0 - p)
+
+    def predict_proba(self, X) -> np.ndarray:
+        p = 1.0 / (1.0 + np.exp(-self._raw_scores(X)))
+        return np.column_stack([1.0 - p, p])
+
+    def predict(self, X) -> np.ndarray:
+        return (self.predict_proba(X)[:, 1] >= 0.5).astype(np.float64)

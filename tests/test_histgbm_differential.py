@@ -205,7 +205,7 @@ def test_estimator_histgbm_backend_round_trip(spark, tmp_path):
     assert np.array_equal(got, got2)
 
 
-def test_estimator_histgbm_rejects_classifier_and_vectors(spark):
+def test_estimator_histgbm_rejects_multiclass_and_vectors(spark):
     from dask_lightgbm_spark.estimators import (
         SparkLGBMClassifier,
         SparkLGBMRegressor,
@@ -214,14 +214,76 @@ def test_estimator_histgbm_rejects_classifier_and_vectors(spark):
     df = spark.createDataFrame(
         pd.DataFrame({"f0": [1.0, 2.0], "target": [0.0, 1.0]})
     )
-    with pytest.raises(ValueError, match="regression-only"):
-        SparkLGBMClassifier(backend="histgbm").fit(
+    with pytest.raises(ValueError, match="binary"):
+        SparkLGBMClassifier(backend="histgbm", num_classes=3).fit(
             df, feature_cols=["f0"], label_col="target"
         )
     with pytest.raises(ValueError, match="dense feature_cols"):
         SparkLGBMRegressor(backend="histgbm").fit(
             df, features_col="f0", label_col="target"
         )
+
+
+def test_classifier_distributed_fit_bit_equal_and_accurate(spark):
+    """Binary logistic through the barrier collective — the reference's
+    PRIMARY estimator shape, wheel-free: 2-task distributed fit ==
+    driver-local fit bit-for-bit (probabilities, not just labels), and
+    it actually classifies (>0.9 train accuracy on a separable blob)."""
+    from dask_lightgbm_spark import core
+    from dask_lightgbm_spark.histgbm import HistGBMClassifier
+
+    rng = np.random.default_rng(42)
+    X = rng.normal(size=(400, 5))
+    y = (X[:, 0] + 0.5 * X[:, 1] + 0.3 * rng.normal(size=400) > 0).astype(
+        float
+    )
+    pdf = pd.DataFrame({f"f{i}": X[:, i] for i in range(5)})
+    pdf["target"] = y
+
+    dist = core.train_lightgbm_barrier(
+        spark.createDataFrame(pdf),
+        feature_cols=[f"f{i}" for i in range(5)],
+        label_col="target",
+        model_factory=HistGBMClassifier,
+        params={"n_estimators": 6, "max_depth": 2},
+        num_workers=2,
+    )
+    local = HistGBMClassifier(n_estimators=6, max_depth=2).fit(X, y)
+    assert np.array_equal(dist.predict_proba(X), local.predict_proba(X))
+    assert dist.classes_ == [0.0, 1.0]
+    assert (dist.predict(X) == y).mean() > 0.9
+
+
+def test_estimator_histgbm_classifier_transform(spark):
+    """Estimator surface: SparkLGBMClassifier(backend='histgbm') fit +
+    lazy transform adds prediction AND probability columns matching the
+    driver-local model."""
+    from dask_lightgbm_spark.estimators import SparkLGBMClassifier
+    from dask_lightgbm_spark.histgbm import HistGBMClassifier
+
+    rng = np.random.default_rng(42)
+    X = rng.normal(size=(300, 3))
+    y = (X[:, 0] - X[:, 2] > 0).astype(float)
+    pdf = pd.DataFrame({f"f{i}": X[:, i] for i in range(3)})
+    pdf["target"] = y
+    df = spark.createDataFrame(pdf)
+
+    clf = SparkLGBMClassifier(
+        n_estimators=6, max_depth=2, learning_rate=0.3,
+        min_child_samples=1, backend="histgbm", num_workers=2,
+    )
+    clf.fit(df, feature_cols=[f"f{i}" for i in range(3)], label_col="target")
+    assert clf.classes_ == [0.0, 1.0]
+    out = clf.transform(df, feature_cols=[f"f{i}" for i in range(3)]).toPandas()
+    local = HistGBMClassifier(
+        n_estimators=6, max_depth=2, learning_rate=0.3, min_child_rows=1
+    ).fit(X, y)
+    Xo = out[[f"f{i}" for i in range(3)]].to_numpy()
+    assert np.array_equal(
+        out["prediction"].to_numpy(), local.predict(Xo)
+    )
+    proba = np.stack(out["probability"].to_numpy())
+    assert np.array_equal(proba, local.predict_proba(Xo))
 
 
 def test_bit_equality_is_partition_invariant_property():
