@@ -331,17 +331,22 @@ def test_bit_equality_is_partition_invariant_property():
 
             return C()
 
+    from dask_lightgbm_spark.histgbm import HistGBMClassifier
+
     @settings(max_examples=15, deadline=None)
     @given(
         seed=st.integers(0, 2**31 - 1),
         n_workers=st.integers(2, 4),
+        classify=st.booleans(),
         data=st.data(),
     )
-    def check(seed, n_workers, data):
+    def check(seed, n_workers, classify, data):
         rng = np.random.default_rng(seed)
         n = data.draw(st.integers(n_workers * 2, 120))
         X = rng.normal(size=(n, 3))
         y = X[:, 0] - 0.5 * X[:, 2] + 0.1 * rng.normal(size=n)
+        if classify:
+            y = (y > 0).astype(float)
         # random assignment of rows to workers; every worker nonempty
         assign = np.array(
             list(range(n_workers))
@@ -355,14 +360,15 @@ def test_bit_equality_is_partition_invariant_property():
         )
         rng.shuffle(assign)
 
-        ref = HistGBMRegressor(n_estimators=4, max_depth=2).fit(X, y)
+        cls = HistGBMClassifier if classify else HistGBMRegressor
+        ref = cls(n_estimators=4, max_depth=2).fit(X, y)
         comm = ThreadComm(n_workers)
         models = [None] * n_workers
         errs = []
 
         def worker(rank):
             try:
-                m = HistGBMRegressor(n_estimators=4, max_depth=2)
+                m = cls(n_estimators=4, max_depth=2)
                 m._comm = comm.client(rank)
                 sel = assign == rank
                 m.fit(X[sel], y[sel])
@@ -379,9 +385,12 @@ def test_bit_equality_is_partition_invariant_property():
         for t in ts:
             t.join()
         assert not errs, errs
-        p_ref = ref.predict(X)
+        p_ref = (
+            ref.predict_proba(X) if classify else ref.predict(X)
+        )
         for m in models:
-            assert np.array_equal(m.predict(X), p_ref)
+            got = m.predict_proba(X) if classify else m.predict(X)
+            assert np.array_equal(got, p_ref)
 
     check()
 
