@@ -160,15 +160,10 @@ class _SparkLGBMBase:
             if backend == "histgbm":
                 # the wheel-free collective GBDT (histgbm module): same
                 # barrier stage, allGather collective instead of the
-                # LightGBM socket ring — squared-loss regression and
-                # BINARY logistic classification
-                if self._is_classifier and (
-                    self.num_classes is not None and self.num_classes > 2
-                ):
-                    raise ValueError(
-                        "backend='histgbm' classification is binary; use "
-                        "backend='mllib' for multiclass"
-                    )
+                # LightGBM socket ring — squared-loss regression, binary
+                # logistic, and softmax multiclass (num_classes > 2; the
+                # class count must be declared up front, like the
+                # sequence-ingest path — no single task sees every label)
                 if features_col is not None:
                     raise ValueError(
                         "backend='histgbm' takes dense feature_cols; the "
@@ -196,15 +191,18 @@ class _SparkLGBMBase:
             if backend == "histgbm":
                 from dask_lightgbm_spark.histgbm import (
                     HistGBMClassifier,
+                    HistGBMMulticlassClassifier,
                     HistGBMRegressor,
                 )
 
-                factory = (
-                    HistGBMClassifier
-                    if self._is_classifier
-                    else HistGBMRegressor
-                )
                 params = self._histgbm_params()
+                if not self._is_classifier:
+                    factory = HistGBMRegressor
+                elif self.num_classes is not None and self.num_classes > 2:
+                    factory = HistGBMMulticlassClassifier
+                    params["num_class"] = self.num_classes
+                else:
+                    factory = HistGBMClassifier
             else:
                 factory, params = self._lgbm_factory(), self._lgbm_params()
             self._model = core.train_lightgbm_barrier(

@@ -123,6 +123,7 @@ class HistGBMRegressor:
         self._comm = LocalComm()
         self.trees_ = None
         self.base_score_ = 0.0
+        self.base_scores_ = np.zeros(1)
         self.bin_mn_ = None
         self.bin_mx_ = None
 
@@ -150,6 +151,25 @@ class HistGBMRegressor:
         return np.clip(b, 0, self.n_bins - 1)
 
     # -- fit --------------------------------------------------------------
+    def _base_raw_vector(self, comm, y, w, w_i) -> np.ndarray:
+        """Per-channel base raw scores from ONE fused int64 collective.
+        K=1 losses (squared, binary logistic) reduce the weighted label
+        mean through :meth:`_base_raw`; the multiclass override returns
+        log-priors per class."""
+        S = float(_SCALE)
+        tot = comm.allgather_sum_i64(
+            np.array(
+                [
+                    np.rint(w * y * S).astype(np.int64).sum(),
+                    w_i.sum(),
+                ],
+                dtype=np.int64,
+            )
+        )
+        return np.array(
+            [self._base_raw((int(tot[0]) / S) / (int(tot[1]) / S))]
+        )
+
     def fit(self, X, y, sample_weight=None, **_ignored):
         X = np.asarray(X, dtype=np.float64)
         y = np.asarray(y, dtype=np.float64)
@@ -157,8 +177,8 @@ class HistGBMRegressor:
         comm = self._comm
         S = float(_SCALE)
         # weights ride the SAME int64 fixed-point contract: hessians are
-        # rint(w * 2^24) sums, so weighted fits stay bit-equal under any
-        # partitioning, and w=1 reduces EXACTLY to the unweighted math
+        # rint(h * 2^24) sums, so weighted fits stay bit-equal under any
+        # partitioning, and w=1 squared loss reduces EXACTLY to counts
         # (each row's hessian is exactly 2^24; k*2^24/2^24 == k in float64
         # while a node holds < 2^29 rows)
         self._check_labels(y)
@@ -174,78 +194,94 @@ class HistGBMRegressor:
         mx = X.max(axis=0) if n else np.full(n_feat, -np.inf)
         self.bin_mn_, self.bin_mx_ = comm.allgather_minmax(mn, mx)
 
-        # base score: exact weighted mean, sum(w*y)/sum(w) in fixed
-        # point, mapped to raw-score space by the loss (identity for
-        # squared loss, logit for binary)
-        tot = comm.allgather_sum_i64(
-            np.array(
-                [
-                    np.rint(w * y * S).astype(np.int64).sum(),
-                    w_i.sum(),
-                ],
-                dtype=np.int64,
-            )
-        )
-        self.base_score_ = self._base_raw(
-            (int(tot[0]) / S) / (int(tot[1]) / S)
-        )
-        pred = np.full(n, self.base_score_)
+        # base raw score(s): exact fixed-point sums mapped by the loss
+        base = np.asarray(self._base_raw_vector(comm, y, w, w_i))
+        K = len(base)
+        self.base_scores_ = base
+        self.base_score_ = float(base[0])  # K=1 back-compat alias
+        pred = np.tile(base, (n, 1))  # (n, K) raw margins
 
         bins = self._bins_of(X)  # (n, n_feat) int64 in [0, n_bins)
         B, F = self.n_bins, n_feat
         lam = self.reg_lambda
         self.trees_ = []
         for _ in range(self.n_estimators):
-            # per-tree gradient/hessian from the loss hook — row-local and
-            # deterministic, so quantized sums keep the bit-equality
-            # contract (squared loss: hess == w, same ints every tree)
-            g_f, h_f = self._grad_hess(pred, y, w)
-            grad_i = np.rint(g_f * S).astype(np.int64)
-            hess_i = np.rint(h_f * S).astype(np.int64)
-            nid = np.zeros(n, dtype=np.int64)  # heap ids; -1 = settled leaf
-            n_nodes = (1 << (self.max_depth + 1)) - 1
-            feat = np.full(n_nodes, -1, dtype=np.int64)
-            sbin = np.full(n_nodes, -1, dtype=np.int64)
-            gsum = np.zeros(n_nodes, dtype=np.int64)
-            hsum = np.zeros(n_nodes, dtype=np.int64)
-            csum = np.zeros(n_nodes, dtype=np.int64)
-            for depth in range(self.max_depth):
-                base = (1 << depth) - 1
-                width = 1 << depth
-                live = nid >= 0
-                # level histogram, ONE fused collective: (width, F, B)
-                # int64 counts + grad sums + hessian sums concatenated —
-                # each allGather round costs ~2 s through the barrier
-                # coordinator, so per-level fusion matters more than
-                # payload size (LightGBM batches per level for the same
-                # reason)
-                seg = width * F * B
-                hist = np.zeros(3 * seg, dtype=np.int64)
-                if live.any():
-                    rows = np.nonzero(live)[0]
-                    node_off = (nid[rows] - base) * (F * B)
-                    idx = (
-                        node_off[:, None]
-                        + np.arange(F, dtype=np.int64)[None, :] * B
-                        + bins[rows]
-                    ).ravel()
-                    np.add.at(hist, idx, 1)
-                    np.add.at(
-                        hist[seg:], idx, np.repeat(grad_i[rows], F)
-                    )
-                    np.add.at(
-                        hist[2 * seg:], idx, np.repeat(hess_i[rows], F)
-                    )
-                hist = comm.allgather_sum_i64(hist)
-                cnt = hist[:seg].reshape(width, F, B)
-                gh = hist[seg : 2 * seg].reshape(width, F, B)
-                hh = hist[2 * seg :].reshape(width, F, B)
+            # per-round gradient/hessian from the loss hook — row-local
+            # and deterministic, so quantized sums keep the bit-equality
+            # contract (squared loss: hess == w, same ints every round)
+            p_in = pred[:, 0] if K == 1 else pred
+            g_f, h_f = self._grad_hess(p_in, y, w)
+            grad_i = (
+                np.rint(np.asarray(g_f, dtype=np.float64) * S)
+                .astype(np.int64)
+                .reshape(n, K)
+            )
+            hess_i = (
+                np.rint(np.asarray(h_f, dtype=np.float64) * S)
+                .astype(np.int64)
+                .reshape(n, K)
+            )
+            round_trees = self._build_round(
+                comm, bins, grad_i, hess_i, n, F, B, lam, K
+            )
+            self.trees_.append(round_trees)
+            for k, tree in enumerate(round_trees):
+                pred[:, k] += self._tree_scores(tree, bins)
+        return self
+
+    def _build_round(self, comm, bins, grad_i, hess_i, n, F, B, lam, K):
+        """One boosting round: K independent trees (one per channel —
+        multiclass grows a tree per class, LightGBM-style), built
+        LEVEL-SYNCHRONIZED so every depth merges the count/grad/hessian
+        histograms of ALL channels in ONE fused allGather (each round
+        trip costs ~2 s through the barrier coordinator). Channel-major
+        layout [k][cnt|gh|hh] makes K=1 byte-identical to the
+        single-tree protocol."""
+        S = float(_SCALE)
+        n_nodes = (1 << (self.max_depth + 1)) - 1
+        nid = np.zeros((K, n), dtype=np.int64)  # heap ids; -1 = settled
+        feat = np.full((K, n_nodes), -1, dtype=np.int64)
+        sbin = np.full((K, n_nodes), -1, dtype=np.int64)
+        gsum = np.zeros((K, n_nodes), dtype=np.int64)
+        hsum = np.zeros((K, n_nodes), dtype=np.int64)
+        csum = np.zeros((K, n_nodes), dtype=np.int64)
+        f_off = np.arange(F, dtype=np.int64)[None, :] * B
+        for depth in range(self.max_depth):
+            base = (1 << depth) - 1
+            width = 1 << depth
+            seg = width * F * B
+            hist = np.zeros(K * 3 * seg, dtype=np.int64)
+            for k in range(K):
+                live = nid[k] >= 0
+                if not live.any():
+                    continue
+                rows = np.nonzero(live)[0]
+                node_off = (nid[k][rows] - base) * (F * B)
+                idx = (node_off[:, None] + f_off + bins[rows]).ravel()
+                o = k * 3 * seg
+                np.add.at(hist[o : o + seg], idx, 1)
+                np.add.at(
+                    hist[o + seg : o + 2 * seg],
+                    idx,
+                    np.repeat(grad_i[rows, k], F),
+                )
+                np.add.at(
+                    hist[o + 2 * seg : o + 3 * seg],
+                    idx,
+                    np.repeat(hess_i[rows, k], F),
+                )
+            hist = comm.allgather_sum_i64(hist)
+            for k in range(K):
+                o = k * 3 * seg
+                cnt = hist[o : o + seg].reshape(width, F, B)
+                gh = hist[o + seg : o + 2 * seg].reshape(width, F, B)
+                hh = hist[o + 2 * seg : o + 3 * seg].reshape(width, F, B)
                 for j in range(width):
                     node = base + j
                     N = int(cnt[j, 0].sum())
                     G = int(gh[j, 0].sum())
                     H = int(hh[j, 0].sum())
-                    gsum[node], hsum[node], csum[node] = G, H, N
+                    gsum[k, node], hsum[k, node], csum[k, node] = G, H, N
                     if N < 2 * self.min_child_rows:
                         continue
                     # prefix sums over bins -> candidate (f, b) splits;
@@ -274,68 +310,76 @@ class HistGBMRegressor:
                         gain.ravel()[flat] <= 0.0
                     ):
                         continue
-                    feat[node] = flat // B
-                    sbin[node] = flat % B
+                    feat[k, node] = flat // B
+                    sbin[k, node] = flat % B
                 # route rows of split nodes; settle the rest as leaves
+                live = nid[k] >= 0
                 if live.any():
                     rows = np.nonzero(live)[0]
-                    node = nid[rows]
-                    f = feat[node]
+                    node = nid[k][rows]
+                    f = feat[k][node]
                     split = f >= 0
                     go_left = np.zeros(len(rows), dtype=bool)
                     if split.any():
                         r = rows[split]
                         go_left[split] = (
-                            bins[r, f[split]] <= sbin[node[split]]
+                            bins[r, f[split]] <= sbin[k][node[split]]
                         )
                     new = np.where(
                         split,
-                        np.where(split & go_left, 2 * node + 1, 2 * node + 2),
+                        np.where(
+                            split & go_left, 2 * node + 1, 2 * node + 2
+                        ),
                         -1,
                     )
-                    nid[rows] = new
-            # leaf values: every un-split node with rows becomes a leaf.
-            # csum/gsum/hsum were filled level-wise for internal levels;
-            # fill the last level from ONE fused collective so all
-            # workers agree
-            base = (1 << self.max_depth) - 1
-            width = 1 << self.max_depth
-            tail = np.zeros(3 * width, dtype=np.int64)
-            live = nid >= 0
-            if live.any():
-                rows = np.nonzero(live)[0]
-                off = nid[rows] - base
-                np.add.at(tail, off, 1)
-                np.add.at(tail[width:], off, grad_i[rows])
-                np.add.at(tail[2 * width:], off, hess_i[rows])
-            tail = comm.allgather_sum_i64(tail)
+                    nid[k][rows] = new
+        # leaf fill: last-level sums for ALL channels in one collective
+        base = (1 << self.max_depth) - 1
+        width = 1 << self.max_depth
+        tail = np.zeros(K * 3 * width, dtype=np.int64)
+        for k in range(K):
+            live = nid[k] >= 0
+            if not live.any():
+                continue
+            rows = np.nonzero(live)[0]
+            off = nid[k][rows] - base
+            o = k * 3 * width
+            np.add.at(tail[o : o + width], off, 1)
+            np.add.at(tail[o + width : o + 2 * width], off, grad_i[rows, k])
+            np.add.at(
+                tail[o + 2 * width : o + 3 * width], off, hess_i[rows, k]
+            )
+        tail = comm.allgather_sum_i64(tail)
+        trees = []
+        for k in range(K):
+            o = k * 3 * width
             for j in range(width):
-                csum[base + j] = int(tail[j])
-                gsum[base + j] = int(tail[width + j])
-                hsum[base + j] = int(tail[2 * width + j])
+                csum[k, base + j] = int(tail[o + j])
+                gsum[k, base + j] = int(tail[o + width + j])
+                hsum[k, base + j] = int(tail[o + 2 * width + j])
             value = np.zeros(n_nodes, dtype=np.float64)
             is_leaf = np.zeros(n_nodes, dtype=bool)
             for node in range(n_nodes):
-                if feat[node] >= 0:
+                if feat[k, node] >= 0:
                     continue
-                if csum[node] == 0:
+                if csum[k, node] == 0:
                     continue
                 parent = (node - 1) // 2
-                if node != 0 and feat[parent] < 0:
+                if node != 0 and feat[k, parent] < 0:
                     continue  # unreachable (parent is itself a leaf)
                 is_leaf[node] = True
-                g = int(gsum[node]) / S
-                h = int(hsum[node]) / S
+                g = int(gsum[k, node]) / S
+                h = int(hsum[k, node]) / S
                 value[node] = -g / (h + lam) * self.learning_rate
-            tree = {
-                "feat": feat,
-                "sbin": sbin,
-                "leaf": is_leaf,
-                "value": value,
-            }
-            self.trees_.append(tree)
-            pred = pred + self._tree_scores(tree, bins)
-        return self
+            trees.append(
+                {
+                    "feat": feat[k].copy(),
+                    "sbin": sbin[k].copy(),
+                    "leaf": is_leaf,
+                    "value": value,
+                }
+            )
+        return trees
 
     # -- predict ----------------------------------------------------------
     def _tree_scores(self, tree, bins: np.ndarray) -> np.ndarray:
@@ -366,10 +410,12 @@ class HistGBMRegressor:
     def _raw_scores(self, X) -> np.ndarray:
         X = np.asarray(X, dtype=np.float64)
         bins = self._bins_of(X)
-        pred = np.full(len(X), self.base_score_)
-        for tree in self.trees_:
-            pred = pred + self._tree_scores(tree, bins)
-        return pred
+        K = len(self.base_scores_)
+        pred = np.tile(self.base_scores_, (len(X), 1))
+        for round_trees in self.trees_:
+            for k, tree in enumerate(round_trees):
+                pred[:, k] += self._tree_scores(tree, bins)
+        return pred[:, 0] if K == 1 else pred
 
     def predict(self, X) -> np.ndarray:
         return self._raw_scores(X)
@@ -409,3 +455,69 @@ class HistGBMClassifier(HistGBMRegressor):
 
     def predict(self, X) -> np.ndarray:
         return (self.predict_proba(X)[:, 1] >= 0.5).astype(np.float64)
+
+
+class HistGBMMulticlassClassifier(HistGBMRegressor):
+    """K-class softmax on the channelized builder — one tree PER CLASS
+    per round (LightGBM's ``multiclass`` objective shape; FIXTURES.md §1
+    names the reference's 3-center blobs variant). All K channels build
+    level-synchronized, so a round costs the same number of collective
+    rounds as a single tree; gradients/hessians are the standard softmax
+    ones, row-local and int64-quantized, so the
+    bit-equality-under-any-partitioning contract covers the
+    probabilities."""
+
+    _P_CLIP = 1e-6
+
+    def __init__(self, num_class: int = 3, **kw):
+        super().__init__(**kw)
+        self.num_class = int(num_class)
+        if self.num_class < 2:
+            raise ValueError("num_class must be >= 2")
+
+    def _check_labels(self, y: np.ndarray) -> None:
+        bad = ~np.isin(y, np.arange(self.num_class, dtype=np.float64))
+        if bad.any():
+            raise ValueError(
+                f"labels must be integers in [0, {self.num_class}); got "
+                f"{np.unique(y[bad])[:5]}"
+            )
+        self.classes_ = [float(i) for i in range(self.num_class)]
+
+    def _base_raw_vector(self, comm, y, w, w_i) -> np.ndarray:
+        # log priors from one fused collective of per-class weight mass
+        S = float(_SCALE)
+        K = self.num_class
+        sums = [
+            np.rint(w * (y == float(k)) * S).astype(np.int64).sum()
+            for k in range(K)
+        ] + [w_i.sum()]
+        tot = comm.allgather_sum_i64(np.array(sums, dtype=np.int64))
+        denom = int(tot[K])
+        priors = np.array(
+            [
+                min(
+                    max(int(tot[k]) / denom, self._P_CLIP),
+                    1.0 - self._P_CLIP,
+                )
+                for k in range(K)
+            ]
+        )
+        return np.log(priors)
+
+    def _softmax(self, raw: np.ndarray) -> np.ndarray:
+        z = raw - raw.max(axis=1, keepdims=True)  # stable, row-local
+        e = np.exp(z)
+        return e / e.sum(axis=1, keepdims=True)
+
+    def _grad_hess(self, pred_raw, y, w):
+        P = self._softmax(pred_raw)
+        Y = np.zeros_like(P)
+        Y[np.arange(len(y)), y.astype(np.int64)] = 1.0
+        return w[:, None] * (P - Y), w[:, None] * P * (1.0 - P)
+
+    def predict_proba(self, X) -> np.ndarray:
+        return self._softmax(self._raw_scores(X))
+
+    def predict(self, X) -> np.ndarray:
+        return np.argmax(self.predict_proba(X), axis=1).astype(np.float64)
