@@ -370,6 +370,12 @@ def train_lightgbm_barrier(
         )
     if (feature_cols is None) == (features_col is None):
         raise ValueError("supply exactly one of feature_cols / features_col")
+    # model_factory pickles BY REFERENCE (it's a module-level class, e.g.
+    # histgbm.HistGBMRegressor) — ship the package so executor Python
+    # workers can import it regardless of the driver's cwd / --py-files
+    from dask_lightgbm_spark.shipping import ship_package
+
+    ship_package(df.sparkSession)
     sc = df.sparkSession.sparkContext
     num_workers = num_workers or max(sc.defaultParallelism // 4, 2)
     # a barrier stage needs ALL its tasks scheduled at once; asking for more

@@ -160,8 +160,9 @@ class _SparkLGBMBase:
             if backend == "histgbm":
                 # the wheel-free collective GBDT (histgbm module): same
                 # barrier stage, allGather collective instead of the
-                # LightGBM socket ring — squared-loss regression, binary
-                # logistic, and softmax multiclass (num_classes > 2; the
+                # LightGBM socket ring — squared-loss + pinball-quantile
+                # regression, binary logistic, and softmax multiclass
+                # (num_classes > 2; the
                 # class count must be declared up front, like the
                 # sequence-ingest path — no single task sees every label)
                 if features_col is not None:
@@ -192,12 +193,17 @@ class _SparkLGBMBase:
                 from dask_lightgbm_spark.histgbm import (
                     HistGBMClassifier,
                     HistGBMMulticlassClassifier,
+                    HistGBMQuantileRegressor,
                     HistGBMRegressor,
                 )
 
                 params = self._histgbm_params()
                 if not self._is_classifier:
-                    factory = HistGBMRegressor
+                    if self.objective == "quantile":
+                        factory = HistGBMQuantileRegressor
+                        params["alpha"] = self.alpha
+                    else:
+                        factory = HistGBMRegressor
                 elif self.num_classes is not None and self.num_classes > 2:
                     factory = HistGBMMulticlassClassifier
                     params["num_class"] = self.num_classes
@@ -242,9 +248,38 @@ class _SparkLGBMBase:
         return self
 
     def _histgbm_params(self) -> dict:
-        # HistGBMRegressor's knobs, mapped from the shared surface;
-        # lightgbm's unlimited-depth convention (-1/0) maps to a sane
-        # finite default since level-wise histograms need a bound
+        # HistGBM knobs, mapped from the shared surface; lightgbm's
+        # unlimited-depth convention (-1/0) maps to a sane finite default
+        # since level-wise histograms need a bound. Surface params the
+        # backend cannot honor RAISE instead of silently training a
+        # different model (mirrors the mllib quantile-alpha refusal).
+        # num_leaves and seed are inert BY DESIGN, not dropped: growth is
+        # level-wise (bounded by max_depth, num_leaves doesn't apply) and
+        # the algorithm is fully deterministic (no RNG to seed).
+        if self.extra_params:
+            raise ValueError(
+                "backend='histgbm' does not accept passthrough params "
+                f"{sorted(self.extra_params)}; use backend='lightgbm' "
+                "for LightGBM-specific parameters"
+            )
+        if self.subsample != 1.0:
+            raise ValueError(
+                "backend='histgbm' is deterministic full-data training "
+                f"(subsample=1.0 only, got {self.subsample}); stochastic "
+                "subsampling would break the bit-equality contract — use "
+                "backend='lightgbm'"
+            )
+        supported = (
+            (None, "binary", "multiclass")
+            if self._is_classifier
+            else (None, "regression", "quantile")
+        )
+        if self.objective not in supported:
+            raise ValueError(
+                f"backend='histgbm' does not support objective="
+                f"{self.objective!r} for this estimator; supported: "
+                f"{[o for o in supported if o]} (or leave unset)"
+            )
         return {
             "n_estimators": self.n_estimators,
             "max_depth": self.max_depth if self.max_depth > 0 else 6,
@@ -507,8 +542,11 @@ class SparkLGBMClassifier(_SparkLGBMBase):
 
 class SparkLGBMRegressor(_SparkLGBMBase):
     """Distributed gradient-boosted regressor (reference ``LGBMRegressor``,
-    core.py:221-246), incl. ``objective='quantile'`` passthrough (tested in
-    the reference at tests/test_core.py:148-165)."""
+    core.py:221-246), incl. ``objective='quantile'`` (tested in the
+    reference at tests/test_core.py:148-165): lightgbm backend passes it
+    through; histgbm backend trains pinball loss natively (any alpha,
+    bit-equal distributed-vs-local); mllib maps alpha=0.5 to absolute
+    loss and refuses other alphas."""
 
     def _lgbm_factory(self):
         import lightgbm

@@ -33,6 +33,22 @@ bit-identical predictions — which is the differential test
 here. The per-level allGather of (count, grad) histograms is exactly the
 merge LightGBM's ``tree_learner=data`` performs over its ring
 (Reduce-Scatter in the paper; allGather here since payloads are tiny).
+
+Two contract boundaries, by design:
+
+- **Finite dense features only.** NaN/Inf in X, y, or weights raises in
+  ``fit``/``predict``: a NaN feature would poison the global min/max and
+  collapse binning to bin 0 silently, so the failure is loud instead.
+  LightGBM handles missing values natively — impute upstream or use
+  ``backend='lightgbm'`` for data with NaNs.
+- **Homogeneous runtime for the transcendental losses.** The squared and
+  pinball losses use only IEEE-exact ops (+, −, ×, ÷, compare), so their
+  bit-equality holds across ANY mix of hardware. The logistic/softmax
+  losses pass the raw margin through ``np.exp``/``np.log`` BEFORE int64
+  quantization, and transcendentals are not correctly rounded — a
+  cluster mixing libm/numpy builds could flip a ``rint`` boundary. The
+  claim for classifiers therefore assumes the usual Spark deployment
+  invariant of identical Python/numpy images on driver and executors.
 """
 
 from __future__ import annotations
@@ -42,6 +58,19 @@ import base64
 import numpy as np
 
 _SCALE = np.int64(1) << np.int64(24)  # gradient fixed-point scale
+
+
+def _require_finite(arr: np.ndarray, name: str) -> None:
+    """Loud refusal instead of silent bin-collapse: NaN/Inf anywhere in
+    the inputs would propagate through the global min/max (every feature
+    bins to 0) and the NaN->int64 quantization is undefined behavior."""
+    bad = ~np.isfinite(arr)
+    if bad.any():
+        raise ValueError(
+            f"histgbm requires finite dense inputs: {name} has "
+            f"{int(bad.sum())} NaN/Inf value(s). Impute missing values "
+            "upstream, or use backend='lightgbm' (handles NaN natively)."
+        )
 
 
 class LocalComm:
@@ -174,6 +203,8 @@ class HistGBMRegressor:
         X = np.asarray(X, dtype=np.float64)
         y = np.asarray(y, dtype=np.float64)
         n, n_feat = X.shape
+        _require_finite(X, "X")
+        _require_finite(y, "y")
         comm = self._comm
         S = float(_SCALE)
         # weights ride the SAME int64 fixed-point contract: hessians are
@@ -187,6 +218,8 @@ class HistGBMRegressor:
             if sample_weight is None
             else np.asarray(sample_weight, dtype=np.float64)
         )
+        if sample_weight is not None:
+            _require_finite(w, "sample_weight")
         w_i = np.rint(w * S).astype(np.int64)
 
         # global bin edges: float min/max is exact and order-free
@@ -409,6 +442,7 @@ class HistGBMRegressor:
 
     def _raw_scores(self, X) -> np.ndarray:
         X = np.asarray(X, dtype=np.float64)
+        _require_finite(X, "X")
         bins = self._bins_of(X)
         K = len(self.base_scores_)
         pred = np.tile(self.base_scores_, (len(X), 1))
@@ -455,6 +489,33 @@ class HistGBMClassifier(HistGBMRegressor):
 
     def predict(self, X) -> np.ndarray:
         return (self.predict_proba(X)[:, 1] >= 0.5).astype(np.float64)
+
+
+class HistGBMQuantileRegressor(HistGBMRegressor):
+    """Pinball (quantile) loss on the same exact-histogram machinery —
+    the reference's ``objective='quantile'`` regression shape (reference
+    tests/test_core.py:148-165) wheel-free. The pinball subgradient is
+    row-local and piecewise-constant (``-alpha`` where ``y > pred``,
+    ``1 - alpha`` at-or-below) and the hessian is the constant sample
+    weight (LightGBM's quantile objective likewise fits with a unit
+    hessian), so both are IEEE-exact — the int64 fixed-point contract,
+    and with it bit-equality under ANY partitioning, holds with no
+    transcendental caveat. Leaf values are the regularized step on the
+    merged subgradient sums: a bounded move toward each leaf's
+    alpha-quantile per round. LightGBM's post-hoc leaf re-quantile pass
+    (``RenewTreeOutput``) is intentionally out of contract — an exact
+    distributed quantile is not a sum, so it cannot ride the collective;
+    coverage converges via boosting rounds instead (tested)."""
+
+    def __init__(self, alpha: float = 0.9, **kw):
+        super().__init__(**kw)
+        self.alpha = float(alpha)
+        if not 0.0 < self.alpha < 1.0:
+            raise ValueError(f"alpha must be in (0, 1), got {self.alpha}")
+
+    def _grad_hess(self, pred_raw, y, w):
+        g = np.where(y > pred_raw, -self.alpha, 1.0 - self.alpha)
+        return w * g, w
 
 
 class HistGBMMulticlassClassifier(HistGBMRegressor):

@@ -28,26 +28,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}
 
 
-def _ship_package(spark: SparkSession) -> None:
-    """Make this package importable on the Python workers regardless of the
-    driver's cwd/PYTHONPATH: zip it once per session and addPyFile it.
-    Executor-side closures are written to be self-contained, but any stray
-    by-reference pickle (or a user callback) would otherwise fail with
-    ModuleNotFoundError when the driver embeds us from another directory."""
-    sc = spark.sparkContext
-    if getattr(sc, "_dls_pkg_shipped", False):
-        return
-    import os
-    import shutil
-    import tempfile
-
-    import dask_lightgbm_spark as pkg
-
-    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
-    zip_base = os.path.join(tempfile.gettempdir(), f"dask_lightgbm_spark_{os.getpid()}")
-    zip_path = shutil.make_archive(zip_base, "zip", os.path.dirname(pkg_dir), "dask_lightgbm_spark")
-    sc.addPyFile(zip_path)
-    sc._dls_pkg_shipped = True
+# Re-exported for back-compat; the implementation moved to shipping.py so
+# the barrier trainer (core.py) can ship the package without importing
+# the query registry.
+from dask_lightgbm_spark.shipping import ship_package as _ship_package  # noqa: E402
 
 
 # Session confs the query wrapper pins (timezone for oracle bit-parity;

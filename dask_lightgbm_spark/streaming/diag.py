@@ -6,11 +6,17 @@ micro-batch plan actually contains the stateful operator / watermark /
 state-store nodes the scale story claims. ``drain_and_capture`` replaces
 the bare ``processAllAvailable``/``stop`` pattern at the drain sites and
 stashes the final explain text; ``last_drain_explain()`` hands it to
-tests (tests/test_stream_plans.py)."""
+tests (tests/test_stream_plans.py).
+
+Captures are keyed per thread: concurrent drains (the service regime
+runs queries from a thread pool) each see their own thread's last plan,
+so one drain can never return another query's explain text."""
 
 from __future__ import annotations
 
-_LAST: dict[str, str] = {"text": ""}
+import threading
+
+_LAST = threading.local()
 
 
 def drain_and_capture(q) -> None:
@@ -20,7 +26,7 @@ def drain_and_capture(q) -> None:
     try:
         q.processAllAvailable()
         try:
-            _LAST["text"] = q._jsq.explainInternal(True)
+            _LAST.text = q._jsq.explainInternal(True)
         except Exception:  # noqa: BLE001 — diagnostics must never break a drain
             pass
     finally:
@@ -28,6 +34,7 @@ def drain_and_capture(q) -> None:
 
 
 def last_drain_explain() -> str:
-    """Explain text (extended) of the most recently drained query on this
-    driver. Empty string if no capture has happened yet."""
-    return _LAST["text"]
+    """Explain text (extended) of the most recently drained query on the
+    CALLING thread — drain and read from the same thread. Empty string
+    if this thread has not completed a capture yet."""
+    return getattr(_LAST, "text", "")

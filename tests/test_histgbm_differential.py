@@ -365,16 +365,20 @@ def test_bit_equality_is_partition_invariant_property():
 
             return C()
 
-    from dask_lightgbm_spark.histgbm import HistGBMClassifier
+    from dask_lightgbm_spark.histgbm import (
+        HistGBMClassifier,
+        HistGBMQuantileRegressor,
+    )
 
     @settings(max_examples=15, deadline=None)
     @given(
         seed=st.integers(0, 2**31 - 1),
         n_workers=st.integers(2, 4),
-        classify=st.booleans(),
+        loss=st.sampled_from(["squared", "logistic", "quantile"]),
         data=st.data(),
     )
-    def check(seed, n_workers, classify, data):
+    def check(seed, n_workers, loss, data):
+        classify = loss == "logistic"
         rng = np.random.default_rng(seed)
         n = data.draw(st.integers(n_workers * 2, 120))
         X = rng.normal(size=(n, 3))
@@ -394,7 +398,17 @@ def test_bit_equality_is_partition_invariant_property():
         )
         rng.shuffle(assign)
 
-        cls = HistGBMClassifier if classify else HistGBMRegressor
+        if loss == "logistic":
+            cls = HistGBMClassifier
+        elif loss == "quantile":
+            alpha = data.draw(
+                st.sampled_from([0.1, 0.25, 0.5, 0.9])
+            )
+
+            def cls(**kw):
+                return HistGBMQuantileRegressor(alpha=alpha, **kw)
+        else:
+            cls = HistGBMRegressor
         ref = cls(n_estimators=4, max_depth=2).fit(X, y)
         comm = ThreadComm(n_workers)
         models = [None] * n_workers
@@ -427,6 +441,121 @@ def test_bit_equality_is_partition_invariant_property():
             assert np.array_equal(got, p_ref)
 
     check()
+
+
+def test_quantile_learns_coverage():
+    """Pinball loss actually targets the quantile: after enough rounds
+    the empirical coverage P(y <= pred) sits at alpha, and the 0.9-
+    quantile predictions sit above the 0.1-quantile ones. (The leaf
+    step is -lr * meanGrad = lr * (alpha - coverage) — a contraction
+    toward coverage == alpha; no leaf re-quantile pass needed.)"""
+    from dask_lightgbm_spark.histgbm import HistGBMQuantileRegressor
+
+    X, y = _synth(n=800)
+    preds = {}
+    for alpha in (0.1, 0.9):
+        m = HistGBMQuantileRegressor(
+            alpha=alpha, n_estimators=80, max_depth=3, learning_rate=0.3
+        ).fit(X, y)
+        p = m.predict(X)
+        cov = float((y <= p).mean())
+        assert abs(cov - alpha) < 0.08, (alpha, cov)
+        preds[alpha] = p
+    assert float((preds[0.9] - preds[0.1]).mean()) > 0.3
+
+
+def test_quantile_distributed_fit_bit_equal_to_local(spark):
+    """objective='quantile' through the public estimator on the histgbm
+    backend: the pinball subgradient is row-local and IEEE-exact
+    (piecewise-constant, no transcendentals), so 2-task distributed ==
+    driver-local holds bit-for-bit for ANY alpha — the wheel-free
+    counterpart of the reference's quantile test
+    (tests/test_core.py:148-165)."""
+    from dask_lightgbm_spark.estimators import SparkLGBMRegressor
+    from dask_lightgbm_spark.histgbm import HistGBMQuantileRegressor
+
+    X, y = _synth()
+    pdf = pd.DataFrame({f"f{i}": X[:, i] for i in range(5)})
+    pdf["target"] = y
+    df = spark.createDataFrame(pdf)
+
+    reg = SparkLGBMRegressor(
+        n_estimators=6, max_depth=2, learning_rate=0.3,
+        min_child_samples=1, backend="histgbm", num_workers=2,
+        objective="quantile", alpha=0.75,
+    )
+    reg.fit(df, feature_cols=[f"f{i}" for i in range(5)], label_col="target")
+    local = HistGBMQuantileRegressor(
+        alpha=0.75, n_estimators=6, max_depth=2, learning_rate=0.3,
+        min_child_rows=1,
+    ).fit(X, y)
+    assert np.array_equal(reg.to_local().predict(X), local.predict(X))
+
+
+def test_histgbm_refuses_nan_inputs():
+    """NaN/Inf would silently collapse binning (NaN min/max poisons every
+    feature's range) — fit and predict refuse loudly instead, pointing
+    at the lightgbm backend which handles missing values natively."""
+    from dask_lightgbm_spark.histgbm import HistGBMRegressor
+
+    X, y = _synth(n=50)
+    Xbad = X.copy()
+    Xbad[3, 1] = np.nan
+    with pytest.raises(ValueError, match="finite dense"):
+        HistGBMRegressor(n_estimators=2).fit(Xbad, y)
+    ybad = y.copy()
+    ybad[0] = np.inf
+    with pytest.raises(ValueError, match="finite dense"):
+        HistGBMRegressor(n_estimators=2).fit(X, ybad)
+    w = np.ones(len(y))
+    w[7] = np.nan
+    with pytest.raises(ValueError, match="finite dense"):
+        HistGBMRegressor(n_estimators=2).fit(X, y, sample_weight=w)
+    m = HistGBMRegressor(n_estimators=2, max_depth=2).fit(X, y)
+    with pytest.raises(ValueError, match="finite dense"):
+        m.predict(Xbad)
+
+
+def test_histgbm_backend_refuses_unsupported_params():
+    """The histgbm backend RAISES for surface params it cannot honor —
+    objective it lacks, stochastic subsample, passthrough extra_params —
+    instead of silently training a different model (mirrors the mllib
+    quantile-alpha refusal)."""
+    from dask_lightgbm_spark.estimators import (
+        SparkLGBMClassifier,
+        SparkLGBMRegressor,
+    )
+
+    with pytest.raises(ValueError, match="objective"):
+        SparkLGBMRegressor(
+            backend="histgbm", objective="poisson"
+        )._histgbm_params()
+    with pytest.raises(ValueError, match="objective"):
+        SparkLGBMClassifier(
+            backend="histgbm", objective="quantile"
+        )._histgbm_params()
+    with pytest.raises(ValueError, match="subsample"):
+        SparkLGBMRegressor(
+            backend="histgbm", subsample=0.8
+        )._histgbm_params()
+    with pytest.raises(ValueError, match="extra|passthrough"):
+        SparkLGBMRegressor(
+            backend="histgbm", feature_fraction=0.9
+        )._histgbm_params()
+    # supported surfaces still map
+    p = SparkLGBMRegressor(
+        backend="histgbm", objective="quantile"
+    )._histgbm_params()
+    assert p["max_depth"] == 6
+
+
+def test_quantile_regressor_rejects_bad_alpha():
+    from dask_lightgbm_spark.histgbm import HistGBMQuantileRegressor
+
+    with pytest.raises(ValueError, match="alpha"):
+        HistGBMQuantileRegressor(alpha=1.5)
+    with pytest.raises(ValueError, match="alpha"):
+        HistGBMQuantileRegressor(alpha=0.0)
 
 
 def test_weighted_distributed_fit_bit_equal_to_local(spark):

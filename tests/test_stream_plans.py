@@ -80,3 +80,27 @@ def test_stream_stream_join_is_symmetric_hash_with_watermark(spark, sf_dir):
     # losing it means unbounded join state at scale
     assert "StreamingSymmetricHashJoin" in plan, plan[:1500]
     assert "EventTimeWatermark" in plan, plan[:1500]
+
+
+def test_drain_capture_is_thread_keyed():
+    """Concurrent drains (the service regime pools queries across
+    threads) must not cross-contaminate: a capture written on one
+    thread is invisible to another thread's last_drain_explain()."""
+    import threading
+
+    from dask_lightgbm_spark.streaming import diag
+
+    diag._LAST.text = "main-thread-plan"
+    seen = {}
+
+    def other():
+        seen["before"] = diag.last_drain_explain()
+        diag._LAST.text = "other-thread-plan"
+        seen["after"] = diag.last_drain_explain()
+
+    t = threading.Thread(target=other)
+    t.start()
+    t.join()
+    assert seen["before"] == ""  # fresh thread sees no capture
+    assert seen["after"] == "other-thread-plan"
+    assert diag.last_drain_explain() == "main-thread-plan"
