@@ -737,6 +737,68 @@ def _stream_bench(spark, src_dir: str) -> dict:
                 file=sys.stderr,
             )
 
+    # static_join 10x leg (r10 verdict task 6): completes the 10x-rows
+    # matrix across all three state shapes. The dim side is CONSTANT-size
+    # (customer ships verbatim at both scales), so the broadcast cost is
+    # volume-invariant and the curve isolates the per-row join+agg work —
+    # expect ~1x-1.5x per 10x rows under the same SF10_SCALING_LIMIT gate.
+    if "static_join" in results and results["static_join"].get("micro"):
+        try:
+            d10 = ensure_stream_events(src_dir, scale=STREAM_SCALE * 10)
+
+            def sj_micro_at(from_dir: str):
+                return stream_static_segment_totals(
+                    spark, from_dir, glob=glob, max_files_per_trigger=1
+                ).toPandas()
+
+            t10s, p10s = tmin(lambda: sj_micro_at(d10), runs=1)
+            base_s = results["static_join"]["micro"]
+            scaling_s = round(t10s / base_s, 2)
+            if scaling_s > SF10_SCALING_LIMIT:
+                tbs, _ = tmin(lambda: sj_micro_at(d), runs=1)
+                t10sb, p10s = tmin(lambda: sj_micro_at(d10), runs=1)
+                base_s, t10s = min(base_s, tbs), min(t10s, t10sb)
+                scaling_s = round(t10s / base_s, 2)
+            dim10 = load_table(spark, d10, "customer").select(
+                F.col("c_custkey").alias("user_id"), "c_mktsegment"
+            )
+            pb10s = (
+                batch_src(d10)
+                .join(F.broadcast(dim10), "user_id")
+                .groupBy("c_mktsegment")
+                .agg(F.count(F.lit(1)).alias("n_events"), cents_sum)
+                .toPandas()
+            )
+            parity_s = (
+                p10s.sort_values(["c_mktsegment"])
+                .reset_index(drop=True)
+                .equals(
+                    pb10s.sort_values(["c_mktsegment"]).reset_index(drop=True)
+                )
+            )
+            results["static_join_10x"] = {
+                "rows": n_rows * 10,
+                "micro": t10s,
+                "scaling_vs_1x": scaling_s,
+                "rows_per_sec_micro": int(n_rows * 10 / t10s) if t10s else None,
+                "parity": parity_s,
+            }
+            if not parity_s:
+                breaches.append("static_join_10x_parity")
+            if scaling_s > SF10_SCALING_LIMIT:
+                breaches.append("static_join_10x_scaling")
+            print(
+                f"# streaming static_join_10x: micro {t10s:.2f}s "
+                f"(x{scaling_s} vs 1x, parity {parity_s})",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors["static_join_10x"] = f"{type(exc).__name__}: {exc}"[:300]
+            print(
+                f"# streaming static_join_10x: ERROR {type(exc).__name__}",
+                file=sys.stderr,
+            )
+
     return {
         "sf": 1.0,
         "rows": n_rows,
@@ -1188,18 +1250,52 @@ def main():
             err10: dict[str, str] = {}
             for name in SF10_SPOT:
                 try:
-                    t0 = time.time()
-                    n = len(qs[name](spark, sf10_dir).toPandas())
-                    sp10[name] = round(time.time() - t0, 3)
+                    # min-of-2 (r10 verdict task 2): the DuckDB denominator
+                    # is min-of-3, so a single Spark run put window noise
+                    # straight into the ratio — the r10 driver window read
+                    # 2.3x above the builder's same-code window from this
+                    # asymmetry alone. Matches the corpus stanza.
+                    runs = []
+                    for _ in range(2):
+                        t0 = time.time()
+                        n = len(qs[name](spark, sf10_dir).toPandas())
+                        runs.append(round(time.time() - t0, 3))
+                    sp10[name] = min(runs)
                     print(f"# sf10 {name}: {sp10[name]:.2f}s ({n} rows)", file=sys.stderr)
                 except Exception as exc:  # noqa: BLE001
                     err10[name] = f"{type(exc).__name__}: {exc}"[:300]
                     print(f"# sf10 {name}: ERROR {type(exc).__name__}", file=sys.stderr)
             c10, st10, dt10, vs10 = live_totals(sp10, duck10)
-            sf1_q = out.get("sf1_spot", {}).get("queries", {})
+            sf1_q = dict(out.get("sf1_spot", {}).get("queries", {}))
             scaling = {
                 n: round(sp10[n] / sf1_q[n], 2) for n in sp10 if sf1_q.get(n)
             }
+            # adjacent re-pair on a would-be scaling breach: the sf1
+            # denominator was measured minutes earlier, so host window
+            # drift (~1.7x documented) lands in the ratio. Re-measure both
+            # sides back-to-back (min into each), same as sf10_corpus.
+            repaired10: dict[str, dict[str, float]] = {}
+            for name, ratio in list(scaling.items()):
+                if ratio <= SF10_SCALING_LIMIT:
+                    continue
+                sf1_dir = ensure_sf1(sf_dir)
+                t0 = time.time()
+                len(qs[name](spark, sf1_dir).toPandas())
+                new1 = round(time.time() - t0, 3)
+                t0 = time.time()
+                len(qs[name](spark, sf10_dir).toPandas())
+                new10 = round(time.time() - t0, 3)
+                sf1_q[name] = min(sf1_q[name], new1)
+                sp10[name] = min(sp10[name], new10)
+                scaling[name] = round(sp10[name] / sf1_q[name], 2)
+                repaired10[name] = {"sf1": sf1_q[name], "sf10": sp10[name]}
+                print(
+                    f"# sf10 re-pair {name}: sf1 {sf1_q[name]:.2f}s sf10 "
+                    f"{sp10[name]:.2f}s (x{scaling[name]})",
+                    file=sys.stderr,
+                )
+            if repaired10:
+                c10, st10, dt10, vs10 = live_totals(sp10, duck10)
             out["sf10_relational"] = {
                 "sf": 10.0,
                 "queries": sp10,
@@ -1212,6 +1308,7 @@ def main():
                 # (~1.1-1.5x) while fixed costs amortize; the gate trips at
                 # SF10_SCALING_LIMIT (a plan falling off its scale shape)
                 "spark_scaling_vs_sf1": scaling,
+                "repaired": repaired10,
                 "errors": err10,
             }
         except Exception as exc:  # noqa: BLE001
