@@ -212,6 +212,16 @@ SF10_SCALING_LIMIT = 6.0
 # additional signal.
 SF10_CORPUS = ["t39_chunk_dedup", "t40_incremental_ingest_dedup"]
 
+# Opt-in (SPARK_GRAFT_SF100=1) sf100 corpus ladder: the same two dedup
+# shapes at 1000x the sf0.1 corpus (~5M docs), gated on the sf10→sf100
+# DECADE. At this scale fixed costs are fully amortized and the honest
+# asymptote for linear-work operators is ~10x per 10x data (t39 measured
+# 10.4x in r10) — so the gate is a LINEAR fence with noise margin, not
+# the sf1→sf10 amortization gate (6x), which would mislabel the linear
+# asymptote itself as a breach. Off by default: the stanza costs ~5 min
+# of query time plus a one-time ~4 min fixture build.
+SF100_DECADE_LIMIT = 12.0
+
 # sf1 queries that ALWAYS get the second (min-of-2) run, beyond would-be
 # breachers: the SF10_CORPUS members (their sf1 number is the scaling-gate
 # denominator) and t34, whose first invocation trains the k-means cell
@@ -296,12 +306,29 @@ def _scale_documents(con, src_dir: str, out: str, n: int) -> None:
     coprime = (3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
 
     def _to_alpha(k: int) -> str:
-        a, b = coprime[k % len(coprime)], k // len(coprime)
-        return "".join(alpha[(a * i + b) % 26] for i in range(26))
+        # the affine space holds only 11*26 = 286 DISTINCT maps (b acts
+        # mod 26): past k=285 reuse would mint EXACT duplicate replicas
+        # (the r10 sf100 one-off hit this — 1.4M unintended exact-dup
+        # groups). Beyond the affine space, seeded letter PERMUTATIONS
+        # (26! maps): still a bijection (internal shingle structure
+        # preserved exactly), and two independent permutations agreeing
+        # on any 5 consecutive chars of a gram is ~26^-4 — no
+        # cross-replica collisions. k < 286 keeps the affine maps so the
+        # sf1/sf10 fixture bytes (and their /tmp caches) are unchanged.
+        if k < len(coprime) * 26:
+            a, b = coprime[k % len(coprime)], k // len(coprime)
+            return "".join(alpha[(a * i + b) % 26] for i in range(26))
+        import random
 
-    maps = ", ".join(
-        f"({k}, '{_to_alpha(k) if k >= 2 else alpha}')" for k in range(n)
+        letters = list(alpha)
+        random.Random(0xD15C0 + k).shuffle(letters)
+        return "".join(letters)
+
+    all_maps = [_to_alpha(k) if k >= 2 else alpha for k in range(n)]
+    assert len(set(all_maps[2:])) == max(0, n - 2) and alpha not in all_maps[2:], (
+        "replica letter maps must be distinct non-identity bijections"
     )
+    maps = ", ".join(f"({k}, '{m}')" for k, m in enumerate(all_maps))
     text_expr = f"""
         CASE WHEN k = 0 THEN text
              WHEN k = 1 THEN text || ' rep1'
@@ -390,6 +417,38 @@ def ensure_sf10(src_dir: str) -> str:
     )
     _scale_documents(con, src_dir, out, 100)
     _scale_embeddings(con, src_dir, out, 100)
+    con.close()
+    with open(marker, "w") as f:
+        f.write(fp)
+    return out
+
+
+def ensure_sf100_docs(src_dir: str) -> str:
+    """Materialize the 1000x documents corpus (~5M docs) backing the
+    opt-in sf100 corpus ladder (``SPARK_GRAFT_SF100=1``) — the stanza
+    that re-measures the dedup families' LINEAR ASYMPTOTE (the sf10→
+    sf100 decade) instead of leaving it a one-off. Documents only; same
+    fingerprint-cache contract as :func:`ensure_sf1`. ~15 GB of text,
+    built once (~4 min). The r10 one-off at this scale predates the
+    permutation extension in :func:`_scale_documents` and carried 1.4M
+    unintended exact-dup groups (affine-map reuse past k=285) — this
+    fingerprint supersedes it."""
+    out = os.environ.get("SPARK_GRAFT_SF100_DIR", "/tmp/dls_bench_sf100_docs")
+    marker = os.path.join(out, "_DONE")
+    src = os.path.join(src_dir, "documents.parquet")
+    fp = (
+        _FIXTURE_VERSION
+        + f",documents:{os.path.getmtime(src)}:{os.path.getsize(src)}:x1000"
+    )
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read() == fp:
+                return out
+    import duckdb
+
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    _scale_documents(con, src_dir, out, 1000)
     con.close()
     with open(marker, "w") as f:
         f.write(fp)
@@ -905,6 +964,15 @@ def collect_gates(out: dict, regressions: list, errors: dict) -> dict:
     )
     if sf10_corp:
         sf10_corp["scaling_breaches"] = corp_breaches
+    sf100_corp = out.get("sf100_corpus", {})
+    sf100_breaches = sorted(
+        f"sf100_{n}"
+        for n, r in sf100_corp.get("decade_vs_sf10", {}).items()
+        if r > SF100_DECADE_LIMIT
+    )
+    if sf100_corp:
+        sf100_corp["scaling_breaches"] = sf100_breaches
+    corp_breaches = corp_breaches + sf100_breaches
     sf10_ann = out.get("sf10_ann", {})
     ann_breaches = sorted(
         f"ann_{m}"
@@ -922,11 +990,13 @@ def collect_gates(out: dict, regressions: list, errors: dict) -> dict:
     sf10_errors = (
         sorted(sf10_rel.get("errors", {}))
         + sorted(sf10_corp.get("errors", {}))
+        + sorted(f"sf100_{n}" for n in sf100_corp.get("errors", {}))
         + sorted(sf10_ann.get("errors", {}))
     )
     for label, stanza in (
         ("sf10_relational_stanza", sf10_rel),
         ("sf10_corpus_stanza", sf10_corp),
+        ("sf100_corpus_stanza", sf100_corp),
         ("sf10_ann_stanza", sf10_ann),
     ):
         if "error" in stanza:
@@ -1376,6 +1446,69 @@ def main():
             }
         except Exception as exc:  # noqa: BLE001
             out["sf10_corpus"] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+
+    # sf100 corpus ladder (opt-in): re-measures the dedup families' linear
+    # asymptote — the sf10→sf100 decade — against SF100_DECADE_LIMIT. The
+    # sf10 leg of the decade reuses the sf10_corpus stanza's min-of-2
+    # numbers (same session, minutes earlier); the sf100 leg is single-run
+    # (t40 runs ~4 min — a second run doubles the stanza for noise the
+    # adjacent re-pair already handles) with a re-pair of BOTH sides on a
+    # would-be breach, matching every other scaling gate.
+    if at_sf01 and os.environ.get("SPARK_GRAFT_SF100", "0") == "1":
+        try:
+            sf100_dir = ensure_sf100_docs(sf_dir)
+            sp100: dict[str, float] = {}
+            err100: dict[str, str] = {}
+            sf10_q = dict(out.get("sf10_corpus", {}).get("queries", {}))
+            decade: dict[str, float] = {}
+            repaired100: dict[str, dict[str, float]] = {}
+            for name in SF10_CORPUS:
+                try:
+                    t0 = time.time()
+                    n = len(qs[name](spark, sf100_dir).toPandas())
+                    sp100[name] = round(time.time() - t0, 3)
+                    print(
+                        f"# sf100 {name}: {sp100[name]:.2f}s ({n} rows)",
+                        file=sys.stderr,
+                    )
+                    if not sf10_q.get(name):
+                        continue
+                    decade[name] = round(sp100[name] / sf10_q[name], 2)
+                    if decade[name] > SF100_DECADE_LIMIT:
+                        sf10_dir = ensure_sf10(sf_dir)
+                        t0 = time.time()
+                        len(qs[name](spark, sf10_dir).toPandas())
+                        new10 = round(time.time() - t0, 3)
+                        t0 = time.time()
+                        len(qs[name](spark, sf100_dir).toPandas())
+                        new100 = round(time.time() - t0, 3)
+                        sf10_q[name] = min(sf10_q[name], new10)
+                        sp100[name] = min(sp100[name], new100)
+                        decade[name] = round(sp100[name] / sf10_q[name], 2)
+                        repaired100[name] = {
+                            "sf10": sf10_q[name], "sf100": sp100[name],
+                        }
+                        print(
+                            f"# sf100 re-pair {name}: x{decade[name]}",
+                            file=sys.stderr,
+                        )
+                except Exception as exc:  # noqa: BLE001
+                    err100[name] = f"{type(exc).__name__}: {exc}"[:300]
+                    print(
+                        f"# sf100 {name}: ERROR {type(exc).__name__}",
+                        file=sys.stderr,
+                    )
+            out["sf100_corpus"] = {
+                "sf": 100.0,
+                "queries": sp100,
+                "total": round(sum(sp100.values()), 3),
+                "decade_vs_sf10": decade,
+                "decade_limit": SF100_DECADE_LIMIT,
+                "repaired": repaired100,
+                "errors": err100,
+            }
+        except Exception as exc:  # noqa: BLE001
+            out["sf100_corpus"] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
 
     # sf10 ANN spot (r9): fixed-nlist IVF build + 100-query batched serve
     # at sf1 and sf10 — the ANN family's scaling datapoint. The registered

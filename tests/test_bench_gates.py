@@ -120,3 +120,79 @@ def test_missing_stanzas_are_tolerated():
     gates = collect_gates({"vs_duckdb_live_total": 1.0}, [], {})
     assert gates["fail"] is False
     assert gates["sf10_breaches"] == []
+
+
+def test_sf100_decade_gate_and_errors():
+    """The opt-in sf100 ladder gates the sf10→sf100 decade at its own
+    LINEAR fence (SF100_DECADE_LIMIT), separate from the sf1→sf10
+    amortization gate; per-query errors and wholesale stanza death fail
+    the gate like every other stanza."""
+    out = _green_record()
+    out["sf100_corpus"] = {
+        "decade_vs_sf10": {"t39_chunk_dedup": 10.4,
+                           "t40_incremental_ingest_dedup": 12.5},
+        "errors": {},
+    }
+    gates = collect_gates(out, [], {})
+    assert gates["sf10_breaches"] == ["sf100_t40_incremental_ingest_dedup"]
+    assert out["sf100_corpus"]["scaling_breaches"] == [
+        "sf100_t40_incremental_ingest_dedup"
+    ]
+    assert gates["fail"] is True
+
+    out = _green_record()
+    out["sf100_corpus"] = {
+        "decade_vs_sf10": {"t39_chunk_dedup": 10.4},
+        "errors": {"t40_incremental_ingest_dedup": "boom"},
+    }
+    gates = collect_gates(out, [], {})
+    assert "sf100_t40_incremental_ingest_dedup" in gates["sf10_errors"]
+    assert gates["fail"] is True
+
+    out = _green_record()
+    out["sf100_corpus"] = {"error": "OSError: disk full"}
+    gates = collect_gates(out, [], {})
+    assert "sf100_corpus_stanza" in gates["sf10_errors"]
+    assert gates["fail"] is True
+
+    # in-gate decade passes; absence of the opt-in stanza is tolerated
+    out = _green_record()
+    out["sf100_corpus"] = {
+        "decade_vs_sf10": {"t39_chunk_dedup": 10.4,
+                           "t40_incremental_ingest_dedup": 9.0},
+        "errors": {},
+    }
+    assert collect_gates(out, [], {})["fail"] is False
+
+
+def test_scale_documents_maps_stay_distinct_past_affine_space(tmp_path):
+    """Past k=285 the affine letter-map space is exhausted; the seeded
+    permutation branch must keep every replica a DISTINCT bijection (the
+    r10 sf100 one-off reused maps and minted 1.4M exact-dup groups)."""
+    import duckdb
+
+    import bench
+
+    src = tmp_path / "src"
+    src.mkdir()
+    con = duckdb.connect()
+    con.sql(f"""
+        COPY (SELECT * FROM (VALUES
+          (0, 'the quick brown fox jumps over the lazy dog', 'en', 's', 43),
+          (1, 'pack my box with five dozen liquor jugs now', 'en', 's', 44)
+        ) AS t(doc_id, text, lang, source, n_chars))
+        TO '{src}/documents.parquet' (FORMAT PARQUET)""")
+    out = tmp_path / "out"
+    out.mkdir()
+    bench._scale_documents(con, str(src), str(out), 300)
+    dup = con.sql(f"""
+        SELECT max(cnt) FROM (
+          SELECT text, count(*) AS cnt
+          FROM read_parquet('{out}/documents.parquet') GROUP BY text)
+    """).fetchone()[0]
+    n = con.sql(
+        f"SELECT count(*) FROM read_parquet('{out}/documents.parquet')"
+    ).fetchone()[0]
+    con.close()
+    assert n == 600
+    assert dup == 1  # every replica text distinct — no map reuse

@@ -54,6 +54,7 @@ def main():
 
     qs, oracles = E.queries(), E.oracle_sql()
     n_pass = n_fail = 0
+    timings: dict[str, float] = {}
     t_total = time.time()
     for name in sorted(qs):
         t0 = time.time()
@@ -64,6 +65,7 @@ def main():
             n_fail += 1
             continue
         dt = time.time() - t0
+        timings[name] = round(dt, 3)
         if name not in oracles:
             print(f"PASS {name} (rows-only: {len(sp)}, {dt:.1f}s)")
             n_pass += 1
@@ -77,6 +79,17 @@ def main():
             print(f"PASS {name} ({len(sp)} rows, {dt:.1f}s)")
             n_pass += 1
     print(f"\n{n_pass} passed, {n_fail} failed in {time.time() - t_total:.0f}s total")
+    census = os.environ.get("SPARK_GRAFT_CENSUS")
+    if census:
+        # per-query wall times for tools/census.py — the full-catalog
+        # timing census (r10 verdict task 5: only the benched ~25 queries
+        # were ever wall-timed; this captures the other 163 from the run
+        # the certification does anyway)
+        import json
+
+        with open(census, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "master": master, "timings": timings}, fh)
+        print(f"census written: {census} ({len(timings)} queries)")
     sys.exit(1 if n_fail else 0)
 
 

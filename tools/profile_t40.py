@@ -26,7 +26,23 @@ stays a near-dup — see bench._scale_documents):
     corpus bucket max/p999      318/29             488/26
 
 Every cardinality now grows ~LINEARLY with corpus size — the fixture
-artifact is fixed at the source instead of being explained away. For the
+artifact is fixed at the source instead of being explained away.
+
+Measured r11 on the sf10→sf100 DECADE (corrected 5M-doc fixture — the
+r10 one-off reused affine maps past k=285 and carried 1.4M unintended
+exact-dup groups; see bench._scale_documents):
+
+    stage                      sf10              sf100             growth
+    raw band collisions         507,942 12.1s     5,720,837 120.6s  11.3x/10.0x
+    estimate-prefilter cand     113,973 11.1s     1,202,928 121.3s  10.6x/11.0x
+    verified hits (jac>=0.7)      2,753 22.3s        27,040 188.5s   9.8x/8.5x
+    full t40 query                      22.4s               260.4s  11.6x
+    corpus bucket p999               26                28
+
+The decade is linear at every stage — the honest asymptote (t39 measures
+10.4x at the same scales), fully amortized. r10's 6.3x was the broken
+fixture, not a sublinearity. Re-measure via SPARK_GRAFT_SF100=1 (bench
+stanza, gated at SF100_DECADE_LIMIT=12x). For the
 record, the r9 fixture (every replica a near-dup of every other) measured
 collisions 211k → 20.3M (96x), verified pairs 2,700 → 269,860 (100x),
 full query 6.1 → 35.2 s: pair work grew with the SQUARE of the
