@@ -5,7 +5,7 @@
 # they check and what the coverage number can honestly claim (driver-side
 # lines only; executor-process UDF bodies are not traced).
 
-.PHONY: lint test check sim cluster-sim coverage bench catalog gate all
+.PHONY: lint test check sim cluster-sim coverage bench catalog gate census all
 
 lint:
 	python tools/lint.py
@@ -36,6 +36,12 @@ bench:
 
 catalog:
 	python tools/gen_catalog.py
+
+# full-catalog per-query timing census: driver sim with timing capture,
+# then a family-relative outlier report (tools/census.py docstring)
+census:
+	SPARK_GRAFT_CENSUS=/tmp/dls_census.json python tools/driver_sim.py
+	python tools/census.py /tmp/dls_census.json --md docs/CENSUS.md
 
 # re-rotate the correctness gate from the committed CORRECTNESS_r*.json
 # files (each round's mandatory commit #1); --check in CI-style usage

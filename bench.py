@@ -870,6 +870,51 @@ def _stream_bench(spark, src_dir: str) -> dict:
     }
 
 
+def _sf100_ladder_child() -> None:
+    """Fresh-JVM body of the opt-in sf100 stanza: time t39/t40 at sf10
+    (warm — one untimed priming run absorbs session cold-start) and at
+    sf100 back-to-back, print one tagged JSON line for the parent. Runs
+    in its own process because a 5M-doc corpus on top of the parent
+    bench session's accumulated heap state OOMs local-mode's single JVM,
+    and because same-session adjacent legs make the decade ratio
+    same-window by construction."""
+    sf10_dir = os.environ["_DLS_SF100_SF10_DIR"]
+    sf100_dir = os.environ["_DLS_SF100_SF100_DIR"]
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    spark = get_spark("sf100-ladder", cpus=cpus, shuffle_partitions=cpus)
+    qs = all_queries()
+    res: dict[str, dict] = {"sf10": {}, "sf100": {}, "decade": {}, "errors": {}}
+    for name in SF10_CORPUS:
+        try:
+            qs[name](spark, sf10_dir).toPandas()  # prime (JVM+codegen)
+            t0 = time.time()
+            len(qs[name](spark, sf10_dir).toPandas())
+            t10 = round(time.time() - t0, 3)
+            t0 = time.time()
+            n = len(qs[name](spark, sf100_dir).toPandas())
+            t100 = round(time.time() - t0, 3)
+            if t100 / t10 > SF100_DECADE_LIMIT:
+                # adjacent re-pair, same as every other scaling gate:
+                # re-measure both legs once, min into each side
+                t0 = time.time()
+                len(qs[name](spark, sf10_dir).toPandas())
+                t10 = min(t10, round(time.time() - t0, 3))
+                t0 = time.time()
+                len(qs[name](spark, sf100_dir).toPandas())
+                t100 = min(t100, round(time.time() - t0, 3))
+            res["sf10"][name] = t10
+            res["sf100"][name] = t100
+            res["decade"][name] = round(t100 / t10, 2)
+            print(
+                f"# sf100-child {name}: sf10 {t10:.2f}s sf100 {t100:.2f}s "
+                f"({n} rows)",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            res["errors"][name] = f"{type(exc).__name__}: {exc}"[:300]
+    print("DLS_SF100_JSON:" + json.dumps(res))
+
+
 def time_duckdb(
     sf_dir: str,
     names: list[str],
@@ -1448,65 +1493,63 @@ def main():
             out["sf10_corpus"] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
 
     # sf100 corpus ladder (opt-in): re-measures the dedup families' linear
-    # asymptote — the sf10→sf100 decade — against SF100_DECADE_LIMIT. The
-    # sf10 leg of the decade reuses the sf10_corpus stanza's min-of-2
-    # numbers (same session, minutes earlier); the sf100 leg is single-run
-    # (t40 runs ~4 min — a second run doubles the stanza for noise the
-    # adjacent re-pair already handles) with a re-pair of BOTH sides on a
-    # would-be breach, matching every other scaling gate.
+    # asymptote — the sf10→sf100 decade — against SF100_DECADE_LIMIT, in a
+    # FRESH child JVM. Two reasons: (a) by this point the bench session
+    # carries a full run's broadcast/cache state, and a 5M-doc corpus on
+    # top of it OOMs the shared 32g heap (observed; a fresh JVM at the
+    # same scale is fine), and (b) the child times BOTH decade legs
+    # back-to-back in one session, so the ratio is same-window and
+    # same-session-age by construction — no cross-stanza re-pair needed.
     if at_sf01 and os.environ.get("SPARK_GRAFT_SF100", "0") == "1":
         try:
+            import subprocess
+
             sf100_dir = ensure_sf100_docs(sf_dir)
-            sp100: dict[str, float] = {}
-            err100: dict[str, str] = {}
-            sf10_q = dict(out.get("sf10_corpus", {}).get("queries", {}))
-            decade: dict[str, float] = {}
-            repaired100: dict[str, dict[str, float]] = {}
-            for name in SF10_CORPUS:
-                try:
-                    t0 = time.time()
-                    n = len(qs[name](spark, sf100_dir).toPandas())
-                    sp100[name] = round(time.time() - t0, 3)
-                    print(
-                        f"# sf100 {name}: {sp100[name]:.2f}s ({n} rows)",
-                        file=sys.stderr,
-                    )
-                    if not sf10_q.get(name):
-                        continue
-                    decade[name] = round(sp100[name] / sf10_q[name], 2)
-                    if decade[name] > SF100_DECADE_LIMIT:
-                        sf10_dir = ensure_sf10(sf_dir)
-                        t0 = time.time()
-                        len(qs[name](spark, sf10_dir).toPandas())
-                        new10 = round(time.time() - t0, 3)
-                        t0 = time.time()
-                        len(qs[name](spark, sf100_dir).toPandas())
-                        new100 = round(time.time() - t0, 3)
-                        sf10_q[name] = min(sf10_q[name], new10)
-                        sp100[name] = min(sp100[name], new100)
-                        decade[name] = round(sp100[name] / sf10_q[name], 2)
-                        repaired100[name] = {
-                            "sf10": sf10_q[name], "sf100": sp100[name],
-                        }
-                        print(
-                            f"# sf100 re-pair {name}: x{decade[name]}",
-                            file=sys.stderr,
-                        )
-                except Exception as exc:  # noqa: BLE001
-                    err100[name] = f"{type(exc).__name__}: {exc}"[:300]
-                    print(
-                        f"# sf100 {name}: ERROR {type(exc).__name__}",
-                        file=sys.stderr,
-                    )
+            sf10_dir = ensure_sf10(sf_dir)
+            env = dict(os.environ)
+            repo = os.path.dirname(os.path.abspath(__file__))
+            env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+            env["_DLS_SF100_SF10_DIR"] = sf10_dir
+            env["_DLS_SF100_SF100_DIR"] = sf100_dir
+            proc = subprocess.run(
+                [sys.executable, "-c", "import bench; bench._sf100_ladder_child()"],
+                env=env,
+                cwd=repo,
+                capture_output=True,
+                text=True,
+                timeout=3600,
+            )
+            sys.stderr.write(proc.stderr[-2000:])
+            tag = "DLS_SF100_JSON:"
+            line = next(
+                (
+                    ln[len(tag):]
+                    for ln in proc.stdout.splitlines()
+                    if ln.startswith(tag)
+                ),
+                None,
+            )
+            if line is None:
+                raise RuntimeError(
+                    f"sf100 child produced no result (rc={proc.returncode}): "
+                    + proc.stdout[-500:]
+                )
+            child = json.loads(line)
             out["sf100_corpus"] = {
                 "sf": 100.0,
-                "queries": sp100,
-                "total": round(sum(sp100.values()), 3),
-                "decade_vs_sf10": decade,
+                "queries": child["sf100"],
+                "sf10_leg": child["sf10"],
+                "total": round(sum(child["sf100"].values()), 3),
+                "decade_vs_sf10": child["decade"],
                 "decade_limit": SF100_DECADE_LIMIT,
-                "repaired": repaired100,
-                "errors": err100,
+                "errors": child["errors"],
             }
+            for name, dec in child["decade"].items():
+                print(
+                    f"# sf100 {name}: {child['sf100'][name]:.2f}s "
+                    f"(x{dec} vs sf10 {child['sf10'][name]:.2f}s)",
+                    file=sys.stderr,
+                )
         except Exception as exc:  # noqa: BLE001
             out["sf100_corpus"] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
 

@@ -2242,17 +2242,18 @@ def _t39_rebuild(idxs):  # noqa: ANN001 — Column expr helper
 
 @query("t39_chunk_dedup", _T39_SQL)
 def t39_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # lazy localCheckpoint: the tokenized docs feed BOTH the slim chunk
-    # pipeline and the final rebuild join — checkpointing materializes the
-    # token arrays once (executor blocks, computed on first use within this
-    # invocation's job) instead of tokenizing the corpus twice. Unlike
-    # persist() this never registers with the CacheManager, so a repeat
-    # invocation (bench min-of-2, gate re-runs) recomputes honestly; the
-    # blocks free when the handle is garbage-collected. At 100 TB the
-    # materialization costs ~one shuffle-write of the corpus and buys back
-    # a full tokenize pass; on executor loss the job retries (same
-    # trade as operators/components.py's _truncate_lineage).
-    docs = _t39_chunked_docs(spark, sf_dir).localCheckpoint(eager=False)
+    # NO checkpoint/persist: the tokenized docs feed BOTH the slim chunk
+    # pipeline and the final rebuild join, and an earlier revision
+    # localCheckpoint'ed them to save the second tokenize pass. That is a
+    # memory-CAPACITY bet: the materialized ts+dgs arrays are ~3-5x the
+    # text bytes, and past the block store's budget the blocks spill,
+    # serialize, and GC-churn — measured on the r11 sf100 ladder as the
+    # decade bending 9.9x (recompute) -> 17.9-32x (checkpoint), with the
+    # lingering blocks also starving the NEXT query's heap. Tokenizing is
+    # scan-local and embarrassingly parallel — exactly the work that
+    # scales — so recompute wins everywhere past toy scale (the same
+    # trade operators/dedup.py made for t40's shingle arrays in r8).
+    docs = _t39_chunked_docs(spark, sf_dir)
     slim = docs.select(
         "doc_id", F.posexplode("dgs").alias("pos", "dg")
     ).select("doc_id", (F.col("pos") + 1).alias("chunk_idx"), "dg")
