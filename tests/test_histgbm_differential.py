@@ -133,6 +133,25 @@ local = HistGBMRegressor(n_estimators=6, max_depth=2).fit(X, y)
 assert np.array_equal(dist.predict(X), local.predict(X))
 mse = float(((y - dist.predict(X)) ** 2).mean())
 assert mse < 0.3 * float(((y - y.mean()) ** 2).mean())
+
+# pinball loss across the same real JVM boundary (reference
+# tests/test_core.py:148-165 trains objective='quantile'): the
+# subgradient depends on a float comparison y > pred, so this pins that
+# the comparison's inputs are bit-identical across processes too
+from dask_lightgbm_spark.histgbm import HistGBMQuantileRegressor
+
+dist_q = core.train_lightgbm_barrier(
+    spark.createDataFrame(pdf),
+    feature_cols=[f"f{i}" for i in range(5)],
+    label_col="target",
+    model_factory=HistGBMQuantileRegressor,
+    params={"n_estimators": 6, "max_depth": 2, "alpha": 0.9},
+    num_workers=2,
+)
+local_q = HistGBMQuantileRegressor(
+    alpha=0.9, n_estimators=6, max_depth=2
+).fit(X, y)
+assert np.array_equal(dist_q.predict(X), local_q.predict(X))
 print("HISTGBM_TWO_JVM_BIT_EQUAL_OK")
 """
 
