@@ -196,3 +196,23 @@ def test_scale_documents_maps_stay_distinct_past_affine_space(tmp_path):
     con.close()
     assert n == 600
     assert dup == 1  # every replica text distinct — no map reuse
+
+
+def test_census_families_and_outliers():
+    """tools/census.py: family split by name prefix, outlier = >3x the
+    family median (family-relative because baseline costs differ by
+    design across families)."""
+    from tools.census import census, family_of
+
+    assert family_of("q01_pricing_summary") == "q"
+    assert family_of("ml05_holdout_eval") == "ml"
+    assert family_of("t39_chunk_dedup") == "t"
+    assert family_of("x08_stream_stream_interval_join") == "x"
+    rep = census(
+        {"q01_a": 1.0, "q02_b": 2.0, "q03_c": 9.0, "ml01_fit": 5.0}
+    )
+    assert [o["name"] for o in rep["outliers"]] == ["q03_c"]
+    assert rep["families"]["q"]["median_sec"] == 2.0
+    assert rep["families"]["ml"]["n"] == 1
+    # ml01's 5s is NOT an outlier: it is its own family's median
+    assert rep["slowest"][0]["name"] == "q03_c"

@@ -130,3 +130,20 @@ def test_release_is_scoped_per_session(spark, docs):
 def test_release_on_empty_session_is_noop(spark):
     S.release_caches(spark)
     assert S.release_caches(spark) == {"unpersisted": 0, "dropped_state": 0}
+
+
+def test_t39_leaves_no_blocks_behind(spark, sf_dir):
+    """r11 regression pin: t39 used to localCheckpoint the tokenized
+    corpus (~3-5x text bytes of executor blocks). On the sf100 ladder
+    the blocks bent the decade from 9.9x (linear) to 17.9-32x and
+    starved the next query's heap. t39 must leave the block store and
+    CacheManager exactly as it found them — corpus-sized derived state
+    never materializes on the hot path."""
+    from dask_lightgbm_spark.queries import all_queries
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    all_queries()["t39_chunk_dedup"](spark, sf_dir).toPandas()
+    assert jsc.getPersistentRDDs().size() == before, (
+        "t39 registered persistent RDD blocks"
+    )

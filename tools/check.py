@@ -105,6 +105,12 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     qs, oracles = all_queries(), all_oracles()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd subset must fail loudly — silently skipping it turns
+        # "verify these queries" into "verify whatever happened to match"
+        print(f"FAIL unknown query name(s): {sorted(unknown)}")
+        sys.exit(2)
     n_pass = n_fail = 0
     for name, fn in sorted(qs.items()):
         if only and name not in only:
