@@ -312,6 +312,17 @@ def test_catalog_has_no_cartesian_or_unbroadcast_nested_loop():
     assert "CartesianProduct" not in text
     loops = set(re.findall(r"\w*NestedLoopJoin", text))
     assert loops <= {"BroadcastNestedLoopJoin"}, loops
+    # row-at-a-time scalar Python UDFs are forbidden in the hot path —
+    # every Python boundary must be an Arrow-batched node. The one
+    # BatchEvalPythonUDTF is q52's UDTF-surface demo, k-bounded by
+    # design (o_orderkey < 1000); \b keeps it out of the scalar match.
+    assert not re.findall(r"BatchEvalPython\b", text)
+    udtf_secs = [
+        sec.split("\n", 1)[0]
+        for sec in text.split("### ")
+        if "BatchEvalPythonUDTF" in sec
+    ]
+    assert udtf_secs in ([], ["q52_python_udtf_lateral"]), udtf_secs
     # the audit really covers the batch catalog, not a shrunken list
     assert text.count("### ") >= 170, text.count("### ")
 
