@@ -93,6 +93,7 @@ class _SparkLGBMBase:
             "min_child_samples": self.min_child_samples,
             "subsample": self.subsample,
             "objective": self.objective,
+            "alpha": self.alpha,
             "tree_learner": self.tree_learner,
             "seed": self.seed,
             **self.extra_params,

@@ -610,3 +610,29 @@ def test_weighted_distributed_fit_bit_equal_to_local(spark):
     assert np.array_equal(dist.predict(X), local.predict(X))
     # and the weights were actually consumed, not silently dropped
     assert not np.array_equal(local.predict(X), unweighted.predict(X))
+
+
+def test_quantile_estimator_save_load_round_trip(spark, tmp_path):
+    """objective='quantile' round-trips alpha through save/load and the
+    reloaded model predicts bit-identically."""
+    from dask_lightgbm_spark.estimators import SparkLGBMRegressor
+
+    X, y = _synth(n=120)
+    pdf = pd.DataFrame({f"f{i}": X[:, i] for i in range(5)})
+    pdf["target"] = y
+    df = spark.createDataFrame(pdf)
+    cols = [f"f{i}" for i in range(5)]
+    reg = SparkLGBMRegressor(
+        n_estimators=4, max_depth=2, min_child_samples=1,
+        backend="histgbm", num_workers=2,
+        objective="quantile", alpha=0.25,
+    )
+    reg.fit(df, feature_cols=cols, label_col="target")
+    assert reg.get_params()["alpha"] == 0.25
+    path = str(tmp_path / "q_model")
+    reg.save(path)
+    reg2 = SparkLGBMRegressor.load(spark, path)
+    assert reg2.alpha == 0.25 and reg2.objective == "quantile"
+    a = reg.transform(df, feature_cols=cols).toPandas()["prediction"]
+    b = reg2.transform(df, feature_cols=cols).toPandas()["prediction"]
+    assert np.array_equal(a.to_numpy(), b.to_numpy())
