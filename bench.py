@@ -325,9 +325,12 @@ def _scale_documents(con, src_dir: str, out: str, n: int) -> None:
         return "".join(letters)
 
     all_maps = [_to_alpha(k) if k >= 2 else alpha for k in range(n)]
-    assert len(set(all_maps[2:])) == max(0, n - 2) and alpha not in all_maps[2:], (
-        "replica letter maps must be distinct non-identity bijections"
-    )
+    # hard error (not assert): python -O must not disable the guard that
+    # caught the k>=286 duplicate-map fixture corruption in r11
+    if len(set(all_maps[2:])) != max(0, n - 2) or alpha in all_maps[2:]:
+        raise ValueError(
+            "replica letter maps must be distinct non-identity bijections"
+        )
     maps = ", ".join(f"({k}, '{m}')" for k, m in enumerate(all_maps))
     text_expr = f"""
         CASE WHEN k = 0 THEN text
@@ -810,7 +813,9 @@ def _stream_bench(spark, src_dir: str) -> dict:
                     spark, from_dir, glob=glob, max_files_per_trigger=1
                 ).toPandas()
 
-            t10s, p10s = tmin(lambda: sj_micro_at(d10), runs=1)
+            # min-of-2 like the 1x base — a runs=1 leg against a min-of-2
+            # base is asymmetric and inflates the ratio (r11 advisor)
+            t10s, p10s = tmin(lambda: sj_micro_at(d10), runs=2)
             base_s = results["static_join"]["micro"]
             scaling_s = round(t10s / base_s, 2)
             if scaling_s > SF10_SCALING_LIMIT:

@@ -540,6 +540,36 @@ def simhash_neardup_pairs(
     ).filter(F.col("hamming") <= max_hamming)
 
 
+def build_minhash_band_index(
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int = 5,
+    num_perm: int = 16,
+    band_size: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Corpus-side dedup INDEX, as two persistable tables:
+
+    * ``bands`` — (id, band, bv0..bv{r-1}, sigarr) in the _band_views
+      layout; the LSH join side.
+    * ``verify`` — (id, hs array<long>); the exact-Jaccard verify side.
+
+    This is the production artifact ``minhash_lsh_match_against``'s
+    docstring promises: at scale the index is written ONCE (parquet,
+    partitionable by ``band``) and every ingest batch joins against the
+    stored tables — signature recompute leaves the hot path entirely.
+    ``minhash_lsh_match_against_index(new, bands, verify, ...)`` consumes
+    either these live DataFrames or their parquet round-trip; the match
+    set is identical by construction (same layout, same join)."""
+    arr_cor = shingle_hash_array(corpus_df, id_col, text_col, k_shingle)
+    sig_arr = F.array(*[F.col(f"mh{i}") for i in range(num_perm)])
+    bands_cor = _band_views(
+        signatures_from_array(arr_cor, id_col, num_perm),
+        id_col, num_perm, band_size, extra_cols=[sig_arr.alias("sigarr")],
+    )
+    return bands_cor, arr_cor
+
+
 def minhash_lsh_match_against(
     new_df: DataFrame,
     corpus_df: DataFrame,
@@ -557,11 +587,13 @@ def minhash_lsh_match_against(
     jaccard ≥ threshold). The production shape for continuous ingestion:
     the corpus side's signatures are the persisted dedup index (rebuilt
     here from text because the fixture has no stored index; at scale the
-    corpus band table is read, not recomputed — it is exactly the banding
-    layout _band_views defines), the new batch is small, and the band
-    equi-join touches only colliding buckets. Same estimate-prefilter →
-    exact-verify ladder as minhash_lsh_neardup; no ordering constraint
-    because the two sides are disjoint id spaces.
+    corpus band table is read, not recomputed — build it once with
+    ``build_minhash_band_index``, write to parquet, and match via
+    ``minhash_lsh_match_against_index``; bench.py's t40_indexed leg times
+    exactly that), the new batch is small, and the band equi-join touches
+    only colliding buckets. Same estimate-prefilter → exact-verify ladder
+    as minhash_lsh_neardup; no ordering constraint because the two sides
+    are disjoint id spaces.
 
     ``bucket_cap`` guards a viral-template pile-up on the CORPUS side
     (one bucket holding millions of copies meets every colliding new doc
@@ -571,8 +603,6 @@ def minhash_lsh_match_against(
     the join key gains the group id and no reducer holds more than ~cap
     corpus rows per new doc. Match set unchanged (every corpus row keeps
     exactly one group; the new side covers all groups)."""
-    if est_min_matches is None:
-        est_min_matches = num_perm // 2
     # NO persist (r8): the shingle arrays are scan-local projections, so
     # the verify join's second use recomputes them — at 100 TB, re-running
     # a projection beats caching corpus-sized arrays in executor memory,
@@ -580,17 +610,54 @@ def minhash_lsh_match_against(
     # (the r7 advisor's accumulation finding; an earlier persist here also
     # let identical re-invocations silently serve from cache, which is not
     # a result a benchmark or a retry should get for free).
+    bands_cor, arr_cor = build_minhash_band_index(
+        corpus_df, id_col, text_col, k_shingle, num_perm, band_size
+    )
+    return minhash_lsh_match_against_index(
+        new_df,
+        bands_cor,
+        arr_cor,
+        id_col,
+        text_col,
+        k_shingle=k_shingle,
+        num_perm=num_perm,
+        band_size=band_size,
+        threshold=threshold,
+        est_min_matches=est_min_matches,
+        bucket_cap=bucket_cap,
+    )
+
+
+def minhash_lsh_match_against_index(
+    new_df: DataFrame,
+    corpus_bands: DataFrame,
+    corpus_verify: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int = 5,
+    num_perm: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.7,
+    est_min_matches: int | None = None,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Ingest-match against a PREBUILT corpus index (the two tables from
+    ``build_minhash_band_index``, live or read back from parquet). Only
+    the NEW batch — small by the ingest contract — pays shingling and
+    signature cost; the corpus side is a stored-table scan, and with the
+    index partitioned by ``band`` the band equi-join prunes to colliding
+    partitions. Identical match set to ``minhash_lsh_match_against`` on
+    the same corpus (same layout, same join, same verify ladder)."""
+    if est_min_matches is None:
+        est_min_matches = num_perm // 2
     arr_new = shingle_hash_array(new_df, id_col, text_col, k_shingle)
-    arr_cor = shingle_hash_array(corpus_df, id_col, text_col, k_shingle)
+    arr_cor = corpus_verify
     sig_arr = F.array(*[F.col(f"mh{i}") for i in range(num_perm)])
     bands_new = _band_views(
         signatures_from_array(arr_new, id_col, num_perm),
         id_col, num_perm, band_size, extra_cols=[sig_arr.alias("sigarr")],
     )
-    bands_cor = _band_views(
-        signatures_from_array(arr_cor, id_col, num_perm),
-        id_col, num_perm, band_size, extra_cols=[sig_arr.alias("sigarr")],
-    )
+    bands_cor = corpus_bands
     cond = F.col("a.band") == F.col("b.band")
     for j in range(band_size):
         cond = cond & (F.col(f"a.bv{j}") == F.col(f"b.bv{j}"))

@@ -1745,11 +1745,16 @@ def q54_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", F.max("o_orderdate")),
     ).first()
     fmt = "%Y-%m-%d %H:%M:%S"
+    # Empty orders → MIN/MAX are NULL. Inline NULL literals: the anchor
+    # emits one NULL-month row and the recursion predicate (m < NULL) is
+    # NULL so recursion stops — exactly the subquery form's degradation,
+    # so the DuckDB oracle still matches (1 row: NULL month, 0, 0).
+    null_ts = "CAST(NULL AS TIMESTAMP)"
     return spark.sql(
         _Q54_BODY.format(
             orders="__q54_orders",
-            lo=f"TIMESTAMP '{lo.strftime(fmt)}'",
-            hi=f"TIMESTAMP '{hi.strftime(fmt)}'",
+            lo=f"TIMESTAMP '{lo.strftime(fmt)}'" if lo is not None else null_ts,
+            hi=f"TIMESTAMP '{hi.strftime(fmt)}'" if hi is not None else null_ts,
         )
     )
 

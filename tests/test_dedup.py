@@ -318,3 +318,54 @@ def test_match_against_bucket_cap(spark):
 
     with _pytest.raises(ValueError, match="bucket_cap"):
         minhash_lsh_match_against(ndf, cdf, "doc_id", "text", bucket_cap=0)
+
+
+def test_match_against_persisted_index_roundtrip(spark, tmp_path):
+    """The production ingest shape: build the corpus band index ONCE,
+    round-trip BOTH index tables through parquet, and match a new batch
+    against the STORED index — the match set (ids and jaccard values)
+    must be bit-identical to the recompute-from-text path, with and
+    without bucket_cap. This is the artifact the t40 docstring promises
+    ('at scale the corpus band table is read, not recomputed') and the
+    t40_indexed bench leg times."""
+    from dask_lightgbm_spark.operators.dedup import (
+        build_minhash_band_index,
+        minhash_lsh_match_against,
+        minhash_lsh_match_against_index,
+    )
+
+    corpus = [
+        (i, f"corpus document number {i} about {'apples' if i % 3 else 'pears'} and markets")
+        for i in range(40)
+    ] + [(100 + i, "viral template text repeated across the entire corpus body") for i in range(12)]
+    new = [
+        (1000, "viral template text repeated across the entire corpus body"),
+        (1001, "corpus document number 7 about apples and markets"),
+        (1002, "a fresh never seen before document about gardens"),
+    ]
+    cdf = spark.createDataFrame(corpus, ["doc_id", "text"])
+    ndf = spark.createDataFrame(new, ["doc_id", "text"])
+
+    bands, verify = build_minhash_band_index(cdf, "doc_id", "text")
+    bands.write.parquet(str(tmp_path / "bands.parquet"))
+    verify.write.parquet(str(tmp_path / "verify.parquet"))
+    bands_r = spark.read.parquet(str(tmp_path / "bands.parquet"))
+    verify_r = spark.read.parquet(str(tmp_path / "verify.parquet"))
+
+    def norm(df):
+        return {
+            (r.new_id, r.corpus_id, round(r.jaccard, 12)) for r in df.collect()
+        }
+
+    for cap in (None, 8):
+        base = norm(
+            minhash_lsh_match_against(ndf, cdf, "doc_id", "text", bucket_cap=cap)
+        )
+        stored = norm(
+            minhash_lsh_match_against_index(
+                ndf, bands_r, verify_r, "doc_id", "text", bucket_cap=cap
+            )
+        )
+        assert stored == base, (cap, stored ^ base)
+    assert {(n, c) for n, c, _ in base} >= {(1000, 100 + i) for i in range(12)}
+    assert (1001, 7) in {(n, c) for n, c, _ in base}

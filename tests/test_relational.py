@@ -134,3 +134,22 @@ def test_pagerank_int_hand_computed(spark):
 
     with pytest.raises(ValueError):
         pagerank_int(cycle, 0)
+
+
+def test_q54_empty_orders_degrades_gracefully(spark, sf_dir, tmp_path):
+    """Empty orders → MIN/MAX bounds are NULL. The literal-inlined spine
+    must degrade exactly like the oracle's subquery form: one anchor row
+    with a NULL month (recursion predicate m < NULL stops immediately),
+    zero counts — not an AttributeError on None.strftime (r11 advisor)."""
+    from dask_lightgbm_spark.queries.relational import q54_recursive_date_spine
+    from dask_lightgbm_spark.sources.readers import load_table
+
+    empty_dir = tmp_path / "sf_empty"
+    empty_dir.mkdir()
+    load_table(spark, sf_dir, "orders").limit(0).write.parquet(
+        str(empty_dir / "orders.parquet")
+    )
+    rows = q54_recursive_date_spine(spark, str(empty_dir)).collect()
+    assert len(rows) == 1
+    assert rows[0]["month"] is None
+    assert rows[0]["n_orders"] == 0 and rows[0]["rev_cents"] == 0
