@@ -683,3 +683,136 @@ def test_stateful_stream_survives_executor_jvm_loss_mid_drain():
         f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-4000:]}"
     )
     assert "STREAM_EXECUTOR_LOSS_OK" in proc.stdout
+
+
+# ---------------------------------------------------------------------------
+# 3-node histgbm fit with loss (r11 verdict task 6): ring re-form is proven
+# on local-cluster[2,2]; this widens the matrix to THREE executor JVMs so
+# recovery is demonstrably not 2-node-specific, and uses the REAL
+# distributed GBDT math (histgbm, not the recording stub) so the recovered
+# model can be asserted BIT-EQUAL to a clean local fit — the strongest
+# sandbox-available proof that an executor death mid-collective cannot
+# perturb the trained model. SIGKILL lands while the barrier stage is
+# active (statusTracker-gated, ~3 allGather rounds in); the barrier abort
+# gangs down the two survivors, the standalone worker relaunches a
+# replacement JVM, and the app-level retry re-forms a 3-task ring.
+# ---------------------------------------------------------------------------
+
+HISTGBM_3NODE_SCRIPT = """
+import os
+import signal
+import subprocess
+import threading
+import time
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import SparkSession
+
+from dask_lightgbm_spark import core
+from dask_lightgbm_spark.histgbm import HistGBMRegressor
+
+spark = (
+    SparkSession.builder.master("local-cluster[3,1,1200]")
+    .appName("histgbm-3node-loss")
+    .config("spark.executor.memory", "1g")
+    .config("spark.driver.memory", "2g")
+    .config("spark.sql.shuffle.partitions", "3")
+    .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
+    .getOrCreate()
+)
+
+rng = np.random.default_rng(42)
+X = rng.normal(size=(600, 5))
+y = X[:, 0] * 2.0 - X[:, 1] + 0.3 * rng.normal(size=600)
+pdf = pd.DataFrame({f"f{i}": X[:, i] for i in range(5)})
+pdf["target"] = y
+df = spark.createDataFrame(pdf)
+
+
+def executor_pids():
+    # scope to THIS app's executors (same guard as the other scripts)
+    conf = spark.sparkContext.getConf()
+    tag = "CoarseGrainedScheduler@%s:%s" % (
+        conf.get("spark.driver.host"), conf.get("spark.driver.port"))
+    out = subprocess.run(
+        ["ps", "-eo", "pid,args"], capture_output=True, text=True
+    ).stdout
+    pids = []
+    for line in out.splitlines():
+        pid, _, args = line.strip().partition(" ")
+        if ("CoarseGrainedExecutorBackend" in args and tag in args
+                and "java" in args.split()[0]):
+            pids.append(int(pid))
+    return [p for p in pids if p != os.getpid()]
+
+
+deadline = time.time() + 90
+while len(executor_pids()) < 3 and time.time() < deadline:
+    time.sleep(0.5)
+before = executor_pids()
+assert len(before) >= 3, f"3 executors never came up: {before}"
+
+killed = {}
+
+
+def kill_one_executor():
+    # fire only once the barrier stage is actually RUNNING (statusTracker
+    # shows an active stage), then give it ~3 allGather rounds before the
+    # kill so the loss lands mid-collective, not pre-stage
+    tracker = spark.sparkContext.statusTracker()
+    deadline = time.time() + 120
+    while not tracker.getActiveStageIds() and time.time() < deadline:
+        time.sleep(0.2)
+    time.sleep(4.0)
+    pids = executor_pids()
+    if pids:
+        os.kill(pids[0], signal.SIGKILL)
+        killed["pid"] = pids[0]
+
+
+t = threading.Thread(target=kill_one_executor, daemon=True)
+t.start()
+dist = core.train_lightgbm_barrier(
+    df,
+    feature_cols=[f"f{i}" for i in range(5)],
+    label_col="target",
+    model_factory=HistGBMRegressor,
+    params={"n_estimators": 4, "max_depth": 2},
+    num_workers=3,
+)
+t.join()
+
+assert "pid" in killed, "killer never fired"
+after = executor_pids()
+assert killed["pid"] not in after
+# a replacement JVM joined the two survivors before the retry's ring formed
+assert set(after) - set(before), (before, after)
+assert set(after) & set(before), (before, after)
+
+# the recovered distributed model is BIT-equal to a clean local fit
+local = HistGBMRegressor(n_estimators=4, max_depth=2).fit(X, y)
+p_dist, p_local = dist.predict(X), local.predict(X)
+assert np.array_equal(p_dist, p_local), "recovered model != clean fit"
+# and it learned (bit-equality of two broken fits proves nothing)
+mse = float(((y - p_dist) ** 2).mean())
+assert mse < 0.3 * float(((y - y.mean()) ** 2).mean())
+print("HISTGBM_3NODE_LOSS_OK", killed["pid"])
+"""
+
+
+def test_histgbm_3node_fit_survives_loss_bit_equal():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-c", HISTGBM_3NODE_SCRIPT],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, (
+        f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-4000:]}"
+    )
+    assert "HISTGBM_3NODE_LOSS_OK" in proc.stdout
