@@ -5,7 +5,7 @@
 # they check and what the coverage number can honestly claim (driver-side
 # lines only; executor-process UDF bodies are not traced).
 
-.PHONY: lint test check sim cluster-sim coverage bench catalog gate census all
+.PHONY: lint test check sim cluster-sim soak coverage bench catalog gate census all
 
 lint:
 	python tools/lint.py
@@ -25,6 +25,12 @@ sim:
 
 cluster-sim:
 	SPARK_GRAFT_SIM_MASTER='local-cluster[2,2,1500]' python tools/driver_sim.py
+
+# soak/service-regime gate: the FULL catalog twice in one JVM with
+# release_caches between passes — asserts pass-2 <= 1.2x pass-1 and zero
+# persistent RDDs / empty CacheManager at end (r11 verdict task 5)
+soak:
+	python tools/driver_sim.py --passes 2
 
 # driver-side line coverage; threshold calibrated to the measured baseline
 # (executor-side code excluded by construction — see tools/coverage.py)

@@ -212,14 +212,14 @@ SF10_SCALING_LIMIT = 6.0
 # additional signal.
 SF10_CORPUS = ["t39_chunk_dedup", "t40_incremental_ingest_dedup"]
 
-# Opt-in (SPARK_GRAFT_SF100=1) sf100 corpus ladder: the same two dedup
-# shapes at 1000x the sf0.1 corpus (~5M docs), gated on the sf10→sf100
-# DECADE. At this scale fixed costs are fully amortized and the honest
-# asymptote for linear-work operators is ~10x per 10x data (t39 measured
-# 10.4x in r10) — so the gate is a LINEAR fence with noise margin, not
-# the sf1→sf10 amortization gate (6x), which would mislabel the linear
-# asymptote itself as a breach. Off by default: the stanza costs ~5 min
-# of query time plus a one-time ~4 min fixture build.
+# sf100 corpus ladder (default ON since r12; SPARK_GRAFT_SF100=0 opts
+# out): the same two dedup shapes at 1000x the sf0.1 corpus (~5M docs),
+# gated on the sf10→sf100 DECADE. At this scale fixed costs are fully
+# amortized and the honest asymptote for linear-work operators is ~10x
+# per 10x data (t39 measured 10.4x in r10) — so the gate is a LINEAR
+# fence with noise margin, not the sf1→sf10 amortization gate (6x),
+# which would mislabel the linear asymptote itself as a breach. Cost:
+# ~5 min of query time plus a one-time ~4 min fixture build.
 SF100_DECADE_LIMIT = 12.0
 
 # sf1 queries that ALWAYS get the second (min-of-2) run, beyond would-be
@@ -1014,6 +1014,16 @@ def collect_gates(out: dict, regressions: list, errors: dict) -> dict:
     )
     if sf10_corp:
         sf10_corp["scaling_breaches"] = corp_breaches
+    t40_idx = out.get("t40_indexed", {})
+    if t40_idx and "error" not in t40_idx:
+        idx_breaches = []
+        r = t40_idx.get("match_scaling_vs_sf1")
+        if r is not None and r > SF10_SCALING_LIMIT:
+            idx_breaches.append("t40_indexed_match")
+        if t40_idx.get("parity_vs_recompute_sf1") is False:
+            idx_breaches.append("t40_indexed_parity")
+        t40_idx["scaling_breaches"] = idx_breaches
+        corp_breaches = corp_breaches + idx_breaches
     sf100_corp = out.get("sf100_corpus", {})
     sf100_breaches = sorted(
         f"sf100_{n}"
@@ -1048,6 +1058,7 @@ def collect_gates(out: dict, regressions: list, errors: dict) -> dict:
         ("sf10_corpus_stanza", sf10_corp),
         ("sf100_corpus_stanza", sf100_corp),
         ("sf10_ann_stanza", sf10_ann),
+        ("t40_indexed_stanza", t40_idx),
     ):
         if "error" in stanza:
             sf10_errors.append(label)
@@ -1497,6 +1508,82 @@ def main():
         except Exception as exc:  # noqa: BLE001
             out["sf10_corpus"] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
 
+    # t40 production shape (r11 verdict #3): ingest-match against the
+    # PERSISTED corpus band index. The recompute path above rebuilds the
+    # corpus signatures from text every run; in production the index is
+    # written once and each ingest batch joins the stored tables, so the
+    # per-batch hot path drops the corpus-side shingling entirely. Three
+    # numbers per SF: index build (one-time, cached across bench runs on
+    # the fixture fingerprint), indexed match (min-of-2), and at sf1 a
+    # bit-identity assertion vs the recompute result.
+    if at_sf01 and os.environ.get("SPARK_GRAFT_SF10_SPOT", "1") != "0":
+        try:
+            from dask_lightgbm_spark.queries.text import (
+                t40_build_index,
+                t40_ingest_dedup_indexed,
+            )
+
+            legs: dict[str, dict] = {}
+            parity_ok = None
+            for label, fdir in (
+                ("sf1", ensure_sf1(sf_dir)),
+                ("sf10", ensure_sf10(sf_dir)),
+            ):
+                idx_dir = f"/tmp/dls_t40_idx_{label}"
+                marker = os.path.join(idx_dir, "_DONE")
+                fp_src = os.path.join(fdir, "documents.parquet")
+                fp = f"{_FIXTURE_VERSION},{os.path.getmtime(fp_src)},{os.path.getsize(fp_src)}"
+                build_s, cached = None, False
+                if os.path.exists(marker):
+                    rec = open(marker).read().split("|")
+                    if rec[0] == fp:
+                        build_s, cached = float(rec[1]), True
+                if build_s is None:
+                    t0 = time.time()
+                    t40_build_index(spark, fdir, idx_dir)
+                    build_s = round(time.time() - t0, 3)
+                    os.makedirs(idx_dir, exist_ok=True)
+                    with open(marker, "w") as fh:
+                        fh.write(f"{fp}|{build_s}")
+                runs = []
+                pdf_idx = None
+                for _ in range(2):
+                    t0 = time.time()
+                    pdf_idx = t40_ingest_dedup_indexed(spark, fdir, idx_dir).toPandas()
+                    runs.append(round(time.time() - t0, 3))
+                legs[label] = {
+                    "index_build": build_s,
+                    "index_build_cached": cached,
+                    "match": min(runs),
+                    "rows": len(pdf_idx),
+                }
+                print(
+                    f"# t40_indexed {label}: build {build_s:.2f}s"
+                    f"{' (cached)' if cached else ''} match {min(runs):.2f}s",
+                    file=sys.stderr,
+                )
+                if label == "sf1":
+                    pdf_rec = qs["t40_incremental_ingest_dedup"](
+                        spark, fdir
+                    ).toPandas()
+                    parity_ok = bool(
+                        pdf_idx.sort_values("doc_id")
+                        .reset_index(drop=True)
+                        .equals(pdf_rec.sort_values("doc_id").reset_index(drop=True))
+                    )
+            scaling_i = (
+                round(legs["sf10"]["match"] / legs["sf1"]["match"], 2)
+                if legs.get("sf1", {}).get("match")
+                else None
+            )
+            out["t40_indexed"] = {
+                "legs": legs,
+                "match_scaling_vs_sf1": scaling_i,
+                "parity_vs_recompute_sf1": parity_ok,
+            }
+        except Exception as exc:  # noqa: BLE001
+            out["t40_indexed"] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+
     # sf100 corpus ladder (opt-in): re-measures the dedup families' linear
     # asymptote — the sf10→sf100 decade — against SF100_DECADE_LIMIT, in a
     # FRESH child JVM. Two reasons: (a) by this point the bench session
@@ -1505,7 +1592,11 @@ def main():
     # same scale is fine), and (b) the child times BOTH decade legs
     # back-to-back in one session, so the ratio is same-window and
     # same-session-age by construction — no cross-stanza re-pair needed.
-    if at_sf01 and os.environ.get("SPARK_GRAFT_SF100", "0") == "1":
+    # default-ON since r12 (verdict task 4: the gated ladder existed but
+    # had never run inside a recorded round bench) — opt OUT with
+    # SPARK_GRAFT_SF100=0. Cost: ~5 min of query time per bench run plus
+    # a one-time ~4 min fixture build, in a fresh child JVM.
+    if at_sf01 and os.environ.get("SPARK_GRAFT_SF100", "1") == "1":
         try:
             import subprocess
 

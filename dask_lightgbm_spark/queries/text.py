@@ -2364,18 +2364,14 @@ ORDER BY n.doc_id
 )
 
 
-@query("t40_incremental_ingest_dedup", _T40_SQL)
-def t40_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _t40_report(new: DataFrame, hits: DataFrame) -> DataFrame:
+    """t40's per-new-doc report over a (new_id, corpus_id, jaccard) hit
+    set — shared by the recompute path (the catalog query) and the
+    persisted-index path (t40_ingest_dedup_indexed / bench t40_indexed),
+    so the two paths differ ONLY in where the corpus signatures come
+    from."""
     from pyspark.sql import Window as W
 
-    d = load_table(spark, sf_dir, "documents")
-    new = d.filter(F.col("source") == "src0")
-    corpus = d.filter(F.col("source") != "src0")
-    hits = dedup.minhash_lsh_match_against(
-        new, corpus, "doc_id", "text",
-        k_shingle=K_SHINGLE, num_perm=NUM_PERM, band_size=BAND_SIZE,
-        threshold=0.7,
-    )
     w = W.partitionBy("new_id")
     wr = W.partitionBy("new_id").orderBy(F.desc("jaccard"), F.asc("corpus_id"))
     best = (
@@ -2395,6 +2391,53 @@ def t40_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def t40_build_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
+    """Write t40's corpus dedup index (band table + verify table) to
+    parquet — the one-time production cost the incremental ingest path
+    amortizes. bench.py's t40_indexed leg times this separately from
+    the per-batch match."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("source") != "src0")
+    bands, verify = dedup.build_minhash_band_index(
+        corpus, "doc_id", "text",
+        k_shingle=K_SHINGLE, num_perm=NUM_PERM, band_size=BAND_SIZE,
+    )
+    bands.write.mode("overwrite").parquet(f"{index_dir}/bands.parquet")
+    verify.write.mode("overwrite").parquet(f"{index_dir}/verify.parquet")
+
+
+def t40_ingest_dedup_indexed(
+    spark: SparkSession, sf_dir: str, index_dir: str
+) -> DataFrame:
+    """t40 with the corpus side read from the STORED index (production
+    ingest shape): only the new batch pays shingling + signatures; the
+    corpus is a parquet scan. Bit-identical output to the catalog t40
+    on the same fixture (bench asserts it)."""
+    d = load_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("source") == "src0")
+    bands = spark.read.parquet(f"{index_dir}/bands.parquet")
+    verify = spark.read.parquet(f"{index_dir}/verify.parquet")
+    hits = dedup.minhash_lsh_match_against_index(
+        new, bands, verify, "doc_id", "text",
+        k_shingle=K_SHINGLE, num_perm=NUM_PERM, band_size=BAND_SIZE,
+        threshold=0.7,
+    )
+    return _t40_report(new, hits)
+
+
+@query("t40_incremental_ingest_dedup", _T40_SQL)
+def t40_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("source") == "src0")
+    corpus = d.filter(F.col("source") != "src0")
+    hits = dedup.minhash_lsh_match_against(
+        new, corpus, "doc_id", "text",
+        k_shingle=K_SHINGLE, num_perm=NUM_PERM, band_size=BAND_SIZE,
+        threshold=0.7,
+    )
+    return _t40_report(new, hits)
 
 
 # ---------------------------------------------------------------------------
