@@ -570,6 +570,33 @@ def build_minhash_band_index(
     return bands_cor, arr_cor
 
 
+def append_to_band_index(
+    admitted_df: DataFrame,
+    index_dir: str,
+    id_col: str,
+    text_col: str,
+    k_shingle: int = 5,
+    num_perm: int = 16,
+    band_size: int = 4,
+) -> None:
+    """Index MAINTENANCE for the continuous-ingest loop: after a batch is
+    admitted (post-dedup), append ITS band rows and verify arrays to the
+    stored corpus index at ``index_dir`` (the two parquet tables
+    ``build_minhash_band_index`` lays down), so the next batch's
+    ``minhash_lsh_match_against_index`` also matches against it. Append
+    cost is proportional to the ADMITTED batch alone — the corpus is
+    never rewritten, which is what makes the index viable at 100 TB
+    (parquet append = new files; compact with q78's small-files pass when
+    the file count grows). Caller contract: admitted ids are globally
+    unique (the ingest pipeline's id authority), else matches will report
+    duplicate corpus_ids."""
+    bands, verify = build_minhash_band_index(
+        admitted_df, id_col, text_col, k_shingle, num_perm, band_size
+    )
+    bands.write.mode("append").parquet(f"{index_dir}/bands.parquet")
+    verify.write.mode("append").parquet(f"{index_dir}/verify.parquet")
+
+
 def minhash_lsh_match_against(
     new_df: DataFrame,
     corpus_df: DataFrame,

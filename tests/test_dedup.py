@@ -369,3 +369,52 @@ def test_match_against_persisted_index_roundtrip(spark, tmp_path):
         assert stored == base, (cap, stored ^ base)
     assert {(n, c) for n, c, _ in base} >= {(1000, 100 + i) for i in range(12)}
     assert (1001, 7) in {(n, c) for n, c, _ in base}
+
+
+def test_band_index_incremental_append(spark, tmp_path):
+    """The full continuous-ingest loop: build the index on corpus A, match
+    batch B against it (misses B-only dups), APPEND B's rows to the stored
+    index, then match batch C — C must now match against BOTH A and B, and
+    the A-side results must be unchanged by the append."""
+    from dask_lightgbm_spark.operators.dedup import (
+        append_to_band_index,
+        build_minhash_band_index,
+        minhash_lsh_match_against_index,
+    )
+
+    corpus_a = [(i, f"original corpus document {i} about rivers and bridges") for i in range(20)]
+    batch_b = [(100, "a brand new template that batch c will duplicate later")]
+    batch_c = [
+        (200, "a brand new template that batch c will duplicate later"),  # dup of B
+        (201, "original corpus document 3 about rivers and bridges"),      # dup of A
+        (202, "entirely novel content never seen in any prior batch"),
+    ]
+    adf = spark.createDataFrame(corpus_a, ["doc_id", "text"])
+    bdf = spark.createDataFrame(batch_b, ["doc_id", "text"])
+    cdf = spark.createDataFrame(batch_c, ["doc_id", "text"])
+
+    idx = str(tmp_path / "idx")
+    bands, verify = build_minhash_band_index(adf, "doc_id", "text")
+    bands.write.parquet(f"{idx}/bands.parquet")
+    verify.write.parquet(f"{idx}/verify.parquet")
+
+    def match(batch):
+        return {
+            (r.new_id, r.corpus_id)
+            for r in minhash_lsh_match_against_index(
+                batch,
+                spark.read.parquet(f"{idx}/bands.parquet"),
+                spark.read.parquet(f"{idx}/verify.parquet"),
+                "doc_id",
+                "text",
+            ).collect()
+        }
+
+    # B matches nothing in A; admit it, append its rows
+    assert match(bdf) == set()
+    append_to_band_index(bdf, idx, "doc_id", "text")
+
+    got = match(cdf)
+    assert (200, 100) in got, got       # cross-batch dup caught post-append
+    assert (201, 3) in got, got         # original corpus still matched
+    assert not any(n == 202 for n, _ in got), got  # novel doc stays clean
