@@ -216,3 +216,44 @@ def test_census_families_and_outliers():
     assert rep["families"]["ml"]["n"] == 1
     # ml01's 5s is NOT an outlier: it is its own family's median
     assert rep["slowest"][0]["name"] == "q03_c"
+
+
+def test_t40_indexed_gate_parity_and_scaling():
+    """The persisted-index leg (r12) gates two ways: match scaling over
+    SF10_SCALING_LIMIT breaches, and parity false (stored-index result
+    diverging from the recompute path) breaches — a silently-wrong index
+    is worse than a slow one. Wholesale stanza error fails like any
+    other stanza."""
+    out = _green_record()
+    out["t40_indexed"] = {
+        "legs": {"sf1": {"match": 2.5}, "sf10": {"match": 9.5}},
+        "match_scaling_vs_sf1": 3.8,
+        "parity_vs_recompute_sf1": True,
+    }
+    gates = collect_gates(out, [], {})
+    assert gates["fail"] is False
+    assert out["t40_indexed"]["scaling_breaches"] == []
+
+    out = _green_record()
+    out["t40_indexed"] = {
+        "match_scaling_vs_sf1": SF10_SCALING_LIMIT + 0.1,
+        "parity_vs_recompute_sf1": True,
+    }
+    gates = collect_gates(out, [], {})
+    assert "t40_indexed_match" in gates["sf10_breaches"]
+    assert gates["fail"] is True
+
+    out = _green_record()
+    out["t40_indexed"] = {
+        "match_scaling_vs_sf1": 1.5,
+        "parity_vs_recompute_sf1": False,
+    }
+    gates = collect_gates(out, [], {})
+    assert "t40_indexed_parity" in gates["sf10_breaches"]
+    assert gates["fail"] is True
+
+    out = _green_record()
+    out["t40_indexed"] = {"error": "Boom: dead"}
+    gates = collect_gates(out, [], {})
+    assert "t40_indexed_stanza" in gates["sf10_errors"]
+    assert gates["fail"] is True
