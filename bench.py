@@ -1087,6 +1087,11 @@ def collect_gates(out: dict, regressions: list, errors: dict) -> dict:
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    # host contention evidence for ratio adjudication: two phantom
+    # inflations this build (r10 driver-window 2.3x, r12 first census
+    # +38%) were window noise that took re-runs to prove; recording the
+    # 1-min loadavg at start/end makes that call evidence-based
+    load_start = round(os.getloadavg()[0], 1)
 
     # DuckDB first (same window, before the JVM spins up) — it is the
     # denominator of the gate ratio, so it must see the same host CPU.
@@ -1764,6 +1769,11 @@ def main():
         except Exception as exc:  # noqa: BLE001
             out["streaming"] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
 
+    out["host_load_1min"] = {
+        "start": load_start,
+        "end": round(os.getloadavg()[0], 1),
+        "cpus": os.cpu_count(),
+    }
     gates = collect_gates(out, regressions, errors)
     sf1_spot = out.get("sf1_spot", {})
     sf1_breaches = gates["sf1_breaches"]
