@@ -260,6 +260,8 @@ def ensure_sf1(src_dir: str) -> str:
 
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
+    # progress bars must never reach the JSON stdout the driver parses
+    con.execute("SET enable_progress_bar=false")
     _scale_documents(con, src_dir, out, 10)
     _scale_embeddings(con, src_dir, out, 10)
     # TPC-H facts: orders + lineitem replicated 10x with orderkeys shifted
@@ -415,6 +417,8 @@ def ensure_sf10(src_dir: str) -> str:
 
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
+    # progress bars must never reach the JSON stdout the driver parses
+    con.execute("SET enable_progress_bar=false")
     _scale_tpch_facts(
         con, src_dir, out, 100, [t for t in SF10_TABLES if t not in ("lineitem", "orders")]
     )
@@ -451,7 +455,40 @@ def ensure_sf100_docs(src_dir: str) -> str:
 
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
+    # progress bars must never reach the JSON stdout the driver parses
+    con.execute("SET enable_progress_bar=false")
     _scale_documents(con, src_dir, out, 1000)
+    con.close()
+    with open(marker, "w") as f:
+        f.write(fp)
+    return out
+
+
+def ensure_sf100_embeddings(src_dir: str) -> str:
+    """Materialize the 1000x embeddings corpus (2M x 64 float vectors,
+    ~500 MB) backing the sf100 ANN decade leg — same fingerprint-cache
+    contract as :func:`ensure_sf100_docs`, its own directory so the docs
+    fixture's fingerprint is untouched. Replica offsets follow
+    :func:`_scale_embeddings` (tiny per-replica shift: distinct but
+    clustered)."""
+    out = os.environ.get("SPARK_GRAFT_SF100_VEC_DIR", "/tmp/dls_bench_sf100_vec")
+    marker = os.path.join(out, "_DONE")
+    src = os.path.join(src_dir, "embeddings.parquet")
+    fp = (
+        _FIXTURE_VERSION
+        + f",embeddings:{os.path.getmtime(src)}:{os.path.getsize(src)}:x1000"
+    )
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read() == fp:
+                return out
+    import duckdb
+
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    # progress bars must never reach the JSON stdout the driver parses
+    con.execute("SET enable_progress_bar=false")
+    _scale_embeddings(con, src_dir, out, 1000)
     con.close()
     with open(marker, "w") as f:
         f.write(fp)
@@ -500,6 +537,8 @@ def ensure_stream_events(src_dir: str, scale: int = STREAM_SCALE) -> str:
 
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
+    # progress bars must never reach the JSON stdout the driver parses
+    con.execute("SET enable_progress_bar=false")
     base = con.sql(
         f"SELECT max(event_id) + 1 FROM read_parquet('{src}')"
     ).fetchone()[0]
@@ -917,6 +956,63 @@ def _sf100_ladder_child() -> None:
             )
         except Exception as exc:  # noqa: BLE001
             res["errors"][name] = f"{type(exc).__name__}: {exc}"[:300]
+    # ANN decade (r12): IVF build + batched serve at sf10 (200k vectors)
+    # and sf100 (2M vectors), same fixed-nlist machinery as the parent's
+    # sf10_ann stanza so the three decades chain. Adjacent legs in the
+    # same child JVM → same-window by construction. Recall@3 vs brute
+    # force reported (quality at 2M), time decade gated by the parent.
+    vec100_dir = os.environ.get("_DLS_SF100_VEC_DIR")
+    if vec100_dir:
+        try:
+            from pyspark.sql import functions as F
+
+            from dask_lightgbm_spark.operators import similarity as _sim
+            from dask_lightgbm_spark.queries.similarity import (
+                SERVE_BATCH_N as _SBN,
+            )
+            from dask_lightgbm_spark.queries.similarity import (
+                scale_ivf_build,
+                scale_ivf_serve,
+            )
+            from dask_lightgbm_spark.sources.readers import load_table
+
+            ann: dict[str, dict] = {}
+            for label, d in (("sf10", sf10_dir), ("sf100", vec100_dir)):
+                scale_ivf_build(spark, d)[0].unpersist()  # prime workers
+                t0 = time.time()
+                assigned, mod = scale_ivf_build(spark, d)
+                tb = round(time.time() - t0, 3)
+                t0 = time.time()
+                approx = scale_ivf_serve(spark, d, assigned, mod).toPandas()
+                ts_ = round(time.time() - t0, 3)
+                e = load_table(spark, d, "embeddings")
+                gt = _sim.brute_force_knn(
+                    e, e.filter(F.col("vec_id") < _SBN), k=3
+                ).toPandas()
+                assigned.unpersist()
+                hit = approx.merge(gt[["qid", "nid"]], on=["qid", "nid"])
+                ann[label] = {
+                    "build": tb,
+                    "serve": ts_,
+                    "rows": len(approx),
+                    "recall_at_3": round(len(hit) / max(len(gt), 1), 3),
+                }
+                print(
+                    f"# sf100-child ann {label}: build {tb:.2f}s serve "
+                    f"{ts_:.2f}s recall@3 {ann[label]['recall_at_3']}",
+                    file=sys.stderr,
+                )
+            res["ann"] = {
+                "sf10": ann["sf10"],
+                "sf100": ann["sf100"],
+                "decade": {
+                    m: round(ann["sf100"][m] / ann["sf10"][m], 2)
+                    for m in ("build", "serve")
+                    if ann["sf10"][m] > 0
+                },
+            }
+        except Exception as exc:  # noqa: BLE001
+            res["errors"]["ann"] = f"{type(exc).__name__}: {exc}"[:300]
     print("DLS_SF100_JSON:" + json.dumps(res))
 
 
@@ -939,6 +1035,8 @@ def time_duckdb(
     from dask_lightgbm_spark.sources.readers import TABLES
 
     con = duckdb.connect()
+    # progress bars must never reach the JSON stdout the driver parses
+    con.execute("SET enable_progress_bar=false")
     for t in tables or TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     if setup is not None:
@@ -1032,7 +1130,15 @@ def collect_gates(out: dict, regressions: list, errors: dict) -> dict:
     )
     if sf100_corp:
         sf100_corp["scaling_breaches"] = sf100_breaches
-    corp_breaches = corp_breaches + sf100_breaches
+    sf100_ann = out.get("sf100_ann", {})
+    sf100_ann_breaches = sorted(
+        f"sf100_ann_{m}"
+        for m, r in sf100_ann.get("decade_vs_sf10", {}).items()
+        if r > SF100_DECADE_LIMIT
+    )
+    if sf100_ann:
+        sf100_ann["scaling_breaches"] = sf100_ann_breaches
+    corp_breaches = corp_breaches + sf100_breaches + sf100_ann_breaches
     sf10_ann = out.get("sf10_ann", {})
     ann_breaches = sorted(
         f"ann_{m}"
@@ -1612,6 +1718,7 @@ def main():
             env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
             env["_DLS_SF100_SF10_DIR"] = sf10_dir
             env["_DLS_SF100_SF100_DIR"] = sf100_dir
+            env["_DLS_SF100_VEC_DIR"] = ensure_sf100_embeddings(sf_dir)
             proc = subprocess.run(
                 [sys.executable, "-c", "import bench; bench._sf100_ladder_child()"],
                 env=env,
@@ -1645,6 +1752,14 @@ def main():
                 "decade_limit": SF100_DECADE_LIMIT,
                 "errors": child["errors"],
             }
+            if child.get("ann"):
+                out["sf100_ann"] = {
+                    "sf": 100.0,
+                    "sf10": child["ann"]["sf10"],
+                    "sf100": child["ann"]["sf100"],
+                    "decade_vs_sf10": child["ann"]["decade"],
+                    "decade_limit": SF100_DECADE_LIMIT,
+                }
             for name, dec in child["decade"].items():
                 print(
                     f"# sf100 {name}: {child['sf100'][name]:.2f}s "

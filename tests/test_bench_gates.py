@@ -257,3 +257,23 @@ def test_t40_indexed_gate_parity_and_scaling():
     gates = collect_gates(out, [], {})
     assert "t40_indexed_stanza" in gates["sf10_errors"]
     assert gates["fail"] is True
+
+
+def test_sf100_ann_decade_gate():
+    """The sf100 ANN leg (r12) gates build/serve decades at the same
+    linear fence as the corpus ladder, labeled distinctly."""
+    from bench import SF100_DECADE_LIMIT
+
+    out = _green_record()
+    out["sf100_ann"] = {"decade_vs_sf10": {"build": 9.0, "serve": 2.0}}
+    gates = collect_gates(out, [], {})
+    assert gates["fail"] is False
+    assert out["sf100_ann"]["scaling_breaches"] == []
+
+    out = _green_record()
+    out["sf100_ann"] = {
+        "decade_vs_sf10": {"build": SF100_DECADE_LIMIT + 0.5, "serve": 2.0}
+    }
+    gates = collect_gates(out, [], {})
+    assert "sf100_ann_build" in gates["sf10_breaches"]
+    assert gates["fail"] is True
