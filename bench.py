@@ -979,12 +979,21 @@ def _sf100_ladder_child() -> None:
             ann: dict[str, dict] = {}
             for label, d in (("sf10", sf10_dir), ("sf100", vec100_dir)):
                 scale_ivf_build(spark, d)[0].unpersist()  # prime workers
-                t0 = time.time()
-                assigned, mod = scale_ivf_build(spark, d)
-                tb = round(time.time() - t0, 3)
-                t0 = time.time()
-                approx = scale_ivf_serve(spark, d, assigned, mod).toPandas()
-                ts_ = round(time.time() - t0, 3)
+                # min-of-2 like every other stanza: a single serve run
+                # read 24.9 s in one r12 window (worker churn) vs its
+                # usual 2.6 s, turning the decade into noise
+                tb = ts_ = None
+                for i in range(2):
+                    t0 = time.time()
+                    assigned, mod = scale_ivf_build(spark, d)
+                    b = round(time.time() - t0, 3)
+                    t0 = time.time()
+                    approx = scale_ivf_serve(spark, d, assigned, mod).toPandas()
+                    s_ = round(time.time() - t0, 3)
+                    tb = b if tb is None else min(tb, b)
+                    ts_ = s_ if ts_ is None else min(ts_, s_)
+                    if i == 0:
+                        assigned.unpersist()  # the last build feeds recall
                 e = load_table(spark, d, "embeddings")
                 gt = _sim.brute_force_knn(
                     e, e.filter(F.col("vec_id") < _SBN), k=3
