@@ -134,58 +134,7 @@ def query(name: str, oracle: str | None = None):
 # regenerates the block below mechanically (`--check` reports staleness).
 _GATE_FIRST: list[str] = [
     # --- never driver-verified (prepend new queries here) ---
-    # --- last verified r8 ---
-    "q53_salted_skew_agg",
-    "q54_recursive_date_spine",
-    "q55_join_strategy_hints",
-    "t26_resize_payloads",
-    "s11_knn_ivf_learned_nprobe",
-    "s12_range_search_ivf",
-    "q49_conditional_agg",
-    "q50_distribution_windows",
-    "q51_unpivot_measures",
-    "q52_python_udtf_lateral",
-    "ml01_classifier_embeddings",
-    "ml02_regressor_lineitem",
-    "q20_cube",
-    "q11_distinct_counts",
-    "q12_string_funcs",
-    "q13_date_agg",
-    "q14_events_hourly",
-    "q16_pivot",
-    "q17_customer_max_order",
-    "q18_shipping_priority",
-    "q19_case_bucket",
-    "q21_asof_join",
-    "q23_predicate_ratio",
-    "q22_positional_projection",
-    "q24_grouped_zscore_pandas",
-    "q25_mapinpandas_elementwise",
-    "q26_json_extract",
-    "q15_sessionize",
-    "q40_funnel",
-    "q48_range_interval_window",
-    "x05_stream_append_watermark",
-    "x06_stream_session_window",
-    "x07_stream_dedup_within_watermark",
-    "s14_knn_quantized",
-    "x08_stream_stream_interval_join",
-    "t27_unigram_lm_familiarity",
-    "q56_binned_range_join",
-    "t28_bpe_token_topk",
     # --- last verified r9 ---
-    "x09_stream_foreachbatch_sink",
-    "q57_forward_fill",
-    "x10_stream_stream_left_outer",
-    "q58_tpch_q5_local_supplier",
-    "q59_tpch_q4_priority_check",
-    "q60_pagerank_int",
-    "s15_ivf_persisted_index",
-    "q61_merge_cdc_deletes",
-    "q62_salted_skew_join",
-    "t29_weighted_sampling",
-    "q63_scd2_history",
-    "s16_mmr_diversified_topk",
     "q30_disjunctive_predicates",
     "q31_not_in_subquery",
     "q32_scalar_subquery",
@@ -275,6 +224,57 @@ _GATE_FIRST: list[str] = [
     "s23_ivf_incremental_insert",
     "ml04_hashed_bow_features",
     "x14_stream_ingest_dedup",
+    # --- last verified r11 ---
+    "t41_gopher_quality_rules",
+    "s24_knn_truncated_rerank",
+    "q76_orc_roundtrip",
+    "q77_csv_gzip_roundtrip",
+    "x15_stream_ivf_insert",
+    "x16_stream_upsert_state",
+    "ml05_holdout_eval",
+    "q78_small_files_compaction",
+    "q79_analytic_battery",
+    "t42_editdist_verify",
+    "s25_label_propagation",
+    "q80_gapfill_timeseries",
+    "t43_dataset_card",
+    "q81_k_anonymity_audit",
+    "s26_nprobe_recall_curve",
+    "t44_boilerplate_chunk_removal",
+    "q82_exact_bivariate_stats",
+    "s27_ivf_tombstone_delete",
+    "q83_table_diff",
+    "t45_filter_drift_report",
+    "q84_twap_irregular_events",
+    "t46_curriculum_stages",
+    "s28_ivf_compaction",
+    "t47_tokenizer_fertility",
+    "q85_join_key_skew_report",
+    "q86_moving_bands_exact",
+    "t48_duplication_profile",
+    "t49_stopword_induction",
+    "t50_langid_confusion",
+    "s29_knn_thresholded",
+    "q87_period_over_period",
+    "ml06_hash_collision_audit",
+    "t37_ngram_lm_counts",
+    "t38_inverted_index",
+    "t39_chunk_dedup",
+    "t34_semantic_dedup",
+    "t35_quality_classifier",
+    "q69_global_sorted_sink",
+    "s21_knn_filtered",
+    "t36_contamination_attribution",
+    "x12_stream_quality_scoring",
+    "t19_decontamination",
+    "t20_cleaning_pipeline",
+    "t21_boilerplate_ngrams",
+    "t22_mixture_allocation",
+    "t23_hash_sample_per_source",
+    "t24_multimodal_features",
+    "t25_frame_sampling",
+    "ml03_pipeline_api",
+    "s13_label_centroids",
 ]
 
 # module-name order for everything not in _GATE_FIRST (relational first —
