@@ -718,6 +718,14 @@ spark = (
     .appName("histgbm-3node-loss")
     .config("spark.executor.memory", "1g")
     .config("spark.driver.memory", "2g")
+    # under full-suite host load, replacement executors can crash-loop
+    # (slow launch -> barrier slot starvation -> repeated stage aborts);
+    # the standalone master's default cap (10 consecutive executor
+    # failures with none running) then REMOVES the app ("failed 83
+    # times; removing it" in the r12 judge run). The injection is a
+    # single deliberate SIGKILL — disable the cap so recovery, not the
+    # master's bookkeeping, decides the outcome.
+    .config("spark.deploy.maxExecutorRetries", "-1")
     .config("spark.sql.shuffle.partitions", "3")
     .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     .getOrCreate()
@@ -760,16 +768,20 @@ killed = {}
 def kill_one_executor():
     # fire only once the barrier stage is actually RUNNING (statusTracker
     # shows an active stage), then give it ~3 allGather rounds before the
-    # kill so the loss lands mid-collective, not pre-stage
+    # kill so the loss lands mid-collective, not pre-stage. The victim
+    # MUST come from the pre-kill executor set (`before`): under load the
+    # app retry may already be under way and executor_pids() can contain
+    # replacement JVMs — killing one of those storms the respawn loop
+    # (the r12 full-suite flake). Kill exactly one pre-kill-era pid, once.
     tracker = spark.sparkContext.statusTracker()
     deadline = time.time() + 120
     while not tracker.getActiveStageIds() and time.time() < deadline:
         time.sleep(0.2)
     time.sleep(4.0)
-    pids = executor_pids()
-    if pids:
-        os.kill(pids[0], signal.SIGKILL)
-        killed["pid"] = pids[0]
+    victims = [p for p in executor_pids() if p in before]
+    if victims:
+        os.kill(victims[0], signal.SIGKILL)
+        killed["pid"] = victims[0]
 
 
 t = threading.Thread(target=kill_one_executor, daemon=True)
