@@ -1652,7 +1652,17 @@ def main():
                 idx_dir = f"/tmp/dls_t40_idx_{label}"
                 marker = os.path.join(idx_dir, "_DONE")
                 fp_src = os.path.join(fdir, "documents.parquet")
-                fp = f"{_FIXTURE_VERSION},{os.path.getmtime(fp_src)},{os.path.getsize(fp_src)}"
+                # fingerprint includes the LSH build params (r12 advisor):
+                # changing K_SHINGLE/NUM_PERM/BAND_SIZE must invalidate the
+                # cached index, not surface later as an sf1 parity breach
+                from dask_lightgbm_spark.queries.text import (
+                    BAND_SIZE, K_SHINGLE, NUM_PERM,
+                )
+                fp = (
+                    f"{_FIXTURE_VERSION},{os.path.getmtime(fp_src)},"
+                    f"{os.path.getsize(fp_src)},"
+                    f"k{K_SHINGLE},p{NUM_PERM},b{BAND_SIZE}"
+                )
                 build_s, cached = None, False
                 if os.path.exists(marker):
                     rec = open(marker).read().split("|")

@@ -674,7 +674,36 @@ def minhash_lsh_match_against_index(
     signature cost; the corpus side is a stored-table scan, and with the
     index partitioned by ``band`` the band equi-join prunes to colliding
     partitions. Identical match set to ``minhash_lsh_match_against`` on
-    the same corpus (same layout, same join, same verify ladder)."""
+    the same corpus (same layout, same join, same verify ladder).
+
+    Fails LOUDLY on an index/param mismatch (r12 advisor, medium): with a
+    matching band layout but a different ``num_perm``, ``zip_with`` over
+    different-length sigarr columns yields NULL match counts, the
+    ``est_min_matches`` filter drops every candidate, and the call would
+    silently return ZERO matches — a silently-wrong dedup result in the
+    ingest path. A schema check plus one LIMIT-1 probe of the stored
+    index (negligible at ingest-batch frequency) turns that into an
+    error naming both values."""
+    got_bv = sorted(
+        c for c in corpus_bands.columns
+        if c.startswith("bv") and c[2:].isdigit()
+    )
+    want_bv = sorted(f"bv{j}" for j in range(band_size))
+    if got_bv != want_bv:
+        raise ValueError(
+            f"band index layout mismatch: stored index has band columns "
+            f"{got_bv} but band_size={band_size} expects {want_bv} — the "
+            f"index was built with different LSH params; rebuild it or "
+            f"pass the build-time band_size"
+        )
+    probe = corpus_bands.select(F.size("sigarr").alias("n")).first()
+    if probe is not None and probe["n"] != num_perm:
+        raise ValueError(
+            f"band index signature mismatch: stored index sigarr has "
+            f"{probe['n']} minhash values but num_perm={num_perm} — the "
+            f"index was built with a different num_perm; rebuild it or "
+            f"pass the build-time num_perm"
+        )
     if est_min_matches is None:
         est_min_matches = num_perm // 2
     arr_new = shingle_hash_array(new_df, id_col, text_col, k_shingle)

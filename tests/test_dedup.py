@@ -371,6 +371,54 @@ def test_match_against_persisted_index_roundtrip(spark, tmp_path):
     assert (1001, 7) in {(n, c) for n, c, _ in base}
 
 
+def test_match_against_index_param_mismatch_errors(spark, tmp_path):
+    """An index built with one (num_perm, band_size) queried with another
+    must raise, not silently return zero matches (r12 advisor, medium):
+    with matching band_size but different num_perm, zip_with over
+    different-length sigarr columns yields NULL match counts and the
+    est_min_matches filter would drop every candidate."""
+    import pytest
+
+    from dask_lightgbm_spark.operators.dedup import (
+        build_minhash_band_index,
+        minhash_lsh_match_against_index,
+    )
+
+    cdf = spark.createDataFrame(
+        [(i, f"corpus document {i} about rivers and bridges") for i in range(8)],
+        ["doc_id", "text"],
+    )
+    ndf = spark.createDataFrame(
+        [(100, "corpus document 3 about rivers and bridges")], ["doc_id", "text"]
+    )
+    bands, verify = build_minhash_band_index(
+        cdf, "doc_id", "text", num_perm=16, band_size=4
+    )
+    bands.write.parquet(str(tmp_path / "bands.parquet"))
+    verify.write.parquet(str(tmp_path / "verify.parquet"))
+    bands_r = spark.read.parquet(str(tmp_path / "bands.parquet"))
+    verify_r = spark.read.parquet(str(tmp_path / "verify.parquet"))
+
+    # the silent-zero-matches case: same band layout, different num_perm
+    with pytest.raises(ValueError, match="num_perm"):
+        minhash_lsh_match_against_index(
+            ndf, bands_r, verify_r, "doc_id", "text", num_perm=8, band_size=4
+        )
+    # layout mismatch: different band_size (bv columns disagree)
+    with pytest.raises(ValueError, match="band"):
+        minhash_lsh_match_against_index(
+            ndf, bands_r, verify_r, "doc_id", "text", num_perm=16, band_size=8
+        )
+    # matching params still work
+    ok = minhash_lsh_match_against_index(
+        ndf, bands_r, verify_r, "doc_id", "text", num_perm=16, band_size=4
+    )
+    got = {(r.new_id, r.corpus_id) for r in ok.collect()}
+    # the near-identical corpus docs legitimately match each other too;
+    # the pinned fact is: no error, and the exact duplicate is found
+    assert (100, 3) in got, got
+
+
 def test_band_index_incremental_append(spark, tmp_path):
     """The full continuous-ingest loop: build the index on corpus A, match
     batch B against it (misses B-only dups), APPEND B's rows to the stored

@@ -1,12 +1,14 @@
-"""Wheel-free covtype-SHAPE system threshold (r11 verdict task 2): the
-reference's primary end-to-end claim — accuracy > 0.8 / R^2 > 0.8 over a
-DISTRIBUTED fit + predict on a real-shaped dataset
-(``/root/reference/system_tests/test_fit_predict.py:39,59``) — run through
-the PUBLIC estimator surface with ``backend='histgbm'``, which needs no
-native wheel. Same shape as the reference's covtype run: wide INTEGER
-features (covtype is 55 int columns), >= 4k rows, learnable-but-noisy
-target, fit distributed over 4 barrier tasks on local[4], predictions via
-the distributed ``transform`` path.
+"""Wheel-free system threshold (r11 verdict task 2): the reference's
+primary end-to-end claim — accuracy > 0.8 / R^2 > 0.8 over a DISTRIBUTED
+fit + predict (``/root/reference/system_tests/test_fit_predict.py:39,59``,
+``test_classify_newsread``/``test_regress_newsread`` over its csv.gz news
+dataset) — run through the PUBLIC estimator surface with
+``backend='histgbm'``, which needs no native wheel. The thresholds (0.8 /
+0.8) and the distributed fit+predict shape are the reference's; the
+dataset here is a sandbox-local analogue (the news csv.gz isn't shipped):
+wide INTEGER features, >= 4k rows, learnable-but-noisy target, fit
+distributed over 4 barrier tasks on local[4], predictions via the
+distributed ``transform`` path.
 
 Tree-count compromise (documented per the r11 verdict): the reference uses
 n_estimators=50, but every histgbm boosting LEVEL costs one

@@ -77,12 +77,13 @@ def _leak_counts(spark) -> tuple[int, bool]:
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    passes = 1
-    if "--passes" in sys.argv:
-        passes = int(sys.argv[sys.argv.index("--passes") + 1])
-        args = [a for a in args if a != str(passes)]
-    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("--passes", type=int, default=1)
+    cli = ap.parse_args()
+    passes, sf_dir = cli.passes, cli.sf_dir
     # deliberately default config — the driver owns its session.
     # SPARK_GRAFT_SIM_MASTER overrides the master for the multi-process
     # variant of the simulation (e.g. local-cluster[2,2,1024] runs the full
