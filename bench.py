@@ -931,21 +931,22 @@ def _sf100_ladder_child() -> None:
     for name in SF10_CORPUS:
         try:
             qs[name](spark, sf10_dir).toPandas()  # prime (JVM+codegen)
-            t0 = time.time()
-            len(qs[name](spark, sf10_dir).toPandas())
-            t10 = round(time.time() - t0, 3)
-            t0 = time.time()
-            n = len(qs[name](spark, sf100_dir).toPandas())
-            t100 = round(time.time() - t0, 3)
-            if t100 / t10 > SF100_DECADE_LIMIT:
-                # adjacent re-pair, same as every other scaling gate:
-                # re-measure both legs once, min into each side
+            # unconditional min-of-2 adjacent pairs (r12 verdict #4,
+            # mirroring the ANN legs): t40's decade read 3.96x (r11) vs
+            # 8.65x (r12) on identical code — single-run child-JVM
+            # variance dominates, so one pair only re-measured on a
+            # breach still reports the noisy bracket when it passes
+            t10 = t100 = None
+            n = 0
+            for _ in range(2):
                 t0 = time.time()
                 len(qs[name](spark, sf10_dir).toPandas())
-                t10 = min(t10, round(time.time() - t0, 3))
+                a = round(time.time() - t0, 3)
                 t0 = time.time()
-                len(qs[name](spark, sf100_dir).toPandas())
-                t100 = min(t100, round(time.time() - t0, 3))
+                n = len(qs[name](spark, sf100_dir).toPandas())
+                b = round(time.time() - t0, 3)
+                t10 = a if t10 is None else min(t10, a)
+                t100 = b if t100 is None else min(t100, b)
             res["sf10"][name] = t10
             res["sf100"][name] = t100
             res["decade"][name] = round(t100 / t10, 2)
@@ -1129,6 +1130,8 @@ def collect_gates(out: dict, regressions: list, errors: dict) -> dict:
             idx_breaches.append("t40_indexed_match")
         if t40_idx.get("parity_vs_recompute_sf1") is False:
             idx_breaches.append("t40_indexed_parity")
+        if t40_idx.get("compaction", {}).get("parity") is False:
+            idx_breaches.append("t40_compaction_parity")
         t40_idx["scaling_breaches"] = idx_breaches
         corp_breaches = corp_breaches + idx_breaches
     sf100_corp = out.get("sf100_corpus", {})
@@ -1706,10 +1709,86 @@ def main():
                 if legs.get("sf1", {}).get("match")
                 else None
             )
+            # compaction datapoint (r12 verdict #5): a 16-batch-fragmented
+            # copy of the sf1 index vs the same index after
+            # compact_band_index — match latency and file counts for both,
+            # plus row-identical output. The fragmented master is built
+            # once per fixture fingerprint (16 appends); each run works on
+            # a throwaway copy because compaction rewrites in place.
+            import shutil
+
+            from dask_lightgbm_spark.operators.dedup import (
+                append_to_band_index,
+                compact_band_index,
+            )
+            from dask_lightgbm_spark.queries.text import (
+                BAND_SIZE as _BS, K_SHINGLE as _KS, NUM_PERM as _NP,
+            )
+            from dask_lightgbm_spark.sources.readers import load_table
+            from pyspark.sql import functions as F
+
+            sf1_dir = ensure_sf1(sf_dir)
+            frag_master = "/tmp/dls_t40_idx_frag_master"
+            fmarker = os.path.join(frag_master, "_DONE_FRAG")
+            fp_src = os.path.join(sf1_dir, "documents.parquet")
+            ffp = (
+                f"{_FIXTURE_VERSION},{os.path.getmtime(fp_src)},"
+                f"{os.path.getsize(fp_src)},k{_KS},p{_NP},b{_BS},frag16"
+            )
+            if not (
+                os.path.exists(fmarker) and open(fmarker).read() == ffp
+            ):
+                shutil.rmtree(frag_master, ignore_errors=True)
+                shutil.copytree("/tmp/dls_t40_idx_sf1", frag_master)
+                new_docs = load_table(spark, sf1_dir, "documents").filter(
+                    F.col("source") == "src0"
+                )
+                for i in range(16):
+                    append_to_band_index(
+                        new_docs.filter(F.col("doc_id") % 16 == i),
+                        frag_master, "doc_id", "text",
+                        k_shingle=_KS, num_perm=_NP, band_size=_BS,
+                    )
+                with open(fmarker, "w") as fh:
+                    fh.write(ffp)
+            work = "/tmp/dls_t40_idx_compact_work"
+            shutil.rmtree(work, ignore_errors=True)
+            shutil.copytree(frag_master, work)
+
+            def _match_work():
+                t0 = time.time()
+                pdf = t40_ingest_dedup_indexed(spark, sf1_dir, work).toPandas()
+                return round(time.time() - t0, 3), pdf
+
+            def _min_of_2():
+                t1, pdf = _match_work()
+                t2, pdf = _match_work()
+                return min(t1, t2), pdf
+
+            t_frag, pdf_frag = _min_of_2()
+            cstats = compact_band_index(spark, work, target_files=4)
+            t_comp, pdf_comp = _min_of_2()
+            comp_parity = bool(
+                pdf_frag.sort_values("doc_id").reset_index(drop=True)
+                .equals(pdf_comp.sort_values("doc_id").reset_index(drop=True))
+            )
+            print(
+                f"# t40_indexed compaction sf1: match {t_frag:.2f}s over "
+                f"{cstats['bands_files_before']} band files -> "
+                f"{t_comp:.2f}s over {cstats['bands_files_after']} "
+                f"(parity {comp_parity})",
+                file=sys.stderr,
+            )
             out["t40_indexed"] = {
                 "legs": legs,
                 "match_scaling_vs_sf1": scaling_i,
                 "parity_vs_recompute_sf1": parity_ok,
+                "compaction": {
+                    "match_fragmented": t_frag,
+                    "match_compacted": t_comp,
+                    "parity": comp_parity,
+                    **cstats,
+                },
             }
         except Exception as exc:  # noqa: BLE001
             out["t40_indexed"] = {"error": f"{type(exc).__name__}: {exc}"[:300]}

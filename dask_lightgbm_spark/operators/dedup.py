@@ -29,7 +29,7 @@ from __future__ import annotations
 import functools
 import operator
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dask_lightgbm_spark.functions.partitioning import ensure_parallelism
@@ -597,6 +597,66 @@ def append_to_band_index(
     verify.write.mode("append").parquet(f"{index_dir}/verify.parquet")
 
 
+def compact_band_index(
+    spark: SparkSession, index_dir: str, target_files: int = 4
+) -> dict[str, int]:
+    """Index MAINTENANCE step 2 (r12 verdict #5, completing the lifecycle
+    build → append → COMPACT, the same trio s27/s28 give the IVF index):
+    after N ingest batches, ``append_to_band_index`` has left the stored
+    index as N small file-sets — scan cost and task count grow with batch
+    COUNT instead of corpus size. This rewrites both tables to at most
+    ``target_files`` files each; pure physical-layout change, so match
+    results are bit-identical before/after (unit-pinned in
+    tests/test_dedup.py; bench.py records match latency before/after).
+
+    Safety: each table is rewritten to a ``.compact_tmp`` sibling first
+    and row-count-checked against the source (parquet metadata count — no
+    data scan) BEFORE the delete+rename swap, so a failed rewrite leaves
+    the live index untouched. The swap itself is two FS metadata ops; a
+    crash between them loses only the index (rebuildable from the corpus)
+    never corrupts match results with partial data, and at real scale the
+    same rewrite would sit behind a table format's atomic commit.
+    Returns per-table file counts before/after."""
+    if target_files < 1:
+        raise ValueError(f"target_files must be >= 1, got {target_files}")
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    stats: dict[str, int] = {}
+    for table in ("bands", "verify"):
+        live = f"{index_dir}/{table}.parquet"
+        # NOT dot/underscore-prefixed: Spark's file index treats those as
+        # hidden and the tmp rewrite must be a readable first-class table
+        # for the pre-swap row-count check
+        tmp = f"{index_dir}/{table}.parquet.compacting"
+        df = spark.read.parquet(live)
+        before = len(df.inputFiles())
+        # one round-robin shuffle sized to the target file count; at 100 TB
+        # target_files scales with table bytes (files of ~1 shuffle
+        # partition each), and the rewrite cost is one pass over live rows
+        df.repartition(target_files).write.mode("overwrite").parquet(tmp)
+        n_live = df.count()
+        n_tmp = spark.read.parquet(tmp).count()
+        if n_tmp != n_live:
+            raise RuntimeError(
+                f"compaction row-count mismatch on {live}: {n_live} live "
+                f"vs {n_tmp} rewritten — live index left untouched"
+            )
+        path = jvm.org.apache.hadoop.fs.Path(live)
+        fs = path.getFileSystem(hconf)
+        if not fs.delete(path, True):
+            raise RuntimeError(f"compaction could not remove {live}")
+        if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), path):
+            raise RuntimeError(
+                f"compaction rename {tmp} -> {live} failed; index must be "
+                f"rebuilt or restored from {tmp}"
+            )
+        stats[f"{table}_files_before"] = before
+        stats[f"{table}_files_after"] = len(
+            spark.read.parquet(live).inputFiles()
+        )
+    return stats
+
+
 def minhash_lsh_match_against(
     new_df: DataFrame,
     corpus_df: DataFrame,
@@ -652,6 +712,11 @@ def minhash_lsh_match_against(
         threshold=threshold,
         est_min_matches=est_min_matches,
         bucket_cap=bucket_cap,
+        # bands were built three lines up with THESE params — the stored-
+        # index mismatch the probe guards cannot happen, and the probe's
+        # LIMIT-1 job would recompute one partition's signatures per call
+        # on the recompute hot path (t05/t40 bench legs)
+        _validate_index=False,
     )
 
 
@@ -667,6 +732,7 @@ def minhash_lsh_match_against_index(
     threshold: float = 0.7,
     est_min_matches: int | None = None,
     bucket_cap: int | None = None,
+    _validate_index: bool = True,
 ) -> DataFrame:
     """Ingest-match against a PREBUILT corpus index (the two tables from
     ``build_minhash_band_index``, live or read back from parquet). Only
@@ -683,27 +749,30 @@ def minhash_lsh_match_against_index(
     silently return ZERO matches — a silently-wrong dedup result in the
     ingest path. A schema check plus one LIMIT-1 probe of the stored
     index (negligible at ingest-batch frequency) turns that into an
-    error naming both values."""
-    got_bv = sorted(
-        c for c in corpus_bands.columns
-        if c.startswith("bv") and c[2:].isdigit()
-    )
-    want_bv = sorted(f"bv{j}" for j in range(band_size))
-    if got_bv != want_bv:
-        raise ValueError(
-            f"band index layout mismatch: stored index has band columns "
-            f"{got_bv} but band_size={band_size} expects {want_bv} — the "
-            f"index was built with different LSH params; rebuild it or "
-            f"pass the build-time band_size"
+    error naming both values. ``_validate_index=False`` (internal) skips
+    the check when the caller just built the tables with these params —
+    the recompute wrapper's hot path pays no probe job."""
+    if _validate_index:
+        got_bv = sorted(
+            c for c in corpus_bands.columns
+            if c.startswith("bv") and c[2:].isdigit()
         )
-    probe = corpus_bands.select(F.size("sigarr").alias("n")).first()
-    if probe is not None and probe["n"] != num_perm:
-        raise ValueError(
-            f"band index signature mismatch: stored index sigarr has "
-            f"{probe['n']} minhash values but num_perm={num_perm} — the "
-            f"index was built with a different num_perm; rebuild it or "
-            f"pass the build-time num_perm"
-        )
+        want_bv = sorted(f"bv{j}" for j in range(band_size))
+        if got_bv != want_bv:
+            raise ValueError(
+                f"band index layout mismatch: stored index has band columns "
+                f"{got_bv} but band_size={band_size} expects {want_bv} — the "
+                f"index was built with different LSH params; rebuild it or "
+                f"pass the build-time band_size"
+            )
+        probe = corpus_bands.select(F.size("sigarr").alias("n")).first()
+        if probe is not None and probe["n"] != num_perm:
+            raise ValueError(
+                f"band index signature mismatch: stored index sigarr has "
+                f"{probe['n']} minhash values but num_perm={num_perm} — the "
+                f"index was built with a different num_perm; rebuild it or "
+                f"pass the build-time num_perm"
+            )
     if est_min_matches is None:
         est_min_matches = num_perm // 2
     arr_new = shingle_hash_array(new_df, id_col, text_col, k_shingle)

@@ -2273,25 +2273,68 @@ def t39_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.sort_array(F.collect_list("w.chunk_idx")).alias("keep_idxs"),
     )
-    # one doc-level join attaches verdicts to the tokenized docs (per_doc
-    # is doc-count-sized → broadcasts at fixture scale, hash-joins on
-    # doc_id at 100 TB); surviving text re-slices doc-locally. n_chunks
-    # is size(dgs) — zero shuffle. Docs with zero kept chunks (every
-    # chunk seen earlier) and empty docs both fall to md5('').
+    # one doc-level join attaches verdicts to the RAW documents scan and
+    # re-tokenizes AFTER the join (r13): joining the tokenized `docs`
+    # shipped ts (~hundreds of tokens) + dgs (one md5 string per chunk)
+    # through the doc_id exchange and then SORTED that payload for the
+    # merge join — measured 199 s for the full query at sf100 (5M docs,
+    # ~15 GB through the exchange) where the whole digest pipeline costs
+    # ~27 s. The raw text string is the strictly smallest carrier of the
+    # information the rebuild needs (ts re-derives row-locally; n_chunks
+    # is ceil(|ts|/8) — dgs was shipped only to take its size), and the
+    # shuffle_hash hint keeps the text side UNSORTED (streamed against
+    # the per-doc verdict hash map; both sides doc_id-partitioned, the
+    # right plan at 100 TB where neither side broadcasts). Docs with
+    # zero kept chunks (every chunk seen earlier) and empty docs both
+    # fall to md5('').
+    from dask_lightgbm_spark.functions.partitioning import ensure_parallelism
+
+    raw = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    ts = F.filter(
+        F.split(F.trim(F.col("text")), r"[ \t\n\f\r]+"), lambda x: x != ""
+    )
+    # global output order WITHOUT orderBy-on-the-expensive-plan: a bare
+    # .orderBy here made the RangePartitioner's boundary-sampling job
+    # re-execute the whole join + md5 rebuild a second time (sampling
+    # evaluates every child row). Decomposed: range-exchange the SLIM
+    # join output first (doc_id + raw text + verdict ints — the sampler
+    # recomputes only the join probe, no tokenize/md5), then do the
+    # rebuild once post-exchange, then sort the final small rows within
+    # partitions — range partitions are key-ordered, so the collected
+    # result is globally doc_id-sorted, same contract as orderBy.
     return (
-        docs.join(per_doc, "doc_id", "left")
+        raw.join(per_doc.hint("shuffle_hash"), "doc_id", "left")
+        .repartitionByRange("doc_id")
+        .select("doc_id", ts.alias("ts"), "n_kept", "keep_idxs")
         .select(
             "doc_id",
-            F.size("dgs").cast("long").alias("n_chunks"),
+            "ts",
+            F.expr(f"(size(ts) + {_T39_W - 1}) div {_T39_W}")
+            .cast("long")
+            .alias("n_chunks"),
+            "n_kept",
+            "keep_idxs",
+        )
+        .select(
+            "doc_id",
+            F.col("n_chunks").cast("long").alias("n_chunks"),
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-            F.when(
-                F.col("keep_idxs").isNotNull(),
-                _t39_rebuild(F.col("keep_idxs")),
+            # fully-kept docs (the overwhelming case — the fixture keeps
+            # ~94% of chunks, and a real corpus keeps most) shortcut the
+            # per-chunk transform+slice+join rebuild: keeping chunks
+            # 1..n re-sliced and re-joined by ' ' IS array_join(ts, ' ')
+            # — one md5 over the row's own tokens, no array copies
+            F.when(F.col("keep_idxs").isNull(), F.md5(F.lit("")))
+            .when(
+                F.col("n_kept") == F.col("n_chunks"),
+                F.md5(F.array_join(F.col("ts"), " ")),
             )
-            .otherwise(F.md5(F.lit("")))
+            .otherwise(_t39_rebuild(F.col("keep_idxs")))
             .alias("kept_digest"),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 

@@ -258,6 +258,28 @@ def test_t40_indexed_gate_parity_and_scaling():
     assert "t40_indexed_stanza" in gates["sf10_errors"]
     assert gates["fail"] is True
 
+    # compaction (r13) is a physical-layout change: results diverging
+    # across it breach like any parity failure; matching results pass
+    out = _green_record()
+    out["t40_indexed"] = {
+        "match_scaling_vs_sf1": 1.5,
+        "parity_vs_recompute_sf1": True,
+        "compaction": {"match_fragmented": 3.0, "match_compacted": 2.5,
+                       "parity": False},
+    }
+    gates = collect_gates(out, [], {})
+    assert "t40_compaction_parity" in gates["sf10_breaches"]
+    assert gates["fail"] is True
+    out = _green_record()
+    out["t40_indexed"] = {
+        "match_scaling_vs_sf1": 1.5,
+        "parity_vs_recompute_sf1": True,
+        "compaction": {"match_fragmented": 3.0, "match_compacted": 2.5,
+                       "parity": True},
+    }
+    gates = collect_gates(out, [], {})
+    assert gates["fail"] is False
+
 
 def test_sf100_ann_decade_gate():
     """The sf100 ANN leg (r12) gates build/serve decades at the same

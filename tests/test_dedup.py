@@ -466,3 +466,97 @@ def test_band_index_incremental_append(spark, tmp_path):
     assert (200, 100) in got, got       # cross-batch dup caught post-append
     assert (201, 3) in got, got         # original corpus still matched
     assert not any(n == 202 for n, _ in got), got  # novel doc stays clean
+
+
+def test_band_index_compaction_many_batches(spark, tmp_path):
+    """The growth story compaction exists for (r12 verdict #5): N ingest
+    appends leave the stored index as N file-sets; compact_band_index
+    rewrites both tables to a bounded file count, and the match results
+    are BIT-identical before/after — compaction is a physical-layout
+    change with zero semantic content (the s28 contract, applied to the
+    band index)."""
+    from dask_lightgbm_spark.operators.dedup import (
+        append_to_band_index,
+        build_minhash_band_index,
+        compact_band_index,
+        minhash_lsh_match_against_index,
+    )
+
+    adf = spark.createDataFrame(
+        [(i, f"seed corpus document {i} about rivers and bridges") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "idx")
+    bands, verify = build_minhash_band_index(adf, "doc_id", "text")
+    bands.write.parquet(f"{idx}/bands.parquet")
+    verify.write.parquet(f"{idx}/verify.parquet")
+
+    # six ingest batches, each with one doc a later probe will match
+    for b in range(6):
+        batch = spark.createDataFrame(
+            [
+                (100 + 2 * b, f"unique template number {b} planted by batch {b}"),
+                (101 + 2 * b, f"filler text for batch {b} about unrelated topics"),
+            ],
+            ["doc_id", "text"],
+        )
+        append_to_band_index(batch, idx, "doc_id", "text")
+
+    probe = spark.createDataFrame(
+        [
+            (900, "unique template number 4 planted by batch 4"),  # from an append
+            (901, "seed corpus document 7 about rivers and bridges"),  # from build
+            (902, "entirely novel content matching nothing at all"),
+        ],
+        ["doc_id", "text"],
+    )
+
+    def match():
+        return {
+            (r.new_id, r.corpus_id, round(r.jaccard, 12))
+            for r in minhash_lsh_match_against_index(
+                probe,
+                spark.read.parquet(f"{idx}/bands.parquet"),
+                spark.read.parquet(f"{idx}/verify.parquet"),
+                "doc_id",
+                "text",
+            ).collect()
+        }
+
+    before = match()
+    assert any(n == 900 and c == 108 for n, c, _ in before), before
+    assert any(n == 901 and c == 7 for n, c, _ in before), before
+    assert not any(n == 902 for n, c, _ in before), before
+
+    stats = compact_band_index(spark, idx, target_files=2)
+    # 1 build + 6 appends = at least 7 file-sets per table pre-compaction
+    assert stats["bands_files_before"] >= 7, stats
+    assert stats["verify_files_before"] >= 7, stats
+    assert stats["bands_files_after"] <= 2, stats
+    assert stats["verify_files_after"] <= 2, stats
+    assert match() == before  # bit-identical match set on the compacted index
+
+    # the lifecycle continues: post-compaction appends still land
+    append_to_band_index(
+        spark.createDataFrame(
+            [(300, "post compaction template for the final probe")],
+            ["doc_id", "text"],
+        ),
+        idx,
+        "doc_id",
+        "text",
+    )
+    late = spark.createDataFrame(
+        [(950, "post compaction template for the final probe")], ["doc_id", "text"]
+    )
+    got = {
+        (r.new_id, r.corpus_id)
+        for r in minhash_lsh_match_against_index(
+            late,
+            spark.read.parquet(f"{idx}/bands.parquet"),
+            spark.read.parquet(f"{idx}/verify.parquet"),
+            "doc_id",
+            "text",
+        ).collect()
+    }
+    assert (950, 300) in got, got

@@ -278,9 +278,13 @@ def test_s22_pairs_join_includes_shell_key(spark, sf_dir):
 def test_t39_dedup_is_join_free(spark, sf_dir):
     """r8 final: t39's dedup stage is JOIN-FREE — the min-struct winner
     aggregate re-aggregates by winning doc directly, so the only join in
-    the whole plan is the doc-level rebuild join (broadcast at fixture
-    scale), and nothing sorts but the output ORDER BY. A second join
-    appearing means the chunk-count-sized verify join crept back."""
+    the whole plan is the doc-level rebuild join, and nothing sorts the
+    corpus-sized side. r13: that join is pinned SHUFFLED-HASH at every
+    scale (the r12 shape broadcast per_doc at fixture scale and silently
+    became a SortMergeJoin at sf100, sorting the raw-text side — measured
+    as the dominant term of the 199 s sf100 leg). A second join appearing
+    means the chunk-count-sized verify join crept back; a SortMergeJoin
+    means the text side is being sorted again."""
     import re
 
     tree = final_plan_tree(executed_formatted_plan(
@@ -291,7 +295,7 @@ def test_t39_dedup_is_join_free(spark, sf_dir):
     joins = re.findall(
         r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", tree
     )
-    assert joins == ["BroadcastHashJoin"], joins
+    assert joins == ["ShuffledHashJoin"], joins
 
 
 def test_catalog_has_no_cartesian_or_unbroadcast_nested_loop():

@@ -107,6 +107,18 @@ def test_gate_order_staleness_contract():
     # oracle map is ordered the same way
     ok = [n for n in all_oracles() if n in set(_GATE_FIRST)]
     assert ok == [n for n in _GATE_FIRST if n in all_oracles()]
+    # freshness SLO (r12 verdict #8): with ~50 driver slots per round the
+    # rotation clears the oldest block every round, so no query's latest
+    # hash-matched verification may age past MAX_STALENESS rounds. A round
+    # that samples fewer queries fails here instead of silently aging the
+    # tail.
+    from tools.gen_gate import MAX_STALENESS
+
+    overdue = sorted(q for q in latest if latest[q] < newest - MAX_STALENESS)
+    assert not overdue, (
+        f"freshness SLO breach: {len(overdue)} queries last driver-verified "
+        f"before r{newest - MAX_STALENESS}: {overdue[:10]}"
+    )
 
 
 def test_pagerank_int_hand_computed(spark):

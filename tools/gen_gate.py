@@ -25,6 +25,14 @@ sys.path.insert(0, REPO)
 
 MODULE = os.path.join(REPO, "dask_lightgbm_spark", "queries", "__init__.py")
 
+# Freshness SLO (r12 verdict #8): with 188 catalog queries and ~50 driver
+# sample slots per round, the rotation clears the oldest block each round
+# and worst-case staleness is bounded — no query's latest hash-matched
+# driver verification may be older than newest_round - MAX_STALENESS. If a
+# future round samples fewer queries, --check (and the contract test, which
+# asserts the same bound) fails LOUDLY instead of silently aging the tail.
+MAX_STALENESS = 3
+
 
 def verification_state() -> tuple[dict[str, int], list[str], int]:
     """latest verified round per query (hash-matched runs only), the stale
@@ -56,13 +64,22 @@ def main() -> int:
         [q for q in _GATE_FIRST if q not in latest] == never
         and [q for q in _GATE_FIRST if q in latest] == stale
     )
+    oldest = min(latest.values())
+    overdue = sorted(q for q in latest if latest[q] < newest - MAX_STALENESS)
     if "--check" in sys.argv:
         print(
             f"newest round r{newest}: {len(never)} never-verified, "
-            f"{len(stale)} stale; rotation "
+            f"{len(stale)} stale; oldest verification r{oldest} "
+            f"(SLO: >= r{newest - MAX_STALENESS}); rotation "
             + ("current" if current_ok else "OUT OF DATE — run tools/gen_gate.py")
         )
-        return 0 if current_ok else 1
+        if overdue:
+            print(
+                f"FRESHNESS SLO BREACH: {len(overdue)} queries last verified "
+                f"before r{newest - MAX_STALENESS}: {overdue[:10]}"
+                + (" ..." if len(overdue) > 10 else "")
+            )
+        return 0 if current_ok and not overdue else 1
     if current_ok:
         print(f"rotation already current for r{newest} ({len(want)} entries)")
         return 0
