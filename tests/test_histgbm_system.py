@@ -12,9 +12,11 @@ distributed ``transform`` path.
 
 Tree-count compromise (documented per the r11 verdict): the reference uses
 n_estimators=50, but every histgbm boosting LEVEL costs one
-``BarrierTaskContext.allGather`` with a measured ~1.3 s floor in local
-mode (Spark's barrier coordinator polls at 1 s), so 50 trees x 4 levels
-~= 260 s per fit. n_estimators=10 x max_depth=3 x learning_rate=0.4
+``BarrierTaskContext.allGather`` with a measured 1.00 s floor (r13,
+tools/profile_allgather.py: the reply wait in Spark 4.1.2's
+``BarrierTaskContext#runBarrier`` is a HARDCODED ``Thread.sleep(1000L)``
+poll — payload- and conf-independent), so 50 trees x 4 levels ~= 200+ s
+per fit in this sandbox. n_estimators=10 x max_depth=3 x learning_rate=0.4
 (30 collectives, ~40 s) scores 0.93 accuracy / 0.985 R^2 on this data —
 far above the 0.8 thresholds — and histgbm's distributed-vs-local
 bit-equality (tests/test_histgbm_differential.py) makes the extra trees

@@ -23,12 +23,36 @@ client-side poll), so any floor lives in the JVM barrier machinery
 (BarrierTaskContextImpl.runBarrier's 1 s await loop / coordinator RPC) or
 in per-call socket setup+auth.
 
-Usage: python tools/profile_allgather.py
+Usage: python tools/profile_allgather.py [spark.conf=value ...]
 
-Measured r13 (local[*], 32-core host, quiet window) — see SCALE.md and
-tests/test_histgbm_system.py for how the number is consumed:
+Measured r13 (local[8], 32-core host, quiet window):
 
-    see the r13 run output committed in docs/NOTES_r13.md
+    probe                         median     p10      max
+    4 tasks, 16 B,   20 rounds    1.0028 s   1.0021   1.0047
+    4 tasks, 1 MiB,  10 rounds    1.0117 s   1.0098   1.0276
+    2 tasks, 16 B,   20 rounds    1.0029 s   1.0024   1.0065
+    8 tasks, 16 B,   20 rounds    1.0047 s   1.0035   1.0094
+
+Dead-flat 1.00 s regardless of payload bytes or task count — a hard
+1-second quantization, not coordination or transfer cost. ROOT CAUSE
+(stronger than any conf sweep): disassembling Spark 4.1.2's
+``org.apache.spark.BarrierTaskContext#runBarrier`` shows the reply wait
+is a literal poll loop —
+
+    while (!abortableRpcFuture.future.isCompleted) Thread.sleep(1000L);
+
+(bytecode offsets 178-192: ``Future.isCompleted`` / ``ldc2_w 1000l`` /
+``Thread.sleep``). The sleep constant is HARDCODED — no spark.barrier.*
+or RPC conf is read inside the loop, so no configuration can lower the
+floor; the coordinator's RPC reply lands in single-digit ms and the
+client then sleeps out the remainder of its current second. Consequence
+for histgbm: one allGather per boosting LEVEL -> the reference-parity
+config (n_estimators=50, 50x4 = 200 collectives) costs >= ~200 s of
+pure sleep in local/this-sandbox mode, independent of data size or any
+tuning — the documented reason tests/test_histgbm_system.py runs 10
+trees (30 collectives, ~40 s) against the reference's quality bars. On
+a real cluster the same payloads are network-bound (~ms), and rounds
+scale with trees x depth, not data.
 """
 
 import json
