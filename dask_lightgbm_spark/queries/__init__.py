@@ -134,58 +134,7 @@ def query(name: str, oracle: str | None = None):
 # regenerates the block below mechanically (`--check` reports staleness).
 _GATE_FIRST: list[str] = [
     # --- never driver-verified (prepend new queries here) ---
-    # --- last verified r9 ---
-    "q30_disjunctive_predicates",
-    "q31_not_in_subquery",
-    "q32_scalar_subquery",
-    "q33_percentiles",
-    "q34_array_regexp_funcs",
-    "q36_merge_upsert",
-    "q37_union_except",
-    "q38_posexplode",
-    "q39_moving_window_frame",
-    "q41_map_funcs",
-    "q42_having",
-    "q43_date_arithmetic",
-    "q44_intersect_all",
-    "q45_window_functions",
-    "q46_string_agg",
-    "q47_correlated_scalar_subquery",
-    "q01_pricing_summary",
-    "q02_filter_project",
-    "q03_global_agg",
-    "q04_join_nation_revenue",
-    "q05_top_orders",
-    "q06_window_topk_per_customer",
-    "q07_setop_intersect",
-    "q08_anti_join",
-    "q09_semi_join",
-    "q10_rollup",
-    "q35_approx_stats",
-    "t30_sequence_packing",
-    "t31_cluster_representatives",
-    "q64_tpch_q9_profit",
-    "s17_knn_pq",
-    "s18_knn_ivf_pq",
-    "s19_ann_recall",
-    "q65_partitioned_sink_roundtrip",
-    "q66_tpch_q13_custdist",
-    "t32_pii_redaction",
-    "x11_stream_ann_serving",
-    "q67_null_semantics",
     # --- last verified r10 ---
-    "t33_lsh_quality_report",
-    "q68_tpch_q22_global_opportunity",
-    "s20_knn_ivf_pq_multiprobe",
-    "q27_grouping_sets",
-    "q28_session_window",
-    "q29_promo_revenue",
-    "t01_dedup_exact_stats",
-    "t02_dedup_exact_groups",
-    "t03_ngram_jaccard_pairs",
-    "t04_minhash_signatures",
-    "t05_minhash_lsh_neardup",
-    "t06_simhash",
     "t07_simhash_neardup",
     "t08_lang_id",
     "t09_text_quality",
@@ -275,6 +224,57 @@ _GATE_FIRST: list[str] = [
     "t25_frame_sampling",
     "ml03_pipeline_api",
     "s13_label_centroids",
+    # --- last verified r12 ---
+    "q53_salted_skew_agg",
+    "q54_recursive_date_spine",
+    "q55_join_strategy_hints",
+    "t26_resize_payloads",
+    "s11_knn_ivf_learned_nprobe",
+    "s12_range_search_ivf",
+    "q49_conditional_agg",
+    "q50_distribution_windows",
+    "q51_unpivot_measures",
+    "q52_python_udtf_lateral",
+    "ml01_classifier_embeddings",
+    "ml02_regressor_lineitem",
+    "q20_cube",
+    "q11_distinct_counts",
+    "q12_string_funcs",
+    "q13_date_agg",
+    "q14_events_hourly",
+    "q16_pivot",
+    "q17_customer_max_order",
+    "q18_shipping_priority",
+    "q19_case_bucket",
+    "q21_asof_join",
+    "q23_predicate_ratio",
+    "q22_positional_projection",
+    "q24_grouped_zscore_pandas",
+    "q25_mapinpandas_elementwise",
+    "q26_json_extract",
+    "q15_sessionize",
+    "q40_funnel",
+    "q48_range_interval_window",
+    "x05_stream_append_watermark",
+    "x06_stream_session_window",
+    "x07_stream_dedup_within_watermark",
+    "s14_knn_quantized",
+    "x08_stream_stream_interval_join",
+    "t27_unigram_lm_familiarity",
+    "q56_binned_range_join",
+    "t28_bpe_token_topk",
+    "x09_stream_foreachbatch_sink",
+    "q57_forward_fill",
+    "x10_stream_stream_left_outer",
+    "q58_tpch_q5_local_supplier",
+    "q59_tpch_q4_priority_check",
+    "q60_pagerank_int",
+    "s15_ivf_persisted_index",
+    "q61_merge_cdc_deletes",
+    "q62_salted_skew_join",
+    "t29_weighted_sampling",
+    "q63_scd2_history",
+    "s16_mmr_diversified_topk",
 ]
 
 # module-name order for everything not in _GATE_FIRST (relational first —
