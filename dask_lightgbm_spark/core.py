@@ -158,6 +158,54 @@ def _make_csr_builder():
 _csr_from_unwrapped = _make_csr_builder()
 
 
+def _make_csr_frame_builder():
+    """Factory (by-value pickling, same rationale as _make_csr_builder) for
+    the COLUMNAR assembler: takes the struct column exactly as a scalar
+    pandas UDF receives it — a pd.DataFrame with one column per field
+    (type, size, indices, values) whose list fields arrive as numpy arrays
+    per element via Arrow. Unlike the dict-row builder there is no
+    ``to_dict("records")`` step, so nothing materializes a Python dict per
+    row (r13 verdict #5): the sparse path touches each element once for
+    its length (header read) and hands the child arrays straight to one
+    ``np.concatenate`` each."""
+
+    def _csr_from_struct_frame(fv, n_features: int):
+        types = fv["type"].to_numpy()
+        idx_col = fv["indices"].to_numpy()
+        val_col = fv["values"].to_numpy()
+        n = len(types)
+        if (types == 1).any():
+            # mixed/dense vectors: build the dense matrix directly
+            out = np.zeros((n, n_features), dtype=np.float64)
+            for i in range(n):
+                if types[i] == 1:
+                    out[i, :] = np.asarray(val_col[i], dtype=np.float64)
+                else:
+                    out[i, np.asarray(idx_col[i], dtype=np.int64)] = np.asarray(
+                        val_col[i], dtype=np.float64
+                    )
+            return out
+        lens = np.fromiter((len(a) for a in idx_col), dtype=np.int64, count=n)
+        indices = np.concatenate(list(idx_col)).astype(np.int32, copy=False)
+        values = np.concatenate(list(val_col)).astype(np.float64, copy=False)
+        indptr = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=indptr[1:])
+        try:
+            import scipy.sparse as ss
+
+            return ss.csr_matrix((values, indices, indptr), shape=(n, n_features))
+        except ImportError:
+            out = np.zeros((n, n_features), dtype=np.float64)
+            for i in range(n):
+                out[i, indices[indptr[i]:indptr[i + 1]]] = values[indptr[i]:indptr[i + 1]]
+            return out
+
+    return _csr_from_struct_frame
+
+
+_csr_from_struct_frame = _make_csr_frame_builder()
+
+
 _UNWRAPPED_FIELDS = frozenset({"type", "size", "indices", "values"})
 
 
@@ -660,17 +708,18 @@ def predict_udf_for_vector(
     bc = spark.sparkContext.broadcast(model) if spark is not None else None
     if bc is not None:
         model = None
-    builder = _csr_from_unwrapped
+    builder = _csr_from_struct_frame
 
     @F.pandas_udf(ret_type)
     def _predict(fv: pd.DataFrame) -> pd.Series:
         # scalar pandas UDFs receive struct columns as a pd.DataFrame with
         # one column per field (unlike mapInPandas, which yields a Series
-        # of dicts)
+        # of dicts) — the columnar builder consumes the field columns
+        # directly, zero per-row Python dicts on the predict hot path
         m = bc.value if bc is not None else model
         if len(fv) == 0:  # empty-partition guard, reference core.py:147-148
             return pd.Series([], dtype=object if proba else np.float64)
-        X = builder(fv.to_dict("records"), n_features)
+        X = builder(fv, n_features)
         if proba:
             out = np.asarray(m.predict_proba(X, **predict_kwargs), dtype=dtype)
             return pd.Series(list(out.astype(np.float64)))

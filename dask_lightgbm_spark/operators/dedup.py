@@ -570,6 +570,133 @@ def build_minhash_band_index(
     return bands_cor, arr_cor
 
 
+_INDEX_LOCK = "_WRITER_LOCK"
+_INDEX_MANIFEST = "_MANIFEST.json"
+
+
+def _fs_for(spark: SparkSession, path_str: str):
+    """(Hadoop FileSystem, Path) pair for ``path_str`` — the index
+    helpers go through the Hadoop FS API so the same code works on
+    local paths in tests and on HDFS/object stores in production."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    return path.getFileSystem(spark._jsc.hadoopConfiguration()), path, jvm
+
+
+class _BandIndexLock:
+    """SINGLE-WRITER guard for the stored band index (r13 advisor,
+    medium): append and compact both mutate ``index_dir``, and a
+    concurrent append landing between compaction's tmp rewrite and its
+    swap would be silently discarded — index rows lost, missed
+    duplicates downstream, no error. The lock is an atomically-created
+    marker file (``FileSystem.createNewFile`` — atomic on local FS and
+    HDFS); both writers take it, so the race becomes a loud
+    ``RuntimeError`` instead of silent data loss.
+
+    A writer that CRASHED while holding the lock leaves the marker
+    behind; the error message names the file so an operator (or a
+    janitor with liveness knowledge this library cannot have) removes
+    it after confirming the writer is gone. At real scale the same
+    mutual exclusion rides a table format's transactional commit."""
+
+    def __init__(self, spark: SparkSession, index_dir: str, op: str):
+        self._fs, self._path, _ = _fs_for(spark, f"{index_dir}/{_INDEX_LOCK}")
+        self._op = op
+
+    def __enter__(self):
+        # parent must exist for createNewFile; first-ever append to a
+        # fresh dir is handled by the mkdirs (no-op when present)
+        self._fs.mkdirs(self._path.getParent())
+        if not self._fs.createNewFile(self._path):
+            raise RuntimeError(
+                f"band index at {self._path.getParent()} is locked by "
+                f"another writer ({self._path} exists) — refusing to "
+                f"{self._op}. If the previous writer crashed, remove the "
+                f"lock file after confirming it is gone."
+            )
+        return self
+
+    def __exit__(self, *exc):
+        self._fs.delete(self._path, False)
+        return False
+
+
+def _read_index_manifest(spark: SparkSession, index_dir: str) -> dict | None:
+    import json
+
+    fs, path, _ = _fs_for(spark, f"{index_dir}/{_INDEX_MANIFEST}")
+    if not fs.exists(path):
+        return None
+    stream = fs.open(path)
+    try:
+        data = bytearray()
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            data.append(b)
+        return json.loads(bytes(data).decode("utf-8"))
+    finally:
+        stream.close()
+
+
+def _write_index_manifest(
+    spark: SparkSession, index_dir: str, k_shingle: int, num_perm: int, band_size: int
+) -> None:
+    import json
+
+    fs, path, _ = _fs_for(spark, f"{index_dir}/{_INDEX_MANIFEST}")
+    out = fs.create(path, True)
+    try:
+        out.write(
+            json.dumps(
+                {"k_shingle": k_shingle, "num_perm": num_perm, "band_size": band_size}
+            ).encode("utf-8")
+        )
+    finally:
+        out.close()
+
+
+def _check_manifest_params(
+    manifest: dict, index_dir: str, k_shingle: int, num_perm: int, band_size: int
+) -> None:
+    got = (manifest.get("k_shingle"), manifest.get("num_perm"), manifest.get("band_size"))
+    want = (k_shingle, num_perm, band_size)
+    if got != want:
+        raise ValueError(
+            f"band index at {index_dir} was built with (k_shingle, num_perm, "
+            f"band_size)={got} but this call passed {want} — a mixed-param "
+            f"index silently produces wrong match sets; pass the build-time "
+            f"params or rebuild the index"
+        )
+
+
+def write_band_index(
+    corpus_df: DataFrame,
+    index_dir: str,
+    id_col: str,
+    text_col: str,
+    k_shingle: int = 5,
+    num_perm: int = 16,
+    band_size: int = 4,
+) -> None:
+    """Materialize the corpus dedup index at ``index_dir``: the two
+    parquet tables from ``build_minhash_band_index`` plus a
+    ``_MANIFEST.json`` recording the LSH params. The manifest is what
+    lets ``append_to_band_index`` refuse a mixed-``num_perm`` append at
+    WRITE time (r13 advisor: a single-row probe at match time cannot see
+    rows appended with different params), and lets ingest loops validate
+    once per index instead of once per batch."""
+    spark = corpus_df.sparkSession
+    with _BandIndexLock(spark, index_dir, "write"):
+        bands, verify = build_minhash_band_index(
+            corpus_df, id_col, text_col, k_shingle, num_perm, band_size
+        )
+        bands.write.mode("overwrite").parquet(f"{index_dir}/bands.parquet")
+        verify.write.mode("overwrite").parquet(f"{index_dir}/verify.parquet")
+        _write_index_manifest(spark, index_dir, k_shingle, num_perm, band_size)
+
+
 def append_to_band_index(
     admitted_df: DataFrame,
     index_dir: str,
@@ -586,15 +713,29 @@ def append_to_band_index(
     ``minhash_lsh_match_against_index`` also matches against it. Append
     cost is proportional to the ADMITTED batch alone — the corpus is
     never rewritten, which is what makes the index viable at 100 TB
-    (parquet append = new files; compact with q78's small-files pass when
-    the file count grows). Caller contract: admitted ids are globally
-    unique (the ingest pipeline's id authority), else matches will report
-    duplicate corpus_ids."""
-    bands, verify = build_minhash_band_index(
-        admitted_df, id_col, text_col, k_shingle, num_perm, band_size
-    )
-    bands.write.mode("append").parquet(f"{index_dir}/bands.parquet")
-    verify.write.mode("append").parquet(f"{index_dir}/verify.parquet")
+    (parquet append = new files; ``maybe_compact_band_index`` bounds the
+    file count as batches accumulate). Caller contract: admitted ids are
+    globally unique (the ingest pipeline's id authority), else matches
+    will report duplicate corpus_ids.
+
+    Holds the single-writer lock for the duration (see
+    ``_BandIndexLock``) and validates the LSH params against the index
+    manifest — appending with a different ``num_perm``/``band_size``
+    than the index was built with would poison every later match with
+    NULL signature comparisons. Indices written before the manifest
+    existed get one written on their first locked append."""
+    spark = admitted_df.sparkSession
+    with _BandIndexLock(spark, index_dir, "append"):
+        manifest = _read_index_manifest(spark, index_dir)
+        if manifest is not None:
+            _check_manifest_params(manifest, index_dir, k_shingle, num_perm, band_size)
+        else:
+            _write_index_manifest(spark, index_dir, k_shingle, num_perm, band_size)
+        bands, verify = build_minhash_band_index(
+            admitted_df, id_col, text_col, k_shingle, num_perm, band_size
+        )
+        bands.write.mode("append").parquet(f"{index_dir}/bands.parquet")
+        verify.write.mode("append").parquet(f"{index_dir}/verify.parquet")
 
 
 def compact_band_index(
@@ -609,52 +750,133 @@ def compact_band_index(
     results are bit-identical before/after (unit-pinned in
     tests/test_dedup.py; bench.py records match latency before/after).
 
-    Safety: each table is rewritten to a ``.compact_tmp`` sibling first
-    and row-count-checked against the source (parquet metadata count — no
-    data scan) BEFORE the delete+rename swap, so a failed rewrite leaves
-    the live index untouched. The swap itself is two FS metadata ops; a
-    crash between them loses only the index (rebuildable from the corpus)
-    never corrupts match results with partial data, and at real scale the
-    same rewrite would sit behind a table format's atomic commit.
-    Returns per-table file counts before/after."""
+    Safety (r13 advisor, medium + lows): the single-writer lock is held
+    for the whole rewrite — a concurrent ``append_to_band_index`` can no
+    longer land between the tmp rewrite's row-count check and the swap
+    and be silently discarded. Each table is rewritten to a
+    ``.compacting`` sibling first and row-count-checked against the
+    source (parquet metadata count — no data scan) BEFORE any live data
+    moves; on a mismatch the tmp dir is deleted and the live index is
+    untouched. The swap renames the live table ASIDE
+    (``.precompact``), renames tmp in, then deletes the aside copy — a
+    crash at any point leaves either the live table or the aside copy
+    intact and recoverable (never zero live copies, which the old
+    delete-then-rename order risked). At real scale the same rewrite
+    rides a table format's atomic commit. Returns per-table file counts
+    before/after."""
     if target_files < 1:
         raise ValueError(f"target_files must be >= 1, got {target_files}")
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
     stats: dict[str, int] = {}
-    for table in ("bands", "verify"):
-        live = f"{index_dir}/{table}.parquet"
-        # NOT dot/underscore-prefixed: Spark's file index treats those as
-        # hidden and the tmp rewrite must be a readable first-class table
-        # for the pre-swap row-count check
-        tmp = f"{index_dir}/{table}.parquet.compacting"
-        df = spark.read.parquet(live)
-        before = len(df.inputFiles())
-        # one round-robin shuffle sized to the target file count; at 100 TB
-        # target_files scales with table bytes (files of ~1 shuffle
-        # partition each), and the rewrite cost is one pass over live rows
-        df.repartition(target_files).write.mode("overwrite").parquet(tmp)
-        n_live = df.count()
-        n_tmp = spark.read.parquet(tmp).count()
-        if n_tmp != n_live:
-            raise RuntimeError(
-                f"compaction row-count mismatch on {live}: {n_live} live "
-                f"vs {n_tmp} rewritten — live index left untouched"
+    with _BandIndexLock(spark, index_dir, "compact"):
+        for table in ("bands", "verify"):
+            live = f"{index_dir}/{table}.parquet"
+            # NOT dot/underscore-prefixed: Spark's file index treats those
+            # as hidden and the tmp rewrite must be a readable first-class
+            # table for the pre-swap row-count check
+            tmp = f"{index_dir}/{table}.parquet.compacting"
+            aside = f"{index_dir}/{table}.parquet.precompact"
+            fs, live_p, jvm = _fs_for(spark, live)
+            tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+            aside_p = jvm.org.apache.hadoop.fs.Path(aside)
+            # a .precompact left by a CRASHED previous compaction whose
+            # live dir vanished is the recovery copy — restore it; if the
+            # live dir exists, the aside is a stale leftover — drop it
+            if fs.exists(aside_p):
+                if fs.exists(live_p):
+                    fs.delete(aside_p, True)
+                elif not fs.rename(aside_p, live_p):
+                    raise RuntimeError(
+                        f"could not restore {aside} -> {live} from a "
+                        f"previous crashed compaction"
+                    )
+            df = spark.read.parquet(live)
+            before = len(df.inputFiles())
+            # one round-robin shuffle sized to the target file count; at
+            # 100 TB target_files scales with table bytes (files of ~1
+            # shuffle partition each) — maybe_compact_band_index computes
+            # exactly that — and the rewrite is one pass over live rows
+            try:
+                df.repartition(target_files).write.mode("overwrite").parquet(tmp)
+                n_live = df.count()
+                n_tmp = spark.read.parquet(tmp).count()
+                if n_tmp != n_live:
+                    raise RuntimeError(
+                        f"compaction row-count mismatch on {live}: {n_live} "
+                        f"live vs {n_tmp} rewritten — live index left untouched"
+                    )
+            except Exception:
+                # best-effort tmp cleanup (r13 advisor): repeated failures
+                # must not accumulate stale .compacting dirs next to the
+                # live index where a glob would pick them up
+                try:
+                    fs.delete(tmp_p, True)
+                except Exception:  # noqa: BLE001 — cleanup must not mask the error
+                    pass
+                raise
+            if not fs.rename(live_p, aside_p):
+                fs.delete(tmp_p, True)
+                raise RuntimeError(
+                    f"compaction could not move {live} aside; live index "
+                    f"left untouched"
+                )
+            if not fs.rename(tmp_p, live_p):
+                # put the live table back so the index stays serveable
+                fs.rename(aside_p, live_p)
+                fs.delete(tmp_p, True)
+                raise RuntimeError(
+                    f"compaction rename {tmp} -> {live} failed; original "
+                    f"table restored"
+                )
+            fs.delete(aside_p, True)
+            stats[f"{table}_files_before"] = before
+            stats[f"{table}_files_after"] = len(
+                spark.read.parquet(live).inputFiles()
             )
-        path = jvm.org.apache.hadoop.fs.Path(live)
-        fs = path.getFileSystem(hconf)
-        if not fs.delete(path, True):
-            raise RuntimeError(f"compaction could not remove {live}")
-        if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), path):
-            raise RuntimeError(
-                f"compaction rename {tmp} -> {live} failed; index must be "
-                f"rebuilt or restored from {tmp}"
-            )
-        stats[f"{table}_files_before"] = before
-        stats[f"{table}_files_after"] = len(
-            spark.read.parquet(live).inputFiles()
-        )
     return stats
+
+
+def maybe_compact_band_index(
+    spark: SparkSession,
+    index_dir: str,
+    bytes_per_file: int = 128 * 1024 * 1024,
+    trigger_ratio: float = 4.0,
+    min_files: int = 16,
+) -> dict[str, int] | None:
+    """Size-based compaction TRIGGER (r13 verdict #7): the scheduling
+    policy SCALE.md designs — ``target_files ∝ table bytes /
+    bytes_per_file`` — so production ingest loops (x15/x16) call this
+    after each append instead of a human deciding when to compact.
+
+    Policy: for each table, the ideal file count is
+    ``ceil(bytes / bytes_per_file)`` (one ~shuffle-partition-sized file
+    each). Compaction runs only when the actual file count exceeds
+    ``max(min_files, trigger_ratio * ideal)`` for either table — i.e.
+    when scan task count is dominated by append fragmentation, not by
+    data volume. Returns ``compact_band_index`` stats when triggered,
+    else ``None`` (two FS listings, no Spark job). The listing and the
+    decision race benignly with a concurrent append: the next call
+    sees the new files."""
+    worst_ratio, target = 0.0, 1
+    for table in ("bands", "verify"):
+        fs, path, _ = _fs_for(spark, f"{index_dir}/{table}.parquet")
+        if not fs.exists(path):
+            return None
+        summary = fs.getContentSummary(path)
+        n_bytes = summary.getLength()
+        it = fs.listFiles(path, True)
+        n_files = 0
+        while it.hasNext():
+            f = it.next()
+            if not f.getPath().getName().startswith(("_", ".")):
+                n_files += 1
+        ideal = max(1, -(-n_bytes // bytes_per_file))  # ceil div
+        threshold = max(min_files, trigger_ratio * ideal)
+        if threshold:
+            worst_ratio = max(worst_ratio, n_files / threshold)
+        target = max(target, ideal)
+    if worst_ratio <= 1.0:
+        return None
+    return compact_band_index(spark, index_dir, target_files=int(target))
 
 
 def minhash_lsh_match_against(
@@ -765,11 +987,30 @@ def minhash_lsh_match_against_index(
                 f"index was built with different LSH params; rebuild it or "
                 f"pass the build-time band_size"
             )
-        probe = corpus_bands.select(F.size("sigarr").alias("n")).first()
-        if probe is not None and probe["n"] != num_perm:
+        # min AND max in one aggregate (r13 advisor): a single-row probe
+        # passes on an index whose batches were appended with MIXED
+        # num_perm values and still silently zeroes out matches for the
+        # mismatched rows — the exact failure the check exists for. One
+        # job either way; this one scans sigarr lengths, so per-batch
+        # ingest loops that already validated via the index manifest
+        # (write_band_index/append_to_band_index enforce it at write
+        # time) can pass _validate_index=False and skip it.
+        probe = corpus_bands.select(
+            F.min(F.size("sigarr")).alias("lo"),
+            F.max(F.size("sigarr")).alias("hi"),
+        ).first()
+        if probe is not None and probe["lo"] is not None and (
+            probe["lo"] != num_perm or probe["hi"] != num_perm
+        ):
+            got = (
+                str(probe["lo"])
+                if probe["lo"] == probe["hi"]
+                else f"{probe['lo']}..{probe['hi']} (MIXED — the index has "
+                f"batches appended with different params)"
+            )
             raise ValueError(
                 f"band index signature mismatch: stored index sigarr has "
-                f"{probe['n']} minhash values but num_perm={num_perm} — the "
+                f"{got} minhash values but num_perm={num_perm} — the "
                 f"index was built with a different num_perm; rebuild it or "
                 f"pass the build-time num_perm"
             )

@@ -2443,12 +2443,10 @@ def t40_build_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     the per-batch match."""
     d = load_table(spark, sf_dir, "documents")
     corpus = d.filter(F.col("source") != "src0")
-    bands, verify = dedup.build_minhash_band_index(
-        corpus, "doc_id", "text",
+    dedup.write_band_index(
+        corpus, index_dir, "doc_id", "text",
         k_shingle=K_SHINGLE, num_perm=NUM_PERM, band_size=BAND_SIZE,
     )
-    bands.write.mode("overwrite").parquet(f"{index_dir}/bands.parquet")
-    verify.write.mode("overwrite").parquet(f"{index_dir}/verify.parquet")
 
 
 def t40_ingest_dedup_indexed(
@@ -2462,10 +2460,19 @@ def t40_ingest_dedup_indexed(
     new = d.filter(F.col("source") == "src0")
     bands = spark.read.parquet(f"{index_dir}/bands.parquet")
     verify = spark.read.parquet(f"{index_dir}/verify.parquet")
+    # production validation pattern: check the params ONCE against the
+    # index manifest (a tiny FS read) and skip the per-match sigarr
+    # probe; indices that predate the manifest fall back to the probe
+    manifest = dedup._read_index_manifest(spark, index_dir)
+    validate = manifest is None
+    if manifest is not None:
+        dedup._check_manifest_params(
+            manifest, index_dir, K_SHINGLE, NUM_PERM, BAND_SIZE
+        )
     hits = dedup.minhash_lsh_match_against_index(
         new, bands, verify, "doc_id", "text",
         k_shingle=K_SHINGLE, num_perm=NUM_PERM, band_size=BAND_SIZE,
-        threshold=0.7,
+        threshold=0.7, _validate_index=validate,
     )
     return _t40_report(new, hits)
 

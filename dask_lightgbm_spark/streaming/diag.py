@@ -15,8 +15,35 @@ so one drain can never return another query's explain text."""
 from __future__ import annotations
 
 import threading
+from contextlib import contextmanager
 
 _LAST = threading.local()
+
+
+@contextmanager
+def state_partitions(spark, n: int | None):
+    """Scope ``spark.sql.shuffle.partitions`` around a streaming query's
+    definition + start. The HDFS state store commits one delta file
+    (+fsync) per shuffle partition per trigger, so for SMALL triggers the
+    commit count — not the data — is the wall clock
+    (tools/profile_hourly_agg.py: 32 -> 8 partitions halves the one-shot
+    drain at the 1M-row fixture). Production jobs size this to the
+    trigger volume; ``None`` means leave the session value alone.
+
+    The setting only matters at ``.start()`` (the state store fixes its
+    partition count from the conf then), so restoring it in ``finally``
+    cannot affect the running query. Results are partition-count
+    invariant — parity gates stay exact."""
+    if n is None:
+        yield
+        return
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def drain_and_capture(q) -> None:

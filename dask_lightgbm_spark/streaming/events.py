@@ -15,7 +15,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
-from dask_lightgbm_spark.streaming.diag import drain_and_capture
+from dask_lightgbm_spark.streaming.diag import drain_and_capture, state_partitions
 
 
 def read_events_stream(
@@ -49,29 +49,33 @@ def stream_hourly_aggregate(
     sf_dir: str,
     glob: str = "events.parquet",
     max_files_per_trigger: int | None = None,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Run the hourly event aggregation as a real streaming query (complete
     mode → memory sink), drain it, and return the final result table.
     ``glob``/``max_files_per_trigger`` pass through to the source so the
-    bench/tests can fold the windowed state across several micro-batches."""
-    src = read_events_stream(
-        spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
-    )
-    agg = src.groupBy(
-        F.date_trunc("hour", "ts").alias("hour"), "event_type"
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / F.lit(100.0)).alias(
-            "sum_value"
-        ),
-    )
-    name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    bench/tests can fold the windowed state across several micro-batches.
+    ``shuffle_partitions`` sizes the state store to the trigger volume
+    (see :func:`~dask_lightgbm_spark.streaming.diag.state_partitions`)."""
+    with state_partitions(spark, shuffle_partitions):
+        src = read_events_stream(
+            spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+        )
+        agg = src.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / F.lit(100.0)).alias(
+                "sum_value"
+            ),
+        )
+        name = f"stream_out_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
     drain_and_capture(q)
     return spark.table(name)
 
@@ -101,6 +105,7 @@ def stream_static_segment_totals(
     sf_dir: str,
     glob: str = "events.parquet",
     max_files_per_trigger: int | None = None,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Stream-static join: enrich the event stream with the static customer
     dimension (user_id = c_custkey), then aggregate per market segment.
@@ -119,30 +124,31 @@ def stream_static_segment_totals(
     pre-aggregate the dim to the segment columns actually joined."""
     from dask_lightgbm_spark.sources.readers import load_table
 
-    src = read_events_stream(
-        spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
-    )
-    dim = load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("user_id"), "c_mktsegment"
-    )
-    agg = (
-        src.join(F.broadcast(dim), "user_id")
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            (
-                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
-                / F.lit(100.0)
-            ).alias("sum_value"),
+    with state_partitions(spark, shuffle_partitions):
+        src = read_events_stream(
+            spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
         )
-    )
-    name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+        dim = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+        agg = (
+            src.join(F.broadcast(dim), "user_id")
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                (
+                    F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                    / F.lit(100.0)
+                ).alias("sum_value"),
+            )
+        )
+        name = f"stream_out_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
     drain_and_capture(q)
     return spark.table(name)
 

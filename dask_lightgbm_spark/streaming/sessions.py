@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from dask_lightgbm_spark.streaming.events import read_events_stream
-from dask_lightgbm_spark.streaming.diag import drain_and_capture
+from dask_lightgbm_spark.streaming.diag import drain_and_capture, state_partitions
 
 _OUT_SCHEMA = "user_id bigint, n_events bigint, sum_value double"
 _STATE_SCHEMA = "n bigint, sum_cents bigint"
@@ -32,13 +32,18 @@ def stream_user_totals(
     sf_dir: str,
     glob: str = "events.parquet",
     max_files_per_trigger: int | None = None,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Run the stateful per-user totals as a real streaming query and
     return the drained result (update mode: one row per user PER
     micro-batch that touched the user — the last row is the final total;
     on the catalog's single-file source that is also the only row).
     ``glob``/``max_files_per_trigger`` pass through to the source so tests
-    can drive the state fold across several real micro-batches.
+    can drive the state fold across several real micro-batches;
+    ``shuffle_partitions`` sizes the state store to the trigger volume
+    (see :func:`~dask_lightgbm_spark.streaming.diag.state_partitions` —
+    at small triggers the per-partition state-store commit, one delta
+    file + fsync each, dominates the wall clock).
 
     The update kernel is a NESTED function on purpose: cloudpickle ships
     nested functions by value, while a module-level function would be
@@ -61,18 +66,19 @@ def stream_user_totals(
             {"user_id": [key[0]], "n_events": [n], "sum_value": [sum_cents / 100.0]}
         )
 
-    src = read_events_stream(
-        spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
-    ).select("user_id", "value")
-    out = src.groupBy("user_id").applyInPandasWithState(
-        update,
-        outputStructType=_OUT_SCHEMA,
-        stateStructType=_STATE_SCHEMA,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
-    name = f"stream_state_{uuid.uuid4().hex[:8]}"
-    q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    with state_partitions(spark, shuffle_partitions):
+        src = read_events_stream(
+            spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+        ).select("user_id", "value")
+        out = src.groupBy("user_id").applyInPandasWithState(
+            update,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        name = f"stream_state_{uuid.uuid4().hex[:8]}"
+        q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
     drain_and_capture(q)
     return spark.table(name)
 

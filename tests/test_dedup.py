@@ -560,3 +560,184 @@ def test_band_index_compaction_many_batches(spark, tmp_path):
         ).collect()
     }
     assert (950, 300) in got, got
+
+
+def _tiny_index(spark, idx):
+    from dask_lightgbm_spark.operators.dedup import write_band_index
+
+    adf = spark.createDataFrame(
+        [(i, f"seed corpus document {i} about rivers and bridges") for i in range(8)],
+        ["doc_id", "text"],
+    )
+    write_band_index(adf, idx, "doc_id", "text")
+    return adf
+
+
+def test_band_index_single_writer_lock(spark, tmp_path):
+    """r13 advisor (medium): append and compact are mutually exclusive via
+    an atomically-created lock marker — a second writer fails LOUDLY
+    instead of silently losing rows to a concurrent compaction swap."""
+    import pytest
+
+    from dask_lightgbm_spark.operators.dedup import (
+        _INDEX_LOCK,
+        append_to_band_index,
+        compact_band_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    _tiny_index(spark, idx)
+    batch = spark.createDataFrame([(100, "some new admitted text")], ["doc_id", "text"])
+
+    # simulate a writer holding the lock (or a crashed one's leftover)
+    lock = tmp_path / "idx" / _INDEX_LOCK
+    lock.touch()
+    with pytest.raises(RuntimeError, match="locked by another writer"):
+        append_to_band_index(batch, idx, "doc_id", "text")
+    with pytest.raises(RuntimeError, match="locked by another writer"):
+        compact_band_index(spark, idx, target_files=1)
+    lock.unlink()
+
+    # lock released -> both proceed, and neither leaves the marker behind
+    append_to_band_index(batch, idx, "doc_id", "text")
+    assert not lock.exists()
+    compact_band_index(spark, idx, target_files=1)
+    assert not lock.exists()
+
+
+def test_band_index_manifest_refuses_mixed_params(spark, tmp_path):
+    """The manifest written at build time makes a mixed-num_perm index
+    unconstructible through the API: an append with different LSH params
+    raises at WRITE time (r13 advisor: the match-time probe used to be
+    the only guard, and a single-row probe cannot see mixed batches)."""
+    import pytest
+
+    from dask_lightgbm_spark.operators.dedup import append_to_band_index
+
+    idx = str(tmp_path / "idx")
+    _tiny_index(spark, idx)  # writes manifest with num_perm=16, band_size=4
+    batch = spark.createDataFrame([(100, "some new admitted text")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="mixed-param"):
+        append_to_band_index(batch, idx, "doc_id", "text", num_perm=8)
+    with pytest.raises(ValueError, match="mixed-param"):
+        append_to_band_index(batch, idx, "doc_id", "text", band_size=8)
+    # matching params append cleanly
+    append_to_band_index(batch, idx, "doc_id", "text")
+
+
+def test_band_index_legacy_gets_manifest_on_first_append(spark, tmp_path):
+    """Indices written before the manifest existed (bare parquet writes)
+    get one stamped by their first locked append, with the params that
+    append used — later mismatched appends then fail loudly."""
+    import pytest
+
+    from dask_lightgbm_spark.operators.dedup import (
+        _INDEX_MANIFEST,
+        append_to_band_index,
+        build_minhash_band_index,
+    )
+
+    adf = spark.createDataFrame(
+        [(i, f"legacy corpus doc {i} text body") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "idx")
+    bands, verify = build_minhash_band_index(adf, "doc_id", "text")
+    bands.write.parquet(f"{idx}/bands.parquet")
+    verify.write.parquet(f"{idx}/verify.parquet")
+    assert not (tmp_path / "idx" / _INDEX_MANIFEST).exists()
+
+    batch = spark.createDataFrame([(50, "an admitted doc")], ["doc_id", "text"])
+    append_to_band_index(batch, idx, "doc_id", "text")
+    assert (tmp_path / "idx" / _INDEX_MANIFEST).exists()
+    with pytest.raises(ValueError, match="mixed-param"):
+        append_to_band_index(batch, idx, "doc_id", "text", num_perm=8)
+
+
+def test_match_probe_detects_mixed_num_perm(spark):
+    """r13 advisor (low): the match-time validation aggregates min AND max
+    sigarr length in one job, so an index holding batches with MIXED
+    num_perm — single-row probes pass it — fails loudly, naming both."""
+    import pytest
+
+    from dask_lightgbm_spark.operators.dedup import (
+        build_minhash_band_index,
+        minhash_lsh_match_against_index,
+    )
+
+    adf = spark.createDataFrame(
+        [(i, f"corpus doc {i} about rivers") for i in range(4)], ["doc_id", "text"]
+    )
+    b16, v16 = build_minhash_band_index(adf, "doc_id", "text", num_perm=16, band_size=4)
+    b8, v8 = build_minhash_band_index(adf, "doc_id", "text", num_perm=8, band_size=4)
+    mixed_bands = b16.unionByName(b8)
+    mixed_verify = v16.unionByName(v8)
+    probe = spark.createDataFrame([(100, "corpus doc 1 about rivers")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="MIXED"):
+        minhash_lsh_match_against_index(
+            probe, mixed_bands, mixed_verify, "doc_id", "text", num_perm=16
+        )
+
+
+def test_compaction_crash_recovery_and_tmp_cleanup(spark, tmp_path):
+    """Crash-safety contract (r13 advisor): (a) a .precompact aside left by
+    a crash with NO live table is restored on the next compaction — the
+    old delete-then-rename order had a window with zero live copies; (b) a
+    failed rewrite deletes its .compacting tmp instead of accumulating
+    stale dirs a glob would pick up."""
+    import shutil
+
+    from dask_lightgbm_spark.operators.dedup import compact_band_index
+
+    idx = str(tmp_path / "idx")
+    _tiny_index(spark, idx)
+    rows_before = spark.read.parquet(f"{idx}/bands.parquet").count()
+
+    # simulate a crash mid-swap: live bands renamed aside, process died
+    shutil.move(f"{idx}/bands.parquet", f"{idx}/bands.parquet.precompact")
+    stats = compact_band_index(spark, idx, target_files=1)
+    assert stats["bands_files_after"] <= 1
+    assert spark.read.parquet(f"{idx}/bands.parquet").count() == rows_before
+    assert not (tmp_path / "idx" / "bands.parquet.precompact").exists()
+    # and a stale aside NEXT to a live table is dropped, not restored
+    shutil.copytree(
+        f"{idx}/verify.parquet", f"{idx}/verify.parquet.precompact"
+    )
+    compact_band_index(spark, idx, target_files=1)
+    assert not (tmp_path / "idx" / "verify.parquet.precompact").exists()
+
+
+def test_maybe_compact_band_index_trigger(spark, tmp_path):
+    """r13 verdict #7: the size-based scheduling hook. Under the threshold
+    it is a pure FS listing (returns None, index untouched); once append
+    fragmentation pushes the file count past trigger_ratio x the
+    byte-proportional ideal, it compacts to that ideal — no human in the
+    loop. Match results are unchanged either way (compaction is layout-
+    only, pinned above)."""
+    from dask_lightgbm_spark.operators.dedup import (
+        append_to_band_index,
+        maybe_compact_band_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    _tiny_index(spark, idx)
+    # tiny index, generous threshold -> no trigger
+    assert maybe_compact_band_index(spark, idx, min_files=1000) is None
+
+    for b in range(8):
+        append_to_band_index(
+            spark.createDataFrame(
+                [(100 + b, f"batch {b} admitted document text")],
+                ["doc_id", "text"],
+            ),
+            idx, "doc_id", "text",
+        )
+    n_files = len(spark.read.parquet(f"{idx}/bands.parquet").inputFiles())
+    assert n_files >= 9  # build + 8 appends fragmented the table
+    # trigger: byte-proportional ideal is 1 file (tiny table); 9+ files
+    # exceeds trigger_ratio*1 once min_files allows
+    stats = maybe_compact_band_index(spark, idx, trigger_ratio=4.0, min_files=4)
+    assert stats is not None
+    assert stats["bands_files_after"] <= 1, stats
+    # immediately after compaction: back under threshold
+    assert maybe_compact_band_index(spark, idx, trigger_ratio=4.0, min_files=4) is None

@@ -114,3 +114,36 @@ def test_sparse_structs_feed_the_csr_assembler(spark, sf_dir):
         .collect()
     ]
     assert np.array_equal(dense.sum(axis=1), np.array(tok_counts, dtype=np.float64))
+
+
+def test_columnar_frame_builder_matches_dict_builder():
+    """r13 verdict #5: predict_udf_for_vector now assembles CSR from the
+    struct's child arrays directly (no ``to_dict("records")``). The
+    columnar builder must be bit-identical to the dict-row builder on
+    every layout the Arrow hand-off produces: all-sparse, mixed
+    dense+sparse, and rows with empty index lists."""
+    import pandas as pd
+
+    from dask_lightgbm_spark.core import _csr_from_struct_frame, _csr_from_unwrapped
+
+    nf = 16
+    sparse_rows = [
+        {"type": 0, "size": nf, "indices": np.array([1, 5], dtype=np.int32),
+         "values": np.array([1.5, -2.0])},
+        {"type": 0, "size": nf, "indices": np.array([], dtype=np.int32),
+         "values": np.array([])},
+        {"type": 0, "size": nf, "indices": np.array([0, 7, 15], dtype=np.int32),
+         "values": np.array([3.0, 4.0, 5.0])},
+    ]
+    mixed_rows = sparse_rows + [
+        {"type": 1, "size": nf, "indices": None,
+         "values": np.arange(nf, dtype=np.float64)},
+    ]
+    for rows in (sparse_rows, mixed_rows):
+        frame = pd.DataFrame(rows)
+        a = _csr_from_unwrapped(rows, nf)
+        b = _csr_from_struct_frame(frame, nf)
+        da = a.toarray() if hasattr(a, "toarray") else a
+        db = b.toarray() if hasattr(b, "toarray") else b
+        assert da.shape == db.shape == (len(rows), nf)
+        assert np.array_equal(da, db)
