@@ -1589,18 +1589,25 @@ def main():
             sf1_dir = ensure_sf1(sf_dir)
             spc: dict[str, float] = {}
             sf1_pair: dict[str, float] = {}
+            pair_ratio: dict[str, float] = {}
             errc: dict[str, str] = {}
             for name in SF10_CORPUS:
                 try:
-                    # unconditional min-of-2 ADJACENT pairs, mirroring the
-                    # sf100 ladder child (11d780e): the r13 driver window's
-                    # 1-min load climbed 2.8 -> 26.2 during the run, and a
+                    # unconditional ADJACENT pairs, mirroring the sf100
+                    # ladder child (11d780e): the r13 driver window's 1-min
+                    # load climbed 2.8 -> 26.2 during the run, and a
                     # conditional one-pair re-measure under that same load
-                    # still reported the noisy bracket. Timing sf1 and sf10
-                    # back-to-back twice (min into each side) makes the
-                    # scaling ratio same-window by construction; a real
-                    # scaling regression survives all four measurements.
-                    t1 = t10 = None
+                    # still reported the noisy bracket. The GATE ratio is
+                    # the MIN over per-pair ratios, not min-time/min-time:
+                    # each pair is same-window by construction, so window
+                    # noise inflates both of its legs together, while
+                    # independent minima can pair a lucky sf1 with an
+                    # unlucky sf10 and manufacture a breach (observed:
+                    # x6.53 from asymmetric minima in a window whose every
+                    # individual pair measured x5.15-5.45). A real scaling
+                    # regression inflates EVERY pair's ratio and still
+                    # trips the gate.
+                    t1 = t10 = best_ratio = None
                     n = 0
                     for _ in range(2):
                         t0 = time.time()
@@ -1611,19 +1618,22 @@ def main():
                         b = round(time.time() - t0, 3)
                         t1 = a if t1 is None else min(t1, a)
                         t10 = b if t10 is None else min(t10, b)
+                        r = round(b / a, 2) if a else None
+                        if r is not None:
+                            best_ratio = r if best_ratio is None else min(best_ratio, r)
                     sf1_pair[name] = t1
                     spc[name] = t10
+                    if best_ratio is not None:
+                        pair_ratio[name] = best_ratio
                     print(
                         f"# sf10 {name}: sf1 {t1:.2f}s sf10 {t10:.2f}s "
-                        f"({n} rows, x{round(t10 / t1, 2)})",
+                        f"({n} rows, x{best_ratio})",
                         file=sys.stderr,
                     )
                 except Exception as exc:  # noqa: BLE001
                     errc[name] = f"{type(exc).__name__}: {exc}"[:300]
                     print(f"# sf10 {name}: ERROR {type(exc).__name__}", file=sys.stderr)
-            scaling_c = {
-                n: round(spc[n] / sf1_pair[n], 2) for n in spc if sf1_pair.get(n)
-            }
+            scaling_c = dict(pair_ratio)
             out["sf10_corpus"] = {
                 "sf": 10.0,
                 "queries": spc,
@@ -1688,13 +1698,16 @@ def main():
                         fh.write(f"{fp}|{build_s}")
                 legs[label] = {"index_build": build_s, "index_build_cached": cached}
                 leg_dirs[label] = (fdir, idx_dir)
-            # phase 2: unconditional min-of-2 ADJACENT match pairs
-            # (11d780e protocol, r13 verdict #2) — sf1 and sf10 timed
-            # back-to-back twice so the scaling gate's ratio is
-            # same-window even in a contended driver bench
+            # phase 2: unconditional ADJACENT match pairs (11d780e
+            # protocol, r13 verdict #2) — sf1 and sf10 timed back-to-back
+            # twice; the scaling gate takes the MIN per-pair ratio (same
+            # estimator and rationale as the sf10_corpus stanza: pairs
+            # are same-window by construction, independent minima are not)
             pdfs: dict[str, object] = {}
             times: dict[str, float] = {}
+            idx_best_ratio = None
             for _ in range(2):
+                pair_t: dict[str, float] = {}
                 for label in ("sf1", "sf10"):
                     fdir, idx_dir = leg_dirs[label]
                     t0 = time.time()
@@ -1703,6 +1716,12 @@ def main():
                     ).toPandas()
                     dt = round(time.time() - t0, 3)
                     times[label] = min(times.get(label, dt), dt)
+                    pair_t[label] = dt
+                if pair_t.get("sf1"):
+                    r = round(pair_t["sf10"] / pair_t["sf1"], 2)
+                    idx_best_ratio = (
+                        r if idx_best_ratio is None else min(idx_best_ratio, r)
+                    )
             for label in ("sf1", "sf10"):
                 legs[label]["match"] = times[label]
                 legs[label]["rows"] = len(pdfs[label])
@@ -1721,11 +1740,7 @@ def main():
                 .reset_index(drop=True)
                 .equals(pdf_rec.sort_values("doc_id").reset_index(drop=True))
             )
-            scaling_i = (
-                round(legs["sf10"]["match"] / legs["sf1"]["match"], 2)
-                if legs.get("sf1", {}).get("match")
-                else None
-            )
+            scaling_i = idx_best_ratio
             out["t40_indexed"] = {
                 "legs": legs,
                 "match_scaling_vs_sf1": scaling_i,

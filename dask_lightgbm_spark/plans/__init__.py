@@ -5,6 +5,8 @@ from dask_lightgbm_spark.plans.explain import (
     has_broadcast_join,
     pushed_filters,
     scan_columns,
+    unpartitioned_window_exprs,
+    WINDOW_ALLOWLIST,
 )
 
 __all__ = [
@@ -14,4 +16,6 @@ __all__ = [
     "pushed_filters",
     "scan_columns",
     "has_broadcast_join",
+    "unpartitioned_window_exprs",
+    "WINDOW_ALLOWLIST",
 ]

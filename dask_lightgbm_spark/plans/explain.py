@@ -57,6 +57,96 @@ def whole_stage_codegen_ids(df: DataFrame) -> int:
     return len(set(re.findall(r"codegen id : (\d+)", formatted_plan(df))))
 
 
+def unpartitioned_window_exprs(df: DataFrame) -> list[str]:
+    """Window expressions that would trigger WindowExec's ``No Partition
+    Defined`` warning (all rows to ONE partition) — read from the
+    OPTIMIZED LOGICAL plan, so no execution is needed.
+
+    Catalyst prints a logical Window node's non-empty specs in order:
+    ``Window [exprs], [partitionSpec], [orderSpec]`` when both are set,
+    ``Window [exprs], [spec]`` when exactly one is, and ``Window
+    [exprs]`` when neither. Order-spec entries always carry an
+    ``ASC``/``DESC`` direction marker and partition entries never do,
+    which disambiguates the two-group case (verified against Spark 4.1
+    output for all four shapes). Returns one (possibly truncated)
+    window-expression string per unpartitioned node."""
+    tree = df._jdf.queryExecution().optimizedPlan().treeString()
+    out: list[str] = []
+    for raw in tree.split("\n"):
+        line = raw.lstrip(" :+-")
+        if not line.startswith("Window ["):
+            continue
+        groups, depth, start = [], 0, None
+        for i, ch in enumerate(line):
+            if ch == "[":
+                if depth == 0:
+                    start = i
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append(line[start : i + 1])
+        if len(groups) >= 3:
+            continue  # both specs present -> partitioned
+        if len(groups) == 2 and not re.search(r" (ASC|DESC) ", groups[1]):
+            continue  # lone spec has no direction marker -> partitionSpec
+        out.append(groups[0][:200] if groups else line[:200])
+    return out
+
+
+# Adjudicated global (unpartitioned) windows in the catalog — r13 verdict
+# #4: every WindowExec "No Partition Defined" site must carry an explicit
+# bound on the rows that reach the single partition, checkable in
+# docs/PLANS.md and enforced by tests/test_plans.py. Two legitimate
+# shapes exist (the r8 audit): a rank over an ALREADY-AGGREGATED
+# intermediate whose cardinality is the group-key domain (bounded,
+# SF-invariant or near), and queries where the global order IS the
+# requested semantics over a bounded result. Anything else — a global
+# window over an SF-growing input — is a bug; grouped_topk/range-
+# partitioned rank is the scale path.
+# name -> bound argument for every global-window node the query plans.
+# The r13 bench log's 41 WindowExec warnings collapse to exactly these 6
+# structural sites (7 nodes; the rest are per-execution repeats across
+# bench legs) — enumerated by running unpartitioned_window_exprs over
+# the whole batch catalog (tools/dump_plans.py regenerates the table in
+# docs/PLANS.md; tests/test_plans.py fails on any site added without a
+# bound written here).
+WINDOW_ALLOWLIST: dict[str, str] = {
+    "q39_moving_window_frame": (
+        "7-day moving sum over daily revenue: window input is the "
+        "date-grain aggregate — one row per day, ≤ ~2.4k rows at any SF "
+        "(TPC-H date domain 1992-1998). The global order IS the query."
+    ),
+    "q69_global_sorted_sink": (
+        "running sum over per-FILE row counts of the sorted sink: one "
+        "row per output file; file count = the writer's partition count, "
+        "set by the sink config, SF-independent by policy."
+    ),
+    "q85_join_key_skew_report": (
+        "grouped_topk([], k=5, n_salt=64) phase-2 re-rank: input is the "
+        "phase-1 survivors, ≤ 64×5 = 320 rows by construction — the "
+        "SF-growing key-count table is ranked under the salted "
+        "partitioned window in phase 1."
+    ),
+    "t16_token_zipf": (
+        "grouped_topk([], k=25, n_salt=64) phase-2 re-rank: ≤ 64×25 = "
+        "1600 rows by construction; the full vocabulary is only ever "
+        "ranked within salt partitions."
+    ),
+    "t22_mixture_allocation": (
+        "largest-remainder seat allocation: both global nodes (base-sum "
+        "and remainder rank) run over one row per mixture SOURCE — the "
+        "source domain is the pipeline config, O(10), SF-invariant."
+    ),
+    "t30_sequence_packing": (
+        "two-level distributed prefix sum, level 2: the global running "
+        "sum folds one row per pack-BLOCK (partition-level totals), "
+        "bounded by the partition count, not the row count "
+        "(operators/prefix_sum.py is the designed scale path)."
+    ),
+}
+
+
 def executed_formatted_plan(df: DataFrame) -> str:
     """Formatted plan AFTER materializing the DataFrame — the plan that
     actually ran. Under AQE the pre-execution explain prints the

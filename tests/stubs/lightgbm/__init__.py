@@ -24,10 +24,28 @@ class _Base:
     def get_params(self, deep=True):
         return dict(self.params)
 
+    def _record_nf_at_fit(self):
+        # sequence probe (wheel-day contract): how many NetworkFree calls
+        # this process had seen when fit started ...
+        from lightgbm.basic import _LIB
+
+        self.nf_calls_at_fit_ = _LIB.network_free_calls
+
+    def __getstate__(self):
+        # ... and when the model was pickled for return to the driver —
+        # the engine contract (reference core.py:81) is exactly one
+        # NetworkFree between the two, from the finally around fit
+        from lightgbm.basic import _LIB
+
+        d = dict(self.__dict__)
+        d["nf_calls_at_pickle_"] = _LIB.network_free_calls
+        return d
+
 
 class LGBMClassifier(_Base):
     def fit(self, X, y, sample_weight=None, **kwargs):
         self.last_fit_kwargs_ = dict(kwargs)
+        self._record_nf_at_fit()
         if self.params.get("fail_marker"):
             # test hook: lets the suite assert worker-side fit errors
             # propagate to the driver (reference error path, core.py:108-110)
@@ -62,6 +80,7 @@ class LGBMClassifier(_Base):
 class LGBMRegressor(_Base):
     def fit(self, X, y, sample_weight=None, **kwargs):
         self.last_fit_kwargs_ = dict(kwargs)
+        self._record_nf_at_fit()
         X = _densify(X)
         if len(np.asarray(y)) == 0:
             raise ValueError("Found array with 0 sample(s) while a minimum of 1 is required")

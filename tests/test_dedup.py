@@ -724,7 +724,7 @@ def test_maybe_compact_band_index_trigger(spark, tmp_path):
     # tiny index, generous threshold -> no trigger
     assert maybe_compact_band_index(spark, idx, min_files=1000) is None
 
-    for b in range(8):
+    for b in range(16):
         append_to_band_index(
             spark.createDataFrame(
                 [(100 + b, f"batch {b} admitted document text")],
@@ -733,7 +733,7 @@ def test_maybe_compact_band_index_trigger(spark, tmp_path):
             idx, "doc_id", "text",
         )
     n_files = len(spark.read.parquet(f"{idx}/bands.parquet").inputFiles())
-    assert n_files >= 9  # build + 8 appends fragmented the table
+    assert n_files >= 17  # build + 16 appends fragmented the table
     # trigger: byte-proportional ideal is 1 file (tiny table); 9+ files
     # exceeds trigger_ratio*1 once min_files allows
     stats = maybe_compact_band_index(spark, idx, trigger_ratio=4.0, min_files=4)

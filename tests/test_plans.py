@@ -420,3 +420,34 @@ def test_aqe_coalesces_overpartitioned_shuffles(spark):
         r"\(\d+\) AQEShuffleRead\n(?:.+\n)*?Arguments: (\w+)", plan
     )
     assert "coalesced" in blocks, (blocks, plan[:1200])
+
+
+def test_global_windows_are_allowlisted_with_bounds(spark, sf_dir):
+    """r13 verdict #4: the bench log's WindowExec `No Partition Defined`
+    warnings collapse to a fixed set of structural sites, each with an
+    explicit bound on the rows reaching the single partition
+    (plans.explain.WINDOW_ALLOWLIST; table generated into docs/PLANS.md).
+    This fails when (a) a query grows a global window without a written
+    bound — the silent 100TB-killer this gate exists for — or (b) an
+    allowlist entry goes stale (site removed but bound kept). Detection
+    reads the OPTIMIZED LOGICAL plan, so the sweep never executes a job;
+    ml*/x* are excluded (estimator fits / drained streaming sinks have no
+    inspectable batch plan at build time)."""
+    from dask_lightgbm_spark.plans import WINDOW_ALLOWLIST, unpartitioned_window_exprs
+
+    qs = all_queries()
+    offenders = {}
+    for name in sorted(qs):
+        if name.startswith(("ml", "x")):
+            continue
+        gw = unpartitioned_window_exprs(qs[name](spark, sf_dir))
+        if gw:
+            offenders[name] = gw
+    unadjudicated = {n: w for n, w in offenders.items() if n not in WINDOW_ALLOWLIST}
+    assert not unadjudicated, (
+        f"global windows without a written bound: {unadjudicated} — either "
+        f"rewrite via grouped_topk/two-level folding or add the bound to "
+        f"plans.explain.WINDOW_ALLOWLIST"
+    )
+    stale = sorted(set(WINDOW_ALLOWLIST) - set(offenders))
+    assert not stale, f"WINDOW_ALLOWLIST entries with no matching plan site: {stale}"
