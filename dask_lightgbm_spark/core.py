@@ -93,6 +93,18 @@ def concat(seq):
             return ss.vstack(seq, format="csr")
     except ImportError:
         pass
+    try:
+        # pydata/sparse COO container (reference core.py:16-19,58-59):
+        # import-gated exactly like the reference's try/except sparse —
+        # the wheel is optional there too. Rare on Spark (Arrow never
+        # yields COO; a caller must hand-build these parts), but the
+        # reference's concat contract is matched when the lib is present.
+        import sparse as pydata_sparse
+
+        if isinstance(seq[0], pydata_sparse.COO):
+            return pydata_sparse.concatenate(seq, axis=0)
+    except ImportError:
+        pass
     raise TypeError(f"Data must be either numpy arrays or pandas dataframes. Got {type(seq[0])}")
 
 

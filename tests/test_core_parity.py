@@ -116,3 +116,35 @@ print("BCAST_OK")
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "BCAST_OK" in proc.stdout
+
+
+def test_concat_pydata_coo_branch(monkeypatch):
+    """A3's fourth branch (reference core.py:16-19,58-59): pydata/sparse
+    COO parts concatenate along axis 0 when the lib is importable. The
+    wheel is absent from this image, so the stub in tests/stubs/sparse
+    stands in — same names, same semantics; the real wheel runs this
+    test unchanged."""
+    import os
+    import sys
+
+    stubs = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         "tests", "stubs")
+    monkeypatch.syspath_prepend(stubs)
+    sys.modules.pop("sparse", None)
+    try:
+        import sparse
+
+        a = sparse.COO.from_numpy(np.array([[1.0, 0.0], [0.0, 2.0]]))
+        b = sparse.COO.from_numpy(np.array([[3.0, 0.0]]))
+        out = core.concat([a, b])
+        assert isinstance(out, sparse.COO)
+        assert out.shape == (3, 2)
+        assert np.array_equal(
+            out.todense(), np.array([[1.0, 0.0], [0.0, 2.0], [3.0, 0.0]])
+        )
+        # empty-part filtering applies to COO parts too
+        empty = sparse.COO.from_numpy(np.empty((0, 2)))
+        out2 = core.concat([empty, a])
+        assert out2.shape == (2, 2)
+    finally:
+        sys.modules.pop("sparse", None)
