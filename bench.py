@@ -945,14 +945,19 @@ def _sf100_ladder_child() -> None:
     for name in SF10_CORPUS:
         try:
             qs[name](spark, sf10_dir).toPandas()  # prime (JVM+codegen)
-            # unconditional min-of-2 adjacent pairs (r12 verdict #4,
-            # mirroring the ANN legs): t40's decade read 3.96x (r11) vs
-            # 8.65x (r12) on identical code — single-run child-JVM
-            # variance dominates, so one pair only re-measured on a
-            # breach still reports the noisy bracket when it passes
-            t10 = t100 = None
+            # unconditional adjacent pairs (r12 verdict #4), THREE of
+            # them, gated on the MIN per-pair ratio — the same estimator
+            # as the sf10 stanzas (r14): a pair is same-window by
+            # construction, while min-time/min-time can compose a lucky
+            # sf10 with an unlucky sf100. Three pairs because this child
+            # is also exposed to the PROCESS-level slow regime SCALE.md
+            # documents (identical t39 sf100 plans: 46-351 s across
+            # adjacent processes); a slow draw inflates whole pairs, and
+            # the extra pair buys one more chance at an honest one
+            # without a second child JVM.
+            t10 = t100 = best_ratio = None
             n = 0
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.time()
                 len(qs[name](spark, sf10_dir).toPandas())
                 a = round(time.time() - t0, 3)
@@ -961,9 +966,12 @@ def _sf100_ladder_child() -> None:
                 b = round(time.time() - t0, 3)
                 t10 = a if t10 is None else min(t10, a)
                 t100 = b if t100 is None else min(t100, b)
+                if a:
+                    r = round(b / a, 2)
+                    best_ratio = r if best_ratio is None else min(best_ratio, r)
             res["sf10"][name] = t10
             res["sf100"][name] = t100
-            res["decade"][name] = round(t100 / t10, 2)
+            res["decade"][name] = best_ratio
             print(
                 f"# sf100-child {name}: sf10 {t10:.2f}s sf100 {t100:.2f}s "
                 f"({n} rows)",
