@@ -1457,6 +1457,35 @@ def main():
                     len(qs[name](spark, sf1_dir).toPandas())
                     sp1[name] = min(sp1[name], round(time.time() - t0, 3))
                     print(f"# sf1 recheck {name}: {sp1[name]:.2f}s", file=sys.stderr)
+            # same-window PAIR on a still-breaching ratio (r14, the scaling
+            # gates' estimator applied to the live ratio): the duck1 leg was
+            # measured minutes before the spark leg, so a stolen window
+            # (host_steal_s) lands asymmetrically in the ratio — s11 read
+            # 2.22x in a 2062 s-steal run whose clean-window twin measured
+            # 0.92x on identical code. Re-time BOTH engines back-to-back
+            # once and keep the better (min) of the two same-window ratios;
+            # a real 2x-regression survives both measurements.
+            pair1: dict[str, dict] = {}
+            for name in sp1:
+                d0 = duck1.get(name) or 0
+                if d0 < GATE_DENOM_FLOOR or sp1[name] / duck1[name] <= 2.0:
+                    continue
+                dnew = time_duckdb(
+                    sf1_dir, [name], runs=1, tables=SF1_TABLES,
+                    setup=_serve_setup, sql_overrides=serve_sql,
+                ).get(name)
+                t0 = time.time()
+                len(qs[name](spark, sf1_dir).toPandas())
+                snew = round(time.time() - t0, 3)
+                if dnew:
+                    if snew / dnew < sp1[name] / duck1[name]:
+                        sp1[name], duck1[name] = snew, dnew
+                    pair1[name] = {"spark": snew, "duckdb": dnew}
+                    print(
+                        f"# sf1 pair {name}: spark {snew:.2f}s duck "
+                        f"{dnew:.2f}s (x{round(snew / dnew, 2)})",
+                        file=sys.stderr,
+                    )
             c1, st1, dt1, vs1 = live_totals(sp1, duck1)
             out["sf1_spot"] = {
                 "sf": 1.0,
@@ -1468,6 +1497,7 @@ def main():
                 "vs_duckdb_live_total": vs1,
                 "spark_index_build_sec": build_sec,
                 "serve_only": sorted(SF1_SERVE_FAMILY),
+                "repaired_pairs": pair1,
                 "errors": err1,
             }
 
@@ -1937,6 +1967,7 @@ def main():
                 "total": round(sum(child["sf100"].values()), 3),
                 "decade_vs_sf10": child["decade"],
                 "decade_limit": SF100_DECADE_LIMIT,
+                "steal_s_per_pair": child.get("steal_s_per_pair"),
                 "errors": child["errors"],
             }
             if child.get("ann"):
