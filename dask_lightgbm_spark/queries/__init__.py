@@ -134,58 +134,7 @@ def query(name: str, oracle: str | None = None):
 # regenerates the block below mechanically (`--check` reports staleness).
 _GATE_FIRST: list[str] = [
     # --- never driver-verified (prepend new queries here) ---
-    # --- last verified r10 ---
-    "t07_simhash_neardup",
-    "t08_lang_id",
-    "t09_text_quality",
-    "t10_token_stats",
-    "t11_fingerprint",
-    "t12_multimodal_meta",
-    "t13_tfidf_topterms",
-    "t14_dedup_components",
-    "t15_repetition_ratio",
-    "t16_token_zipf",
-    "t17_deterministic_split",
-    "t18_pii_scan",
-    "s01_knn_bruteforce",
-    "s02_knn_ivf",
-    "s03_embedding_neardup",
-    "s04_vector_stats",
-    "s05_knn_lsh",
-    "s06_neardup_in_cells",
-    "s07_knn_ivf_multiprobe",
-    "s08_knn_lsh_multiprobe",
-    "s09_kmeans_train",
-    "s10_ivf_learned_cells",
-    "x01_stream_events_hourly",
-    "x02_stream_stateful_user_totals",
-    "x03_stream_dedup_counts",
-    "x04_stream_static_join",
-    "q70_tpch_q7_volume_shipping",
-    "q71_tpch_q10_returned_items",
-    "q72_tpch_q8_market_share",
-    "s22_knn_graph",
-    "x13_stream_decontamination",
-    "q73_bucketed_join",
-    "q74_incremental_agg_merge",
-    "q75_constraint_audit",
-    "t40_incremental_ingest_dedup",
-    "s23_ivf_incremental_insert",
-    "ml04_hashed_bow_features",
-    "x14_stream_ingest_dedup",
     # --- last verified r11 ---
-    "t41_gopher_quality_rules",
-    "s24_knn_truncated_rerank",
-    "q76_orc_roundtrip",
-    "q77_csv_gzip_roundtrip",
-    "x15_stream_ivf_insert",
-    "x16_stream_upsert_state",
-    "ml05_holdout_eval",
-    "q78_small_files_compaction",
-    "q79_analytic_battery",
-    "t42_editdist_verify",
-    "s25_label_propagation",
-    "q80_gapfill_timeseries",
     "t43_dataset_card",
     "q81_k_anonymity_audit",
     "s26_nprobe_recall_curve",
@@ -275,6 +224,57 @@ _GATE_FIRST: list[str] = [
     "t29_weighted_sampling",
     "q63_scd2_history",
     "s16_mmr_diversified_topk",
+    # --- last verified r13 ---
+    "q30_disjunctive_predicates",
+    "q31_not_in_subquery",
+    "q32_scalar_subquery",
+    "q33_percentiles",
+    "q34_array_regexp_funcs",
+    "q36_merge_upsert",
+    "q37_union_except",
+    "q38_posexplode",
+    "q39_moving_window_frame",
+    "q41_map_funcs",
+    "q42_having",
+    "q43_date_arithmetic",
+    "q44_intersect_all",
+    "q45_window_functions",
+    "q46_string_agg",
+    "q47_correlated_scalar_subquery",
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q03_global_agg",
+    "q04_join_nation_revenue",
+    "q05_top_orders",
+    "q06_window_topk_per_customer",
+    "q07_setop_intersect",
+    "q08_anti_join",
+    "q09_semi_join",
+    "q10_rollup",
+    "q35_approx_stats",
+    "t30_sequence_packing",
+    "t31_cluster_representatives",
+    "q64_tpch_q9_profit",
+    "s17_knn_pq",
+    "s18_knn_ivf_pq",
+    "s19_ann_recall",
+    "q65_partitioned_sink_roundtrip",
+    "q66_tpch_q13_custdist",
+    "t32_pii_redaction",
+    "x11_stream_ann_serving",
+    "q67_null_semantics",
+    "t33_lsh_quality_report",
+    "q68_tpch_q22_global_opportunity",
+    "s20_knn_ivf_pq_multiprobe",
+    "q27_grouping_sets",
+    "q28_session_window",
+    "q29_promo_revenue",
+    "t01_dedup_exact_stats",
+    "t02_dedup_exact_groups",
+    "t03_ngram_jaccard_pairs",
+    "t04_minhash_signatures",
+    "t05_minhash_lsh_neardup",
+    "t06_simhash",
 ]
 
 # module-name order for everything not in _GATE_FIRST (relational first —
