@@ -1463,8 +1463,13 @@ def main():
             # (host_steal_s) lands asymmetrically in the ratio — s11 read
             # 2.22x in a 2062 s-steal run whose clean-window twin measured
             # 0.92x on identical code. Re-time BOTH engines back-to-back
-            # once and keep the better (min) of the two same-window ratios;
-            # a real 2x-regression survives both measurements.
+            # once; the REDRAW PAIR is the gate value (r14 advisor: taking
+            # min-of-two-ratios was one-sided — a true marginal 2.1x could
+            # pass on a lucky redraw in a zero-steal window). Back-to-back
+            # legs share the window, so steal inflates numerator and
+            # denominator together: a clean query reads clean, a real
+            # 2x-regression still reads ~2x. The original asymmetric pair
+            # stays in the artifact for audit.
             pair1: dict[str, dict] = {}
             for name in sp1:
                 d0 = duck1.get(name) or 0
@@ -1478,12 +1483,18 @@ def main():
                 len(qs[name](spark, sf1_dir).toPandas())
                 snew = round(time.time() - t0, 3)
                 if dnew:
-                    if snew / dnew < sp1[name] / duck1[name]:
-                        sp1[name], duck1[name] = snew, dnew
-                    pair1[name] = {"spark": snew, "duckdb": dnew}
+                    pair1[name] = {
+                        "spark": snew,
+                        "duckdb": dnew,
+                        "orig_spark": sp1[name],
+                        "orig_duckdb": duck1[name],
+                        "orig_ratio": round(sp1[name] / duck1[name], 2),
+                    }
+                    sp1[name], duck1[name] = snew, dnew
                     print(
                         f"# sf1 pair {name}: spark {snew:.2f}s duck "
-                        f"{dnew:.2f}s (x{round(snew / dnew, 2)})",
+                        f"{dnew:.2f}s (x{round(snew / dnew, 2)}, was "
+                        f"x{pair1[name]['orig_ratio']})",
                         file=sys.stderr,
                     )
             c1, st1, dt1, vs1 = live_totals(sp1, duck1)

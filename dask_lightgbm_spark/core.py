@@ -94,14 +94,17 @@ def concat(seq):
     except ImportError:
         pass
     try:
-        # pydata/sparse COO container (reference core.py:16-19,58-59):
+        # pydata/sparse containers (reference core.py:16-19,58-59):
         # import-gated exactly like the reference's try/except sparse —
         # the wheel is optional there too. Rare on Spark (Arrow never
-        # yields COO; a caller must hand-build these parts), but the
+        # yields these; a caller must hand-build such parts), but the
         # reference's concat contract is matched when the lib is present.
+        # SparseArray is the package's abstract base (COO, GCXS, DOK all
+        # subclass it) — the reference tests the base class, so GCXS/DOK
+        # parts it accepts must not raise TypeError here.
         import sparse as pydata_sparse
 
-        if isinstance(seq[0], pydata_sparse.COO):
+        if isinstance(seq[0], pydata_sparse.SparseArray):
             return pydata_sparse.concatenate(seq, axis=0)
     except ImportError:
         pass

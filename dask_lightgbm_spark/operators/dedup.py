@@ -583,6 +583,13 @@ def _fs_for(spark: SparkSession, path_str: str):
     return path.getFileSystem(spark._jsc.hadoopConfiguration()), path, jvm
 
 
+class BandIndexLockedError(RuntimeError):
+    """Another writer holds the band-index lock. Subclassed so callers
+    with a retry loop (``maybe_compact_band_index``) can defer on
+    contention specifically, without also swallowing the lock-unrelated
+    RuntimeErrors compaction raises (rename failure, manifest mismatch)."""
+
+
 class _BandIndexLock:
     """SINGLE-WRITER guard for the stored band index (r13 advisor,
     medium): append and compact both mutate ``index_dir``, and a
@@ -608,7 +615,7 @@ class _BandIndexLock:
         # fresh dir is handled by the mkdirs (no-op when present)
         self._fs.mkdirs(self._path.getParent())
         if not self._fs.createNewFile(self._path):
-            raise RuntimeError(
+            raise BandIndexLockedError(
                 f"band index at {self._path.getParent()} is locked by "
                 f"another writer ({self._path} exists) — refusing to "
                 f"{self._op}. If the previous writer crashed, remove the "
@@ -876,7 +883,15 @@ def maybe_compact_band_index(
         target = max(target, ideal)
     if worst_ratio <= 1.0:
         return None
-    return compact_band_index(spark, index_dir, target_files=int(target))
+    try:
+        return compact_band_index(spark, index_dir, target_files=int(target))
+    except BandIndexLockedError:
+        # hands-off scheduling hook (r14 advisor, low): another writer —
+        # typically the ingest loop's own next append racing this trigger —
+        # holds the lock. Compaction is not urgent; defer to the next call
+        # instead of crashing the ingest loop. The fragmentation that fired
+        # the trigger is still there, so the next post-append call re-fires.
+        return None
 
 
 def minhash_lsh_match_against(

@@ -1,12 +1,15 @@
-"""Stub of pydata/sparse: just enough surface for core.concat's COO
-branch (reference dask_lightgbm core.py:16-19,58-59) — COO wraps a dense
-ndarray; concatenate stacks along axis 0. The real wheel replaces this
+"""Stub of pydata/sparse: just enough surface for core.concat's
+pydata/sparse branch (reference dask_lightgbm core.py:16-19,58-59).
+The reference tests ``isinstance(x, sparse.SparseArray)`` — the package's
+abstract base that COO, GCXS and DOK all subclass — so the stub mirrors
+that hierarchy: SparseArray is the base, COO/GCXS wrap a dense ndarray,
+concatenate stacks along axis 0. The real wheel replaces this
 transparently (same names, same semantics)."""
 
 import numpy as np
 
 
-class COO:
+class SparseArray:
     def __init__(self, dense):
         self._dense = np.asarray(dense)
         self.shape = self._dense.shape
@@ -19,5 +22,16 @@ class COO:
         return self._dense
 
 
+class COO(SparseArray):
+    pass
+
+
+class GCXS(SparseArray):
+    pass
+
+
 def concatenate(arrays, axis=0):
-    return COO(np.concatenate([a.todense() for a in arrays], axis=axis))
+    # real pydata/sparse returns the format of its inputs; the stub keeps
+    # the first part's class so format is preserved through concat
+    cls = type(arrays[0]) if arrays else COO
+    return cls(np.concatenate([a.todense() for a in arrays], axis=axis))

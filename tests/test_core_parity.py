@@ -118,6 +118,25 @@ print("BCAST_OK")
     assert "BCAST_OK" in proc.stdout
 
 
+def test_pydata_sparse_absence_canary():
+    """Always-on canary (same pattern as the lightgbm/PIL four): in THIS
+    image the pydata/sparse wheel is absent, so concat's SparseArray branch
+    (core.py:97-108) runs only via tests/stubs/sparse. If this starts
+    failing, the real wheel has appeared — the stub-pinned test below then
+    exercises the genuine library and this canary should be retired."""
+    import importlib.util
+
+    spec = importlib.util.find_spec("sparse")
+    if spec is not None and "tests/stubs" not in (spec.origin or ""):
+        pytest.skip("real pydata/sparse wheel present — COO branch runs live")
+    # absent: concat must refuse unknown containers loudly, not half-work
+    class NotSparse:
+        shape = (1, 2)
+
+    with pytest.raises(TypeError, match="numpy arrays or pandas"):
+        core.concat([NotSparse()])
+
+
 def test_concat_pydata_coo_branch(monkeypatch):
     """A3's fourth branch (reference core.py:16-19,58-59): pydata/sparse
     COO parts concatenate along axis 0 when the lib is importable. The
@@ -146,5 +165,12 @@ def test_concat_pydata_coo_branch(monkeypatch):
         empty = sparse.COO.from_numpy(np.empty((0, 2)))
         out2 = core.concat([empty, a])
         assert out2.shape == (2, 2)
+        # the branch tests the SparseArray BASE (reference core.py:58
+        # `isinstance(seq[0], sparse.SparseArray)`), so non-COO formats
+        # the reference concatenates (GCXS, DOK) must not hit TypeError
+        g = sparse.GCXS.from_numpy(np.array([[5.0, 0.0]]))
+        out3 = core.concat([g, sparse.GCXS.from_numpy(np.array([[0.0, 6.0]]))])
+        assert isinstance(out3, sparse.SparseArray)
+        assert np.array_equal(out3.todense(), np.array([[5.0, 0.0], [0.0, 6.0]]))
     finally:
         sys.modules.pop("sparse", None)

@@ -741,3 +741,51 @@ def test_maybe_compact_band_index_trigger(spark, tmp_path):
     assert stats["bands_files_after"] <= 1, stats
     # immediately after compaction: back under threshold
     assert maybe_compact_band_index(spark, idx, trigger_ratio=4.0, min_files=4) is None
+
+
+def test_maybe_compact_defers_on_held_lock(spark, tmp_path):
+    """r14 advisor (low): when the trigger fires while another writer holds
+    the single-writer lock, the hands-off hook must DEFER (return None, let
+    the next post-append call retry) rather than crash the ingest loop.
+    Direct compact_band_index still refuses loudly — only the scheduling
+    wrapper absorbs contention."""
+    import pytest
+
+    from dask_lightgbm_spark.operators.dedup import (
+        BandIndexLockedError,
+        append_to_band_index,
+        compact_band_index,
+        maybe_compact_band_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    _tiny_index(spark, idx)
+    for b in range(8):
+        append_to_band_index(
+            spark.createDataFrame(
+                [(200 + b, f"lock batch {b} admitted document text")],
+                ["doc_id", "text"],
+            ),
+            idx, "doc_id", "text",
+        )
+    # simulate a concurrent writer: the lock marker exists
+    lock = tmp_path / "idx" / "_COMPACT_LOCK"
+    if not lock.exists():  # name comes from _INDEX_LOCK; resolve dynamically
+        from dask_lightgbm_spark.operators.dedup import _INDEX_LOCK
+
+        lock = tmp_path / "idx" / _INDEX_LOCK
+    lock.touch()
+    try:
+        # deferral: trigger would fire (threshold forced low) but lock held
+        assert (
+            maybe_compact_band_index(spark, idx, trigger_ratio=1.0, min_files=1)
+            is None
+        )
+        # the explicit API keeps its loud refusal (typed, catchable)
+        with pytest.raises(BandIndexLockedError, match="locked by"):
+            compact_band_index(spark, idx, target_files=1)
+    finally:
+        lock.unlink()
+    # lock released -> the very next scheduled call compacts for real
+    stats = maybe_compact_band_index(spark, idx, trigger_ratio=1.0, min_files=1)
+    assert stats is not None and stats["bands_files_after"] <= 1, stats

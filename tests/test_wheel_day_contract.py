@@ -84,13 +84,19 @@ bad = SparkLGBMClassifier(
     n_estimators=3, backend="lightgbm", num_workers=2,
     fail_marker=True, barrier_retries=0,
 )
+propagated_msg = None
 try:
     bad.fit(df, feature_cols=["f0", "f1"], label_col="target")
-    raise AssertionError("injected fit failure did not propagate")
 except Exception as exc:
-    assert "injected worker failure" in str(exc) or True  # propagation path
+    propagated_msg = str(exc)
+assert propagated_msg is not None, "injected fit failure did not propagate"
+# Spark wraps worker exceptions in Py4J/barrier job-abort text; the injected
+# marker must survive the wrapping so users can see the root cause.
+assert "injected worker failure" in propagated_msg, propagated_msg[-500:]
 with open(nf_log) as fh:
     after_fail = len(fh.read().splitlines())
+# the log was truncated above, after the successful fit — every line here is
+# a failure-path NetworkFree (success-path calls were counted in check #2)
 assert after_fail >= 1, (
     "LGBM_NetworkFree did not run on the fit-failure path — the finally "
     "contract (reference core.py:81) is broken")
