@@ -1380,6 +1380,80 @@ def main():
         regressions = flagged()
         out["regressions_vs_prev"] = regressions
 
+        # same-window pair repair for the HEADLINE total (r14 verdict #3 —
+        # the last single-window gated number): the DuckDB denominator was
+        # measured before the JVM spun up, minutes before the Spark legs,
+        # so a stolen window (r14's driver run: 2030 s host steal, 17.4 s
+        # raw vs the clean-draw 13.8 s) lands asymmetrically in the one
+        # ratio the 2x gate reads. On a would-be breach, re-time BOTH
+        # engines back-to-back and use the REDRAW pair as the gate value
+        # (redraw-as-gate, not min-of-ratios — the r14 advisor's
+        # one-sidedness fix, same estimator as the sf1 pairs): adjacent
+        # legs share the window, so a clean total reads clean and a real
+        # 2x regression still reads ~2x. Raw originals + observed steal
+        # stay in the artifact.
+        # SPARK_GRAFT_FORCE_HEADLINE_PAIR=1 exercises the repair path in a
+        # clean window (the synthetic-steal demo artifact; a clean redraw
+        # should land ~the original ratio, proving the estimator is not a
+        # get-out-of-jail redraw)
+        if vs_live_total is not None and (
+            vs_live_total > 2.0
+            or os.environ.get("SPARK_GRAFT_FORCE_HEADLINE_PAIR") == "1"
+        ):
+            st0 = _steal_s()
+            duck_re = time_duckdb(sf_dir, HEADLINE, runs=1)
+            sp_re: dict[str, float] = {}
+            for name in timings:
+                try:
+                    t0 = time.time()
+                    qs[name](spark, sf_dir).toPandas()
+                    sp_re[name] = round(time.time() - t0, 3)
+                except Exception as exc:  # noqa: BLE001
+                    print(
+                        f"# headline pair {name}: ERROR {type(exc).__name__}",
+                        file=sys.stderr,
+                    )
+            _, t_re, d_re, vs_re = live_totals(sp_re, duck_re)
+            out["headline_repaired_pair"] = {
+                "orig_total": total,
+                "orig_duckdb_live_total": duck_total,
+                "orig_vs_duckdb_live_total": vs_live_total,
+                "spark_total": t_re,
+                "duckdb_live_total": d_re,
+                "vs_duckdb_live_total": vs_re,
+                "steal_s_across_redraw": round(_steal_s() - st0, 1),
+            }
+            print(
+                f"# headline pair: spark {t_re:.2f}s duck {d_re:.2f}s "
+                f"(x{vs_re}, was x{vs_live_total})",
+                file=sys.stderr,
+            )
+            if vs_re is not None:
+                # adopt the same-window pair as the record (originals above)
+                timings, duck = sp_re, duck_re
+                total = t_re
+                duck_total, vs_live_total = d_re, vs_re
+                out["value"] = total
+                out["queries"] = timings
+                out["duckdb_live"] = duck
+                out["duckdb_live_total"] = duck_total
+                out["vs_duckdb_live_total"] = vs_live_total
+                out["vs_duckdb_live"] = {
+                    n: round(timings[n] / duck[n], 2)
+                    for n in timings
+                    if duck.get(n)
+                }
+                out["vs_duckdb_total"] = round(
+                    total / sum(DUCKDB_BASELINE.values()), 2
+                )
+                out["vs_prev_round_total"] = round(
+                    total / sum(PREV_ROUND.values()), 2
+                )
+                out["ratio_excluded"] = sorted(
+                    set(HEADLINE)
+                    - {n for n in timings if duck.get(n) is not None}
+                )
+
     # sf1 spot: one run per engine at 10x data for the compute-bound set —
     # measures throughput where the sf0.1 headline mostly measures fixed
     # job overhead. Informational this round (not gated); disable with
@@ -1552,6 +1626,48 @@ def main():
                     except Exception as exc:  # noqa: BLE001
                         errb[name] = f"{type(exc).__name__}: {exc}"[:300]
                 cb, stb, dtb, vsb = live_totals(spb, duckb)
+                # s02 throughput leg (r14 verdict #1): even batched at 100
+                # queries, the s02 serve denominator is ~0.1 s — below
+                # GATE_DENOM_FLOOR, so the 100-query ratio measures Spark's
+                # multi-job scheduling floor (~1.3 s flat in batch size)
+                # against an embedded engine, not serve throughput. At
+                # 2000 queries BOTH engines clear the floor (DuckDB ~1.2 s,
+                # linear in queries; Spark near-flat) and the ratio is the
+                # comparison the stanza exists for. Identical code path
+                # (batched_serve_queries, widened literal) both sides.
+                s02_tp: dict = {}
+                try:
+                    n_tp = 2000
+                    fn_tp = batched_serve_queries(n_tp)["s02_knn_ivf"]
+                    duck_tp = time_duckdb(
+                        sf1_dir,
+                        ["s02_knn_ivf"],
+                        runs=2,
+                        tables=SF1_TABLES,
+                        setup=_serve_setup,
+                        sql_overrides=batched_serve_oracle_sql(n_tp),
+                    ).get("s02_knn_ivf")
+                    runs = []
+                    for _ in range(2):
+                        t0 = time.time()
+                        n = len(fn_tp(spark, sf1_dir).toPandas())
+                        runs.append(round(time.time() - t0, 3))
+                    s02_tp = {
+                        "n_queries": n_tp,
+                        "spark": min(runs),
+                        "duckdb_live": duck_tp,
+                        "vs_duckdb_live": (
+                            round(min(runs) / duck_tp, 2) if duck_tp else None
+                        ),
+                        "rows": n,
+                    }
+                    print(
+                        f"# serve_batched s02@{n_tp}: {min(runs):.2f}s vs "
+                        f"duck {duck_tp:.2f}s (x{s02_tp['vs_duckdb_live']})",
+                        file=sys.stderr,
+                    )
+                except Exception as exc:  # noqa: BLE001
+                    s02_tp = {"error": f"{type(exc).__name__}: {exc}"[:300]}
                 out["serve_batched"] = {
                     "sf": 1.0,
                     "n_queries": SERVE_BATCH_N,
@@ -1560,6 +1676,18 @@ def main():
                     "vs_duckdb_live": {
                         n: round(spb[n] / duckb[n], 2) for n in cb
                     },
+                    # written protocol (same as per-query live gating): a
+                    # ratio whose DuckDB denominator is under
+                    # GATE_DENOM_FLOOR measures fixed overhead, not
+                    # throughput — listed, not gated; the s02 throughput
+                    # leg is the gated number for that path
+                    "denominator_below_floor": sorted(
+                        n
+                        for n in cb
+                        if (duckb.get(n) or 0) < GATE_DENOM_FLOOR
+                    ),
+                    "gate_denom_floor": GATE_DENOM_FLOOR,
+                    "s02_throughput": s02_tp,
                     "total": stb,
                     "duckdb_live_total": dtb,
                     "vs_duckdb_live_total": vsb,

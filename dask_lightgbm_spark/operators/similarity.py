@@ -417,6 +417,7 @@ def ivf_knn(
     k: int = 3,
     nprobe: int = 1,
     assigned: DataFrame | None = None,
+    queries_assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: search the query's ``nprobe`` nearest IVF cells
     (corpus vectors live in exactly one cell, so probing more cells raises
@@ -424,14 +425,45 @@ def ivf_knn(
     recall/cost dial). Still an equi-join on cell id; no cross product.
     Pass a precomputed (persisted) storage ``assigned`` (id, v, cell) to
     avoid re-scoring the corpus — e.g. when :func:`learned_nprobe` already
-    materialized it. Output: (qid, nid, rank, cos)."""
-    centroids = corpus.filter(centroid_filter)
+    materialized it.
+
+    ``queries_assigned``: when the query vectors are corpus members (the
+    item-to-item serve shape) their stored cell IS the nearest-centroid
+    cell, so the per-batch probe scoring — query × centroid cosine, a
+    groupBy-argmax, a fresh broadcast build — is pure recomputation of
+    index state. Pass the (id, v, cell[, nn]) rows filtered from the
+    persisted index and the serve plan starts at the cell equi-join (the
+    s18 topology; also what the serve oracle's ``q AS (SELECT ... FROM
+    assigned)`` CTE does). Only valid for ``nprobe=1``: the stored
+    assignment holds the single nearest cell. Output: (qid, nid, rank,
+    cos)."""
     if assigned is None:
-        assigned = assign_cells(corpus, centroids, id_col, vec_col)
-    # probe assignment computed on the (small) query subset only
-    q = assign_cells(
-        corpus.filter(queries_filter), centroids, id_col, vec_col, nprobe=nprobe
-    ).select(F.col(id_col).alias("qid"), F.col("v").alias("qv"), F.col("cell"))
+        assigned = assign_cells(
+            corpus, corpus.filter(centroid_filter), id_col, vec_col
+        )
+    if queries_assigned is not None:
+        if nprobe != 1:
+            raise ValueError(
+                "queries_assigned serves the stored (nprobe=1) cell; "
+                "multi-probe search must score the query against the "
+                "centroids (pass queries_filter instead)"
+            )
+        q_cols = [
+            F.col(id_col).alias("qid"), F.col("v").alias("qv"), F.col("cell")
+        ]
+        if "nn" in queries_assigned.columns:
+            # index-stored norm: same sequential fold, zero per-serve work
+            q_cols.append(F.col("nn").alias("qn"))
+        q = queries_assigned.select(*q_cols)
+    else:
+        # probe assignment computed on the (small) query subset only
+        q = assign_cells(
+            corpus.filter(queries_filter),
+            corpus.filter(centroid_filter),
+            id_col,
+            vec_col,
+            nprobe=nprobe,
+        ).select(F.col(id_col).alias("qid"), F.col("v").alias("qv"), F.col("cell"))
     # a precomputed "nn" norm column on the assignment (the persisted-index
     # serve path) is reused instead of refolding every corpus vector
     n_cols = [F.col(id_col).alias("nid"), F.col("v").alias("nv"), F.col("cell")]
@@ -439,8 +471,10 @@ def ivf_knn(
         n = assigned.select(*n_cols, F.col("nn"))
     else:
         n = assigned.select(*n_cols).withColumn("nn", norm(F.col("nv")))
+    if "qn" not in q.columns:
+        q = q.withColumn("qn", norm(F.col("qv")))
     scored = (
-        n.join(F.broadcast(q.withColumn("qn", norm(F.col("qv")))), "cell")
+        n.join(F.broadcast(q), "cell")
         .filter(F.col("qid") != F.col("nid"))
         .select(
             "qid",
@@ -451,6 +485,109 @@ def ivf_knn(
     w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "cos")
+    )
+
+
+def ivf_serve_topk(
+    assigned: DataFrame,
+    queries_assigned: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Vectorized IVF serve: top-k cosine neighbors within each query's
+    stored cell, for a BOUNDED query batch — the RAG serving loop's hot
+    path (r14 verdict #1). Same result as
+    ``ivf_knn(..., queries_assigned=...)`` bit-for-bit; the difference is
+    execution: the declarative plan evaluates one interpreted HOF fold per
+    candidate row (Spark does not codegen lambda folds — the
+    assign_cells_vectorized story), while this kernel scores every
+    (candidate, query) block with the dim-ordered fold helpers, so cosines
+    match the fold path AND the DuckDB oracle's ``list_reduce`` exactly.
+
+    Topology: the ≤``max_queries`` query rows (id, v, cell, nn — filtered
+    from the persisted index) are a bounded driver pull shipped in the
+    kernel closure (the brute_force_knn/assign_cells_vectorized pattern);
+    the index is prefiltered JVM-side to the queries' cells, each cached
+    partition scores its candidates locally (zero shuffle), emits its
+    per-partition top-k per query, and a final window over ≤ partitions×k
+    rows per query picks the global top-k — selection under the total
+    order (cos desc, id asc) distributes over partitions. At 100 TB the
+    scan side is the index's cell files (cell-partitioned storage prunes
+    to the probed cells); nothing here is corpus-sized but that scan.
+    Output: (qid, nid, rank, cos)."""
+    q_rows = queries_assigned.select(id_col, "v", "cell", "nn").collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"ivf_serve_topk ships the query batch in the task closure; "
+            f"{len(q_rows)} queries > max_queries={max_queries}. Chunk the "
+            "batch, or use ivf_knn's declarative plan for unbounded query "
+            "sides."
+        )
+    if not q_rows:
+        raise ValueError("ivf_serve_topk: empty query batch")
+    by_cell: dict[int, list] = {}
+    for r in q_rows:
+        by_cell.setdefault(r["cell"], []).append(
+            (int(r[id_col]), [float(x) for x in r["v"]], float(r["nn"]))
+        )
+    cells = sorted(by_cell)
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from dask_lightgbm_spark.functions.blockfold import fold_dots
+
+        qmats = {
+            c: (
+                np.asarray([q[0] for q in qs], dtype=np.int64),
+                np.asarray([q[1] for q in qs], dtype=np.float64),
+                np.asarray([q[2] for q in qs], dtype=np.float64),
+            )
+            for c, qs in by_cell.items()
+        }
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_q, out_n, out_c = [], [], []
+            for c, grp in pdf.groupby("cell", sort=False):
+                qids, Q, qn = qmats[int(c)]
+                NV = np.stack(grp["v"].values).astype(np.float64)
+                nn = grp["nn"].values.astype(np.float64)
+                nid = grp[id_col].values.astype(np.int64)
+                # (cand, query) cosines via the dim-ordered fold — the
+                # multiply-add sequence of dot()'s F.aggregate fold
+                cos = fold_dots(NV, Q) / (nn[:, None] * qn[None, :])
+                for j in range(len(qids)):
+                    col = cos[:, j]
+                    mask = nid != qids[j]
+                    cand_n, cand_c = nid[mask], col[mask]
+                    # exact (cos desc, nid asc) order; float negation is a
+                    # sign flip, so ties stay ties
+                    order = np.lexsort((cand_n, -cand_c))[:k]
+                    out_q.append(np.full(len(order), qids[j], dtype=np.int64))
+                    out_n.append(cand_n[order])
+                    out_c.append(cand_c[order])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "qid": np.concatenate(out_q),
+                        "nid": np.concatenate(out_n),
+                        "cos": np.concatenate(out_c),
+                    }
+                )
+
+    part_topk = (
+        assigned.filter(F.col("cell").isin(cells))
+        .select(F.col(id_col).cast("long").alias(id_col), "v", "cell", "nn")
+        .mapInPandas(kernel, "qid long, nid long, cos double")
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        part_topk.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "rank", "cos")
     )

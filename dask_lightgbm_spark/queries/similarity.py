@@ -151,13 +151,22 @@ _S02_SQL = _IVF_CTES + _S02_SUFFIX
 
 @query("s02_knn_ivf", _S02_SQL)
 def s02_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r15 (r14 verdict #1): queries are corpus members, so their stored
+    # cell assignment IS the probe assignment — serve both sides from the
+    # persisted index (the s18 topology; the serve oracle's own `q AS
+    # (SELECT ... FROM assigned)` CTE). The per-batch probe rescoring this
+    # replaces (query x centroid HOF cosines + groupBy-argmax + an extra
+    # broadcast build per serve) was the structural 14-27x in the r14
+    # serve_batched stanza.
     e = load_table(spark, sf_dir, "embeddings")
+    idx = _ivf_index(spark, sf_dir)
     return sim.ivf_knn(
         e,
         queries_filter=F.col("vec_id") < 10,
         centroid_filter=F.col("vec_id") % 25 == 0,
         k=3,
-        assigned=_ivf_index(spark, sf_dir),
+        assigned=idx,
+        queries_assigned=idx.filter(F.col("vec_id") < 10),
     )
 
 
@@ -1339,13 +1348,18 @@ def batched_serve_queries(n_queries: int = SERVE_BATCH_N) -> dict:
     s02/s11/s18 (same session-cached index), only the query filter widens."""
 
     def s02(spark, sf_dir):
+        # IDENTICAL code path to the registered s02 (r14 verdict #1):
+        # both sides from the persisted index — serve starts at the cell
+        # equi-join, no per-batch probe rescoring
         e = load_table(spark, sf_dir, "embeddings")
+        idx = _ivf_index(spark, sf_dir)
         return sim.ivf_knn(
             e,
             queries_filter=F.col("vec_id") < n_queries,
             centroid_filter=F.col("vec_id") % 25 == 0,
             k=3,
-            assigned=_ivf_index(spark, sf_dir),
+            assigned=idx,
+            queries_assigned=idx.filter(F.col("vec_id") < n_queries),
         )
 
     def s11(spark, sf_dir):
@@ -1441,15 +1455,15 @@ def scale_ivf_serve(
     k: int = 3,
 ) -> DataFrame:
     """Batched top-k serve against a :func:`scale_ivf_build` index —
-    the s02 serve shape (broadcast probes, equi-join on cell) at fixed
-    nlist."""
-    e = load_table(spark, sf_dir, "embeddings")
-    return sim.ivf_knn(
-        e,
-        queries_filter=F.col("vec_id") < n_queries,
-        centroid_filter=F.col("vec_id") % mod == 0,
-        k=k,
-        assigned=assigned,
+    the s02 serve shape at fixed nlist, through the vectorized serve
+    kernel (r15): at sf100 a 100-query batch touches ~n/nlist × 100 ≈
+    780k candidates, and evaluating one interpreted HOF fold per candidate
+    was most of the measured serve decade; :func:`sim.ivf_serve_topk`
+    scores candidate blocks with the dim-ordered fold helpers (bit-equal
+    cosines) and reads the probe cells from the stored assignment instead
+    of rescoring query × centroid per batch."""
+    return sim.ivf_serve_topk(
+        assigned, assigned.filter(F.col("vec_id") < n_queries), k=k
     )
 
 

@@ -374,6 +374,61 @@ def test_batched_serve_matches_widened_oracle(spark, sf_dir):
     con.close()
 
 
+def test_ivf_serve_topk_bit_exact_and_guards(spark, sf_dir):
+    """r15 (r14 verdict #1): the vectorized serve kernel must return the
+    EXACT rows of the declarative ivf_knn(queries_assigned=...) plan —
+    same cosines bit-for-bit (dim-ordered folds), same (cos desc, nid asc)
+    tie ranking — and both must equal the probe-rescoring plan on
+    corpus-member queries (stored cell == nearest-centroid cell). Also
+    pins the closure-size guard and the nprobe>1 refusal."""
+    from dask_lightgbm_spark.queries import _ship_package
+
+    _ship_package(spark)
+    e = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    idx = sim.assign_cells_vectorized(e, e.filter(F.col("vec_id") % 25 == 0))
+    qa = idx.filter(F.col("vec_id") < 20)
+    kern = sim.ivf_serve_topk(idx, qa, k=3).toPandas()
+    decl = sim.ivf_knn(
+        e,
+        queries_filter=F.col("vec_id") < 20,
+        centroid_filter=F.col("vec_id") % 25 == 0,
+        k=3,
+        assigned=idx,
+        queries_assigned=qa,
+    ).toPandas()
+    rescored = sim.ivf_knn(
+        e,
+        queries_filter=F.col("vec_id") < 20,
+        centroid_filter=F.col("vec_id") % 25 == 0,
+        k=3,
+        assigned=idx,
+    ).toPandas()
+    key = ["qid", "rank"]
+    for name, other in (("declarative", decl), ("probe-rescoring", rescored)):
+        a = kern.sort_values(key).reset_index(drop=True)
+        b = other.sort_values(key).reset_index(drop=True)
+        assert a[["qid", "nid", "rank"]].equals(b[["qid", "nid", "rank"]]), name
+        # bit-exact, not approx: the whole oracle-parity argument
+        assert (
+            a["cos"].values.tobytes() == b["cos"].values.tobytes()
+        ), f"cos bits differ vs {name}"
+    with pytest.raises(ValueError, match="max_queries"):
+        sim.ivf_serve_topk(idx, idx.filter(F.col("vec_id") < 30), max_queries=5)
+    with pytest.raises(ValueError, match="empty query batch"):
+        sim.ivf_serve_topk(idx, idx.filter(F.col("vec_id") < 0))
+    with pytest.raises(ValueError, match="nprobe"):
+        sim.ivf_knn(
+            e,
+            queries_filter=F.col("vec_id") < 20,
+            centroid_filter=F.col("vec_id") % 25 == 0,
+            nprobe=2,
+            queries_assigned=qa,
+        )
+
+
 def test_scale_ivf_matches_mod_parameterized_oracle(spark, sf_dir):
     """bench.py's sf10_ann stanza (r9): the fixed-nlist scale path runs
     the SAME assign/serve kernels as s02 with only the centroid spacing
