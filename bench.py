@@ -511,6 +511,50 @@ def ensure_sf100_embeddings(src_dir: str) -> str:
     return out
 
 
+def ensure_sf100_lineitem(src_dir: str) -> str:
+    """Materialize the 1000x lineitem (~600M rows, ~17 GB) backing the
+    sf100 RELATIONAL decade leg (r14 verdict #4: corpus and ANN had
+    sf10→sf100 datapoints, the TPC-H plans had none above sf10). Built
+    10x from the sf10 fixture's lineitem (itself 100x sf0.1) with the
+    same orderkey shift; lineitem only — the gated query (q01) is the
+    lineitem-only full-scan aggregate, and the other sf100 tables would
+    add ~20 GB of fixture for no additional decade signal. UNSORTED on
+    purpose: the 600M-row external sort would roughly double the
+    one-time build for a fixture consumed by full-scan aggregation,
+    where row-group clustering is irrelevant."""
+    sf10_dir = ensure_sf10(src_dir)
+    out = os.environ.get("SPARK_GRAFT_SF100_REL_DIR", "/tmp/dls_bench_sf100_rel")
+    marker = os.path.join(out, "_DONE")
+    src = os.path.join(sf10_dir, "lineitem.parquet")
+    fp = (
+        _FIXTURE_VERSION
+        + f",lineitem:{os.path.getmtime(src)}:{os.path.getsize(src)}:x10"
+    )
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read() == fp:
+                return out
+    import duckdb
+
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    # progress bars must never reach the JSON stdout the driver parses
+    con.execute("SET enable_progress_bar=false")
+    key_base = con.sql(
+        f"SELECT max(l_orderkey) + 1 FROM read_parquet('{src}')"
+    ).fetchone()[0]
+    con.sql(f"""
+        COPY (
+          SELECT * REPLACE (l_orderkey + k * {key_base} AS l_orderkey)
+          FROM read_parquet('{src}'),
+               (SELECT unnest(generate_series(0, 9)) AS k)
+        ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)""")
+    con.close()
+    with open(marker, "w") as f:
+        f.write(fp)
+    return out
+
+
 STREAM_FILES = 8
 STREAM_SCALE = 10  # 10x the sf0.1 events = 1M rows
 # micro-batched drain may cost at most this multiple of the one-shot drain:
@@ -531,6 +575,71 @@ STREAM_MICRO_LIMIT = 8.0
 # every round). Production jobs size this to trigger volume; results are
 # partition-count invariant so the parity gates still hold exactly.
 STREAM_STATE_PARTITIONS = 8
+
+
+def _ensure_ingest_batch(spark, src_dir: str) -> str:
+    """Materialize the CONSTANT stream side of the x14 corpus-scaling leg
+    (r14 verdict #5): the sf0.1 src0 documents split into 4 parquet files
+    so a ``maxFilesPerTrigger=1`` drain replays 4 micro-batches. Built
+    once per source fixture (fingerprint marker, same contract as the
+    other ensure_* helpers)."""
+    out = os.environ.get(
+        "SPARK_GRAFT_INGEST_BATCH_DIR", "/tmp/dls_bench_ingest_batch"
+    )
+    marker = os.path.join(out, "_DONE")
+    src = os.path.join(src_dir, "documents.parquet")
+    fp = (
+        _FIXTURE_VERSION
+        + f",documents:{os.path.getmtime(src)}:{os.path.getsize(src)}:src0x4"
+    )
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read() == fp:
+                return out
+    from pyspark.sql import functions as F
+
+    new = spark.read.parquet(src).filter(F.col("source") == "src0")
+    new.repartition(4).write.mode("overwrite").parquet(out)
+    with open(marker, "w") as f:
+        f.write(fp)
+    return out
+
+
+def _ensure_stream_band_index(spark, docs_dir: str, label: str) -> str:
+    """Materialize the stored band index over ``docs_dir``'s documents
+    corpus (source != src0 — the same corpus split x14/t40 use) for the
+    x14 corpus-scaling leg. Index build is t40_indexed's measured cost and
+    is NOT part of the drain being gated, so it is built once per fixture
+    fingerprint and reused across bench runs."""
+    out = os.environ.get(
+        f"SPARK_GRAFT_STREAM_IDX_{label.upper()}_DIR",
+        f"/tmp/dls_bench_stream_idx_{label}",
+    )
+    marker = os.path.join(out, "_DONE")
+    src = os.path.join(docs_dir, "documents.parquet")
+    fp = (
+        _FIXTURE_VERSION
+        + f",documents:{os.path.getmtime(src)}:{os.path.getsize(src)}:bandidx"
+    )
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read() == fp:
+                return out
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dask_lightgbm_spark.operators.dedup import write_band_index
+    from dask_lightgbm_spark.queries.text import BAND_SIZE, K_SHINGLE, NUM_PERM
+
+    shutil.rmtree(out, ignore_errors=True)
+    corpus = spark.read.parquet(src).filter(F.col("source") != "src0")
+    write_band_index(
+        corpus, out, "doc_id", "text", K_SHINGLE, NUM_PERM, BAND_SIZE
+    )
+    with open(marker, "w") as f:
+        f.write(fp)
+    return out
 
 
 def ensure_stream_events(src_dir: str, scale: int = STREAM_SCALE) -> str:
@@ -932,6 +1041,131 @@ def _stream_bench(spark, src_dir: str) -> dict:
                 file=sys.stderr,
             )
 
+    # x14 ingest-dedup CORPUS-side scaling leg (r14 verdict #5): the
+    # production ingest-dedup loop — a document stream LSH-matched against
+    # the STORED band index — had parity tests but no scaling datapoint;
+    # the three legs above scale the event pipelines (stream-side rows).
+    # Here the stream side is held CONSTANT (the sf0.1 src0 batch, split
+    # into 4 files, drained file-per-trigger) while the INDEX grows 10x
+    # (sf1 -> sf10 corpus, ~50k -> ~500k docs; index build is untimed —
+    # it is t40_indexed's build cost, amortized over every future batch).
+    # Gate: drain(10x index)/drain(1x index) <= SF10_SCALING_LIMIT; the
+    # honest expectation is the t40_indexed match curve (~2x/decade:
+    # candidate collisions grow with the corpus, per-trigger fixed costs
+    # do not). Parity per leg: streamed pairs == batch
+    # minhash_lsh_match_against_index on the same stored tables, exact.
+    try:
+        from dask_lightgbm_spark.operators.dedup import (
+            minhash_lsh_match_against_index,
+        )
+        from dask_lightgbm_spark.queries.text import (
+            BAND_SIZE,
+            K_SHINGLE,
+            NUM_PERM,
+        )
+        from dask_lightgbm_spark.streaming.ingest import (
+            stream_match_against_index,
+        )
+
+        new_dir = _ensure_ingest_batch(spark, src_dir)
+        new_batch = spark.read.parquet(new_dir)
+        legs: dict[str, dict] = {}
+        for label, docs_dir in (
+            ("1x", ensure_sf1(src_dir)),
+            ("10x", ensure_sf10(src_dir)),
+        ):
+            idx_dir = _ensure_stream_band_index(spark, docs_dir, label)
+
+            def drain(idx=idx_dir):
+                return stream_match_against_index(
+                    spark,
+                    new_dir,
+                    idx,
+                    k_shingle=K_SHINGLE,
+                    num_perm=NUM_PERM,
+                    band_size=BAND_SIZE,
+                    max_files_per_trigger=1,
+                    shuffle_partitions=STREAM_STATE_PARTITIONS,
+                ).toPandas()
+
+            t_leg, p_leg = tmin(drain, runs=2)
+            pb = minhash_lsh_match_against_index(
+                new_batch,
+                spark.read.parquet(f"{idx_dir}/bands.parquet"),
+                spark.read.parquet(f"{idx_dir}/verify.parquet"),
+                "doc_id",
+                "text",
+                K_SHINGLE,
+                NUM_PERM,
+                BAND_SIZE,
+            ).toPandas()
+            key = ["new_id", "corpus_id"]
+            cols = key + ["jaccard"]
+            parity_leg = (
+                p_leg[cols]
+                .sort_values(key)
+                .reset_index(drop=True)
+                .equals(pb[cols].sort_values(key).reset_index(drop=True))
+            )
+            legs[label] = {
+                "micro": t_leg,
+                "pairs": len(p_leg),
+                "parity": parity_leg,
+            }
+            print(
+                f"# streaming ingest_dedup {label}: micro {t_leg:.2f}s "
+                f"({len(p_leg)} pairs, parity {parity_leg})",
+                file=sys.stderr,
+            )
+        scaling_i = (
+            round(legs["10x"]["micro"] / legs["1x"]["micro"], 2)
+            if legs["1x"]["micro"]
+            else None
+        )
+        if scaling_i is not None and scaling_i > SF10_SCALING_LIMIT:
+            # adjacent re-pair, min into each leg (the stanza's standard
+            # estimator for a would-be breach)
+            for label, docs_dir in (
+                ("1x", ensure_sf1(src_dir)),
+                ("10x", ensure_sf10(src_dir)),
+            ):
+                idx_dir = _ensure_stream_band_index(spark, docs_dir, label)
+                t_leg, _ = tmin(
+                    lambda idx=idx_dir: stream_match_against_index(
+                        spark,
+                        new_dir,
+                        idx,
+                        k_shingle=K_SHINGLE,
+                        num_perm=NUM_PERM,
+                        band_size=BAND_SIZE,
+                        max_files_per_trigger=1,
+                        shuffle_partitions=STREAM_STATE_PARTITIONS,
+                    ).toPandas(),
+                    runs=1,
+                )
+                legs[label]["micro"] = min(legs[label]["micro"], t_leg)
+            scaling_i = round(legs["10x"]["micro"] / legs["1x"]["micro"], 2)
+        results["ingest_dedup_10x"] = {
+            "corpus_1x": legs["1x"],
+            "corpus_10x": legs["10x"],
+            "scaling_vs_1x": scaling_i,
+        }
+        if not (legs["1x"]["parity"] and legs["10x"]["parity"]):
+            breaches.append("ingest_dedup_10x_parity")
+        if scaling_i is not None and scaling_i > SF10_SCALING_LIMIT:
+            breaches.append("ingest_dedup_10x_scaling")
+        print(
+            f"# streaming ingest_dedup_10x: x{scaling_i} corpus-side "
+            f"scaling",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # noqa: BLE001
+        errors["ingest_dedup_10x"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(
+            f"# streaming ingest_dedup_10x: ERROR {type(exc).__name__}",
+            file=sys.stderr,
+        )
+
     return {
         "sf": 1.0,
         "rows": n_rows,
@@ -1065,6 +1299,63 @@ def _sf100_ladder_child() -> None:
             }
         except Exception as exc:  # noqa: BLE001
             res["errors"]["ann"] = f"{type(exc).__name__}: {exc}"[:300]
+    # relational + multimodal decades (r14 verdict #4): one stanza each so
+    # every operator family the repo claims 100 TB behavior for has a
+    # measured sf10→sf100 datapoint. Same estimator as the corpus block:
+    # adjacent same-window pairs, gate on the MIN per-pair decade ratio;
+    # two pairs (not three) because both plans are single-scan shapes with
+    # far less draw-to-draw spread than t39/t40's shuffle pipelines.
+    rel_dir = os.environ.get("_DLS_SF100_REL_DIR")
+    decade_specs = []
+    if rel_dir:
+        # q01: the lineitem-only full-scan aggregate, 60M -> 600M rows
+        decade_specs.append(("relational", "q01_pricing_summary", rel_dir, "collect"))
+    # t24: the multimodal mapInPandas kernel over 500k -> 5M documents.
+    # count(), not toPandas: the sf100 result explodes to 40M (doc,
+    # bucket) rows — driver-sized at catalog SFs where correctness runs,
+    # corpus-sized here; the kernel (the thing this decade measures)
+    # cannot be pruned under count, and the catalog's own toPandas shape
+    # stays gated bit-exact at sf0.01.
+    decade_specs.append(("multimodal", "t24_multimodal_features", sf100_dir, "count"))
+    for stanza, name, big_dir, action in decade_specs:
+        try:
+            def run(d):
+                df = qs[name](spark, d)
+                return df.count() if action == "count" else len(df.toPandas())
+
+            run(sf10_dir)  # prime (JVM+codegen+python workers)
+            t10 = t100 = best_ratio = None
+            n = 0
+            steals = []
+            for _ in range(2):
+                st0 = _steal_s()
+                t0 = time.time()
+                run(sf10_dir)
+                a = round(time.time() - t0, 3)
+                t0 = time.time()
+                n = run(big_dir)
+                b = round(time.time() - t0, 3)
+                steals.append(round(_steal_s() - st0, 1))
+                t10 = a if t10 is None else min(t10, a)
+                t100 = b if t100 is None else min(t100, b)
+                if a:
+                    r = round(b / a, 2)
+                    best_ratio = r if best_ratio is None else min(best_ratio, r)
+            res[stanza] = {
+                "query": name,
+                "sf10": t10,
+                "sf100": t100,
+                "decade": best_ratio,
+                "rows": n,
+                "steal_s_per_pair": steals,
+            }
+            print(
+                f"# sf100-child {stanza} {name}: sf10 {t10:.2f}s "
+                f"sf100 {t100:.2f}s (x{best_ratio}, {n} rows)",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            res["errors"][stanza] = f"{type(exc).__name__}: {exc}"[:300]
     print("DLS_SF100_JSON:" + json.dumps(res))
 
 
@@ -1192,7 +1483,21 @@ def collect_gates(out: dict, regressions: list, errors: dict) -> dict:
     )
     if sf100_ann:
         sf100_ann["scaling_breaches"] = sf100_ann_breaches
-    corp_breaches = corp_breaches + sf100_breaches + sf100_ann_breaches
+    # r14 verdict #4: relational + multimodal decade stanzas, same fence
+    sf100_extra_breaches: list[str] = []
+    for stanza_name in ("sf100_relational", "sf100_multimodal"):
+        stanza = out.get(stanza_name, {})
+        b = sorted(
+            f"{stanza_name}_{n}"
+            for n, r in stanza.get("decade_vs_sf10", {}).items()
+            if r is not None and r > SF100_DECADE_LIMIT
+        )
+        if stanza:
+            stanza["scaling_breaches"] = b
+        sf100_extra_breaches += b
+    corp_breaches = (
+        corp_breaches + sf100_breaches + sf100_ann_breaches + sf100_extra_breaches
+    )
     sf10_ann = out.get("sf10_ann", {})
     ann_breaches = sorted(
         f"ann_{m}"
@@ -2075,6 +2380,7 @@ def main():
             env["_DLS_SF100_SF10_DIR"] = sf10_dir
             env["_DLS_SF100_SF100_DIR"] = sf100_dir
             env["_DLS_SF100_VEC_DIR"] = ensure_sf100_embeddings(sf_dir)
+            env["_DLS_SF100_REL_DIR"] = ensure_sf100_lineitem(sf_dir)
             proc = subprocess.run(
                 [sys.executable, "-c", "import bench; bench._sf100_ladder_child()"],
                 env=env,
@@ -2117,6 +2423,26 @@ def main():
                     "decade_vs_sf10": child["ann"]["decade"],
                     "decade_limit": SF100_DECADE_LIMIT,
                 }
+            # r14 verdict #4: the last two families' decade datapoints
+            for stanza in ("relational", "multimodal"):
+                c = child.get(stanza)
+                if not c:
+                    continue
+                out[f"sf100_{stanza}"] = {
+                    "sf": 100.0,
+                    "query": c["query"],
+                    "sf10_leg": c["sf10"],
+                    "sf100_leg": c["sf100"],
+                    "decade_vs_sf10": {c["query"]: c["decade"]},
+                    "decade_limit": SF100_DECADE_LIMIT,
+                    "steal_s_per_pair": c.get("steal_s_per_pair"),
+                    "rows": c.get("rows"),
+                }
+                print(
+                    f"# sf100 {stanza} {c['query']}: {c['sf100']:.2f}s "
+                    f"(x{c['decade']} vs sf10 {c['sf10']:.2f}s)",
+                    file=sys.stderr,
+                )
             for name, dec in child["decade"].items():
                 print(
                     f"# sf100 {name}: {child['sf100'][name]:.2f}s "

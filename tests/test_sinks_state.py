@@ -453,3 +453,50 @@ def test_s15_lazy_result_survives_other_sf_invocation(spark):
     import pandas as pd
 
     pd.testing.assert_frame_equal(expect, again)
+
+
+def test_stream_match_against_stored_index_parity(spark, tmp_path):
+    """r14 verdict #5: the production ingest-dedup loop — a document
+    stream LSH-matched against the STORED band index — must emit exactly
+    the batch ``minhash_lsh_match_against_index`` pairs on a drained
+    bounded source, including under a file-per-trigger micro-batched
+    drain (the bench ingest_dedup_10x leg's protocol). Also pins that the
+    streamed plan's only stateful op survives multi-trigger dedup of
+    band-collision pairs (the same pair proposed in two triggers must not
+    emit twice)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dask_lightgbm_spark.operators.dedup import (
+        minhash_lsh_match_against_index,
+        write_band_index,
+    )
+    from dask_lightgbm_spark.streaming.ingest import stream_match_against_index
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    corpus = d.filter(F.col("source") != "src0")
+    new = d.filter(F.col("source") == "src0")
+    idx = str(tmp_path / "idx")
+    write_band_index(corpus, idx, "doc_id", "text")
+    new_dir = str(tmp_path / "new")
+    new.repartition(3).write.parquet(new_dir)
+
+    batch = minhash_lsh_match_against_index(
+        spark.read.parquet(new_dir),
+        spark.read.parquet(f"{idx}/bands.parquet"),
+        spark.read.parquet(f"{idx}/verify.parquet"),
+        "doc_id",
+        "text",
+    ).toPandas()
+    assert len(batch) > 0, "fixture must plant at least one near-dup pair"
+    key = ["new_id", "corpus_id"]
+    cols = key + ["jaccard"]
+    for mft in (None, 1):  # one-shot AND file-per-trigger drains
+        streamed = stream_match_against_index(
+            spark, new_dir, idx, max_files_per_trigger=mft
+        ).toPandas()
+        pd.testing.assert_frame_equal(
+            batch[cols].sort_values(key).reset_index(drop=True),
+            streamed[cols].sort_values(key).reset_index(drop=True),
+        )
+        assert not streamed.duplicated(key).any()
