@@ -5,12 +5,22 @@
 # they check and what the coverage number can honestly claim (driver-side
 # lines only; executor-process UDF bodies are not traced).
 
-.PHONY: lint test check sim cluster-sim soak coverage bench catalog gate census all
+.PHONY: lint test test-full check sim cluster-sim soak coverage bench catalog gate census all
 
 lint:
 	python tools/lint.py
 
+# default tier (r14 verdict #8): everything except the `slow` marker —
+# multi-JVM cluster suites, SIGKILL/injected-failure recovery, barrier-fit
+# system tests (membership: tests/conftest.py SLOW_MODULES). Measured r15:
+# default 276 tests / ~21 min of wall in a 25%-inflated window (~17 min
+# clean), slow tier 34 tests / ~25 min — full pass 307 green in 45:54.
 test:
+	python -m pytest tests/ -x -q -m "not slow"
+
+# full pass (CI / certification): the complete suite including the slow
+# tier. This is the tier the round's green claim is made on.
+test-full:
 	python -m pytest tests/ -x -q
 
 # full DuckDB bit-exact oracle gate over the query catalog

@@ -543,11 +543,15 @@ def ensure_sf100_lineitem(src_dir: str) -> str:
     key_base = con.sql(
         f"SELECT max(l_orderkey) + 1 FROM read_parquet('{src}')"
     ).fetchone()[0]
+    # the sf10 fixture's SELECT * baked its replica counter in as a `k`
+    # column; EXCLUDE it and alias the new counter to keep the reference
+    # unambiguous
     con.sql(f"""
         COPY (
-          SELECT * REPLACE (l_orderkey + k * {key_base} AS l_orderkey)
-          FROM read_parquet('{src}'),
-               (SELECT unnest(generate_series(0, 9)) AS k)
+          SELECT src.* EXCLUDE (k)
+                 REPLACE (src.l_orderkey + r.k10 * {key_base} AS l_orderkey)
+          FROM read_parquet('{src}') src,
+               (SELECT unnest(generate_series(0, 9)) AS k10) r
         ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)""")
     con.close()
     with open(marker, "w") as f:
