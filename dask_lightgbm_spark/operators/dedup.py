@@ -31,6 +31,7 @@ import operator
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from dask_lightgbm_spark.functions.partitioning import ensure_parallelism
 from dask_lightgbm_spark.functions.hashing import (
@@ -79,19 +80,10 @@ def hashed_shingles(
     )
 
 
-def shingle_hash_array(
+def _shingle_expr_path(
     df: DataFrame, id_col: str, text_col: str, k: int
 ) -> DataFrame:
-    """Per-doc distinct shingle-hash ARRAY: (id, hs array<long>). The whole
-    set stays row-local — no explode, no shuffle. Document length is bounded,
-    so the array is too (~1 int64 per char); this is the carrier for the
-    zero-shuffle signature + verify stages. Shingles are hashed with a
-    32-bit rolling hash over a per-char code array (one pass per doc,
-    5 mult-adds per position — no per-shingle md5). Works on streaming
-    inputs too (pure projection; the parallelism spread is batch-only —
-    a stream's partitioning is the source's)."""
-    if not df.isStreaming:
-        df = ensure_parallelism(df)
+    """Expression-only shingle path: pure projection, streaming-safe."""
     n_pos = F.greatest(F.length(text_col) - (k - 1), F.lit(1))
     codes = F.transform(F.split(F.col(text_col), ""), lambda c: F.ascii(c))
     return df.withColumn("__codes", codes).select(
@@ -105,14 +97,68 @@ def shingle_hash_array(
     )
 
 
+def shingle_hash_array(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Per-doc distinct shingle-hash ARRAY: (id, hs array<long>). The whole
+    set stays row-local — no explode, no shuffle. Document length is bounded,
+    so the array is too (~1 int64 per char); this is the carrier for the
+    zero-shuffle signature + verify stages. Shingles are hashed with a
+    32-bit rolling hash over a per-char code array (one pass per doc,
+    5 mult-adds per position — no per-shingle md5).
+
+    Batch inputs run a vectorized Arrow kernel (mapInArrow over the
+    whole partition; functions/shingle_kernel.py): Catalyst evaluates HOF
+    lambdas interpreted (no codegen), which made this projection ~22
+    core-seconds at sf0.1 vs ~2 for the segmented NumPy twin — values AND
+    first-occurrence array order are bit-identical (pinned by tests).
+    Streaming inputs keep the expression path (pure projection; the
+    parallelism spread is batch-only — a stream's partitioning is the
+    source's)."""
+    if df.isStreaming:
+        return _shingle_expr_path(df, id_col, text_col, k)
+    df = ensure_parallelism(df)
+    id_field = df.schema[id_col]
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        from dask_lightgbm_spark.functions.shingle_kernel import (
+            shingle_hashes_flat,
+        )
+
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            values, offsets = shingle_hashes_flat(texts, k)
+            hs = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                pa.array(values, type=pa.int64()),
+            )
+            yield pa.RecordBatch.from_arrays([ids, hs], [id_field.name, "hs"])
+
+    out_schema = T.StructType(
+        [id_field, T.StructField("hs", T.ArrayType(T.LongType()), False)]
+    )
+    return df.select(F.col(id_col), F.col(text_col)).mapInArrow(
+        kernel, out_schema
+    )
+
+
 def signatures_from_array(
     arr: DataFrame, id_col: str, num_perm: int, keep_cols: tuple[str, ...] = ()
 ) -> DataFrame:
     """Wide minhash signature from per-doc hash arrays: (id, mh0..mh{n-1}).
-    array_min over a row-local transform — NO shuffle at all. ``keep_cols``
-    carries input columns (e.g. the hs array itself) alongside the
-    signature — the streaming ingest path needs the verify-stage array on
-    the same row because a second stream-side join is not an option."""
+    Row-local — NO shuffle at all. ``keep_cols`` carries input columns
+    (e.g. the hs array itself) alongside the signature — the streaming
+    ingest path needs the verify-stage array on the same row because a
+    second stream-side join is not an option.
+
+    Batch inputs run the segmented NumPy kernel (mapInArrow; see
+    functions/shingle_kernel.py for the exactness argument — the
+    interpreted ``array_min(transform(...))`` walk re-visits every hash
+    per permutation, ~num_perm x |hs| interpreted evals per row).
+    Streaming inputs keep the expression path."""
     from dask_lightgbm_spark.functions.hashing import MINHASH_COEF
 
     if not 1 <= num_perm <= len(MINHASH_COEF):
@@ -121,17 +167,63 @@ def signatures_from_array(
             f"table shared with the SQL oracle); got {num_perm}"
         )
 
-    def perm_fn(i):
-        # nb: a plain `lambda h, i=i:` would be treated as a binary
-        # (element, index) HOF lambda by Spark — keep it unary via closure
-        return lambda h: minhash_value(h, i)
+    if arr.isStreaming:
+        def perm_fn(i):
+            # nb: a plain `lambda h, i=i:` would be treated as a binary
+            # (element, index) HOF lambda by Spark — keep it unary via closure
+            return lambda h: minhash_value(h, i)
 
-    cols = [
-        F.array_min(F.transform(F.col("hs"), perm_fn(i))).alias(f"mh{i}")
-        for i in range(num_perm)
+        cols = [
+            F.array_min(F.transform(F.col("hs"), perm_fn(i))).alias(f"mh{i}")
+            for i in range(num_perm)
+        ]
+        return arr.select(
+            F.col(id_col), *[F.col(c) for c in keep_cols], *cols
+        )
+
+    in_cols = [id_col, *keep_cols, "hs"]
+    # positions of the passthrough columns in the SELECTED batch
+    coef = tuple(MINHASH_COEF[:num_perm])
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from dask_lightgbm_spark.functions.hashing import MINHASH_PRIME
+        from dask_lightgbm_spark.functions.shingle_kernel import (
+            minhash_from_flat,
+        )
+
+        for batch in batches:
+            hs = batch.column(len(in_cols) - 1)
+            flat = hs.flatten()
+            values = flat.to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )
+            offsets = hs.offsets.to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )
+            # ListArray slices share buffers: offsets may not start at 0,
+            # while flatten() already accounts for the slice — re-base
+            offsets = offsets - offsets[0]
+            mh = minhash_from_flat(values, offsets, coef, MINHASH_PRIME)
+            empty = offsets[1:] == offsets[:-1]
+            out = [batch.column(i) for i in range(len(in_cols) - 1)]
+            for j in range(num_perm):
+                col = mh[:, j]
+                if empty.any():
+                    out.append(pa.array(col, type=pa.int64(), mask=empty))
+                else:
+                    out.append(pa.array(col, type=pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                out, in_cols[:-1] + [f"mh{j}" for j in range(num_perm)]
+            )
+
+    out_fields = [arr.schema[c] for c in in_cols[:-1]] + [
+        T.StructField(f"mh{j}", T.LongType()) for j in range(num_perm)
     ]
-    return arr.select(
-        F.col(id_col), *[F.col(c) for c in keep_cols], *cols
+    return arr.select(*[F.col(c) for c in in_cols]).mapInArrow(
+        kernel, T.StructType(out_fields)
     )
 
 

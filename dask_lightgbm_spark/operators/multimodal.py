@@ -88,22 +88,42 @@ def extract_features(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            feats = []
-            for payload in pdf[payload_col]:
-                if decode_stub:
-                    arr = np.frombuffer(bytes(payload), dtype=np.uint8)
-                    # deterministic fake "embedding": bucketed byte histogram
-                    hist = np.bincount(arr % dim, minlength=dim).astype(np.float32)
-                    feats.append(hist / max(len(arr), 1))
-                else:
-                    img = Image.open(io.BytesIO(bytes(payload))).convert("L")
+            if decode_stub:
+                # vectorized across the whole Arrow batch (guide §4.2): one
+                # contiguous byte buffer + a single segmented bincount on
+                # (row_idx·dim + byte%dim) replaces a per-row Python loop of
+                # small bincounts. float32 hist / float32 len reproduces the
+                # per-row `hist / max(len, 1)` IEEE ops exactly (lengths are
+                # int-exact in float32 at document sizes).
+                payloads = [bytes(p) for p in pdf[payload_col]]
+                n = len(payloads)
+                lens = np.fromiter(map(len, payloads), dtype=np.int64, count=n)
+                buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+                keys = np.repeat(np.arange(n, dtype=np.int64), lens) * dim + (
+                    buf % dim
+                )
+                hists = (
+                    np.bincount(keys, minlength=n * dim)
+                    .reshape(n, dim)
+                    .astype(np.float32)
+                )
+                feats_mat = hists / np.maximum(lens, 1).astype(np.float32)[:, None]
+                feats = list(feats_mat)
+                n_bytes = lens
+            else:
+                feats, sizes = [], []
+                for payload in pdf[payload_col]:
+                    raw = bytes(payload)
+                    img = Image.open(io.BytesIO(raw)).convert("L")
                     px = np.asarray(img, dtype=np.int64).ravel()
                     hist = np.bincount(px * dim // 256, minlength=dim).astype(np.float32)
                     feats.append(hist / max(px.size, 1))
+                    sizes.append(len(raw))
+                n_bytes = sizes
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].values,
-                    "n_bytes": [len(bytes(p)) for p in pdf[payload_col]],
+                    "n_bytes": n_bytes,
                     "feature": feats,
                 }
             )

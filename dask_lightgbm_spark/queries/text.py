@@ -773,7 +773,15 @@ def t19_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination: per train doc, the count of its distinct
     char 5-gram shingles that also appear anywhere in the eval split
     (doc_id % 20 == 0), plus a >=20% overlap flag (integer-exact compare).
-    Eval shingle set is broadcast; train side never self-joins."""
+    Eval shingle set is broadcast; train side never self-joins.
+
+    Single shingle pass over train (r15): size + overlap both come from ONE
+    exploded projection — carrying n_shingles through the explode and
+    LEFT-joining the broadcast eval set lets one groupBy produce both
+    aggregates. The previous two-branch plan (inner join for overlap, a
+    separate size projection) re-ran the rolling-hash shingling over every
+    train doc a second time; shuffle volume is unchanged (map-side partial
+    agg collapses to one row per doc either way)."""
     d = load_table(spark, sf_dir, "documents")
     tr = d.filter(F.col("doc_id") % 20 != 0)
     ev = d.filter(F.col("doc_id") % 20 == 0)
@@ -783,25 +791,27 @@ def t19_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode("hs").alias("h"))
         .distinct()
     )
-    tr_sh = tr_arr.select("doc_id", F.explode("hs").alias("h"))
-    overlap = (
-        tr_sh.join(F.broadcast(ev_sh), "h")
+    tr_sh = tr_arr.select(
+        "doc_id",
+        F.size("hs").cast("long").alias("n_shingles"),
+        F.explode("hs").alias("h"),
+    )
+    stats = (
+        tr_sh.join(F.broadcast(ev_sh.withColumn("__m", F.lit(1))), "h", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("__ov"))
-    )
-    sizes = tr_arr.select("doc_id", F.size("hs").cast("long").alias("n_shingles"))
-    return (
-        sizes.join(overlap, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_shingles",
-            F.coalesce(F.col("__ov"), F.lit(0)).cast("long").alias("n_overlap"),
-            (
-                F.coalesce(F.col("__ov"), F.lit(0)) * F.lit(5) >= F.col("n_shingles")
-            ).alias("contaminated"),
+        .agg(
+            F.max("n_shingles").alias("n_shingles"),
+            F.sum("__m").alias("__ov"),
         )
-        .orderBy("doc_id")
     )
+    return stats.select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("__ov"), F.lit(0)).cast("long").alias("n_overlap"),
+        (
+            F.coalesce(F.col("__ov"), F.lit(0)) * F.lit(5) >= F.col("n_shingles")
+        ).alias("contaminated"),
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
