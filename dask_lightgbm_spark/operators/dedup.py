@@ -227,12 +227,105 @@ def signatures_from_array(
     )
 
 
+def _shingle_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    num_perm: int,
+    keep_hs: bool = False,
+) -> DataFrame:
+    """Fused batch kernel: texts → (id[, hs], mh0..mh{n-1}) in ONE
+    mapInArrow pass. Composing :func:`shingle_hash_array` +
+    :func:`signatures_from_array` chains two PythonMapInArrow nodes, so
+    every hs array crosses JVM→Python→JVM→Python; the fused kernel hands
+    ``shingle_hashes_flat``'s output straight to ``minhash_from_flat``
+    in-process — values identical by construction (same kernels, same
+    flat arrays). Streaming inputs fall back to the composed expression
+    paths (identical results; a stream cannot mapInArrow here anyway)."""
+    from dask_lightgbm_spark.functions.hashing import MINHASH_COEF
+
+    if df.isStreaming:
+        arr = _shingle_expr_path(df, id_col, text_col, k)
+        return signatures_from_array(
+            arr, id_col, num_perm, keep_cols=("hs",) if keep_hs else ()
+        )
+    if not 1 <= num_perm <= len(MINHASH_COEF):
+        raise ValueError(
+            f"num_perm must be in [1, {len(MINHASH_COEF)}] (fixed permutation "
+            f"table shared with the SQL oracle); got {num_perm}"
+        )
+    df = ensure_parallelism(df)
+    id_field = df.schema[id_col]
+    coef = tuple(MINHASH_COEF[:num_perm])
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        from dask_lightgbm_spark.functions.hashing import MINHASH_PRIME
+        from dask_lightgbm_spark.functions.shingle_kernel import (
+            minhash_from_flat,
+            shingle_hashes_flat,
+        )
+
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            values, offsets = shingle_hashes_flat(texts, k)
+            mh = minhash_from_flat(values, offsets, coef, MINHASH_PRIME)
+            empty = offsets[1:] == offsets[:-1]
+            out, names = [ids], [id_field.name]
+            if keep_hs:
+                out.append(
+                    pa.ListArray.from_arrays(
+                        pa.array(offsets, type=pa.int32()),
+                        pa.array(values, type=pa.int64()),
+                    )
+                )
+                names.append("hs")
+            for j in range(num_perm):
+                col = mh[:, j]
+                if empty.any():
+                    out.append(pa.array(col, type=pa.int64(), mask=empty))
+                else:
+                    out.append(pa.array(col, type=pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                out, names + [f"mh{j}" for j in range(num_perm)]
+            )
+
+    fields = [id_field]
+    if keep_hs:
+        fields.append(T.StructField("hs", T.ArrayType(T.LongType()), False))
+    fields += [T.StructField(f"mh{j}", T.LongType()) for j in range(num_perm)]
+    return df.select(F.col(id_col), F.col(text_col)).mapInArrow(
+        kernel, T.StructType(fields)
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k_shingle: int = 5, num_perm: int = 16
 ) -> DataFrame:
-    return signatures_from_array(
-        shingle_hash_array(df, id_col, text_col, k_shingle), id_col, num_perm
-    )
+    return _shingle_signatures(df, id_col, text_col, k_shingle, num_perm)
+
+
+def sig_match_count(a: Column | str, b: Column | str, num_perm: int) -> Column:
+    """Signature-agreement count between two sigarr columns: the number of
+    positions where the minhash values are equal.
+
+    Semantically identical to ``aggregate(zip_with(a, b, (x,y) ->
+    (x=y)::int), 0, +)`` — including null propagation: one null comparison
+    nulls the whole sum, so a null-filtered row stays filtered. Unrolled to
+    ``(a[1]=b[1])::int + ... + (a[n]=b[n])::int`` because Catalyst evaluates
+    HOF lambdas interpreted (no codegen, one array allocation per row per
+    HOF): the fold cost ~0.7 s over 22k candidate pairs at sf0.1 where the
+    unrolled comparisons codegen to straight-line compares (r15). Works on
+    streaming plans too — it is a plain projection."""
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    out = None
+    for i in range(num_perm):
+        term = (F.element_at(a, i + 1) == F.element_at(b, i + 1)).cast("int")
+        out = term if out is None else out + term
+    return out
 
 
 def _band_views(
@@ -394,29 +487,25 @@ def minhash_lsh_neardup(
     match_against avoid the cache entirely for this reason)."""
     if est_min_matches is None:
         est_min_matches = num_perm // 2
-    # per-doc hash arrays feed both the signature and the verify stage —
-    # persist so the shingling projection runs once. The signature itself is
-    # NOT persisted: since the band views became a single explode, sig is
-    # consumed exactly once, and a cache write would be pure overhead.
+    # ONE persisted carrier (id, hs, mh*) feeds the band views AND both
+    # verify sides: the fused kernel (r15) computes shingles + signatures in
+    # a single Python pass, where the previous arr-persist + separate
+    # signature kernel crossed the JVM/Python boundary twice per hs array.
     from dask_lightgbm_spark.session import track_lazy_persist
 
-    arr = track_lazy_persist(
-        shingle_hash_array(df, id_col, text_col, k_shingle).persist()
+    base = track_lazy_persist(
+        _shingle_signatures(
+            df, id_col, text_col, k_shingle, num_perm, keep_hs=True
+        ).persist()
     )
-    sig = signatures_from_array(arr, id_col, num_perm)
+    sig = base
     # band views carry the FULL signature as an array so the estimate filter
     # evaluates inline on the band join output — no extra signature joins
     sig_arr = F.array(*[F.col(f"mh{i}") for i in range(num_perm)])
     bands = _band_views(
         sig, id_col, num_perm, band_size, extra_cols=[sig_arr.alias("sigarr")]
     )
-    matches = F.aggregate(
-        F.zip_with(
-            F.col("a.sigarr"), F.col("b.sigarr"), lambda x, y: (x == y).cast("int")
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    matches = sig_match_count("a.sigarr", "b.sigarr", num_perm)
     if bucket_cap is not None:
         if bucket_cap < 1:
             raise ValueError(f"bucket_cap must be >= 1, got {bucket_cap}")
@@ -473,8 +562,8 @@ def minhash_lsh_neardup(
         .distinct()
     )
     # verify: row-local array_intersect per candidate pair — no exploded join
-    a = arr.select(F.col(id_col).alias("id_a"), F.col("hs").alias("ha"))
-    b = arr.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hb"))
+    a = base.select(F.col(id_col).alias("id_a"), F.col("hs").alias("ha"))
+    b = base.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hb"))
     inter = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
     jac = (
         cand.join(a, "id_a")
@@ -656,7 +745,7 @@ def build_minhash_band_index(
     arr_cor = shingle_hash_array(corpus_df, id_col, text_col, k_shingle)
     sig_arr = F.array(*[F.col(f"mh{i}") for i in range(num_perm)])
     bands_cor = _band_views(
-        signatures_from_array(arr_cor, id_col, num_perm),
+        _shingle_signatures(corpus_df, id_col, text_col, k_shingle, num_perm),
         id_col, num_perm, band_size, extra_cols=[sig_arr.alias("sigarr")],
     )
     return bands_cor, arr_cor
@@ -1127,7 +1216,7 @@ def minhash_lsh_match_against_index(
     arr_cor = corpus_verify
     sig_arr = F.array(*[F.col(f"mh{i}") for i in range(num_perm)])
     bands_new = _band_views(
-        signatures_from_array(arr_new, id_col, num_perm),
+        _shingle_signatures(new_df, id_col, text_col, k_shingle, num_perm),
         id_col, num_perm, band_size, extra_cols=[sig_arr.alias("sigarr")],
     )
     bands_cor = corpus_bands
@@ -1160,13 +1249,7 @@ def minhash_lsh_match_against_index(
         cond = cond & (F.col("a.__g") == F.col("b.__g"))
     else:
         a, b = bands_new.alias("a"), bands_cor.alias("b")
-    matches = F.aggregate(
-        F.zip_with(
-            F.col("a.sigarr"), F.col("b.sigarr"), lambda x, y: (x == y).cast("int")
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    matches = sig_match_count("a.sigarr", "b.sigarr", num_perm)
     cand = (
         a.join(b, cond)
         .filter(matches >= est_min_matches)

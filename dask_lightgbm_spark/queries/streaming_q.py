@@ -427,13 +427,7 @@ def x14_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(f"bv{j}") for j in range(BAND_SIZE)],
         F.col("sigarr").alias("sig_new"), "ha",
     )
-    matches = F.aggregate(
-        F.zip_with(
-            F.col("sig_new"), F.col("sig_cor"), lambda x, y: (x == y).cast("int")
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    matches = dedup.sig_match_count("sig_new", "sig_cor", NUM_PERM)
     # no broadcast hint: the corpus band table is data-sized at scale —
     # let the planner pick (it broadcasts at fixture size anyway); the
     # stream-static join is an equi-join either way

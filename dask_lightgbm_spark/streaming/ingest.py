@@ -93,15 +93,9 @@ def stream_match_against_index(
             "sig_new",
             "ha",
         )
-        matches = F.aggregate(
-            F.zip_with(
-                F.col("sig_new"),
-                F.col("sig_cor"),
-                lambda x, y: (x == y).cast("int"),
-            ),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        )
+        from dask_lightgbm_spark.operators.dedup import sig_match_count
+
+        matches = sig_match_count("sig_new", "sig_cor", num_perm)
         # no broadcast hint: the stored band table is data-sized at scale
         cand = (
             bands_new.join(

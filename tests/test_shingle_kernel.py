@@ -1,0 +1,144 @@
+"""Bit-exactness pins for the r15 vectorized shingle/minhash kernels.
+
+The optimization contract is that the Arrow kernel paths
+(functions/shingle_kernel.py, dedup._shingle_signatures) are bit-identical
+twins of the interpreted expression paths they replaced — values AND
+first-occurrence array order. These tests pin that against a pure-Python
+reference (no Spark) and against the live expression path (Spark),
+including the short-document (len < k) padding semantics that broke once
+during the round.
+"""
+
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dask_lightgbm_spark.functions.shingle_kernel import (
+    POLY_MULT,
+    minhash_from_flat,
+    shingle_hashes_flat,
+)
+from dask_lightgbm_spark.operators import dedup
+
+TRICKY = [
+    "",
+    "a",
+    "ab",
+    "abcd",
+    "abcde",
+    "hello world",
+    "aaaaaaa",
+    "ab" * 50,
+    "unicode é中文 ↑ test",
+    " leading and trailing  ",
+]
+
+
+def _ref_shingles(text: str, k: int) -> list[int]:
+    codes = [ord(c) for c in text]
+    n_pos = max(len(codes) - (k - 1), 1)
+    out, seen = [], set()
+    for p in range(n_pos):
+        h = 0
+        for i in range(k):
+            c = codes[p + i] if p + i < len(codes) else 0
+            h = (h * POLY_MULT + c) & 0xFFFFFFFF
+        if h not in seen:
+            seen.add(h)
+            out.append(h)
+    return out
+
+
+def test_kernel_matches_pure_python_reference():
+    rng = random.Random(7)
+    texts = TRICKY + [
+        "".join(rng.choice("abcdef é中") for _ in range(rng.randint(0, 12)))
+        for _ in range(200)
+    ]
+    for k in (2, 3, 5, 8):
+        vals, offs = shingle_hashes_flat(texts, k)
+        for i, t in enumerate(texts):
+            got = list(vals[offs[i] : offs[i + 1]])
+            assert got == _ref_shingles(t, k), (k, repr(t))
+
+
+def test_minhash_from_flat_matches_direct_min():
+    import numpy as np
+
+    from dask_lightgbm_spark.functions.hashing import MINHASH_COEF, MINHASH_PRIME
+
+    vals, offs = shingle_hashes_flat(TRICKY, 5)
+    coef = tuple(MINHASH_COEF[:8])
+    mh = minhash_from_flat(vals, offs, coef, MINHASH_PRIME)
+    for i in range(len(TRICKY)):
+        seg = vals[offs[i] : offs[i + 1]]
+        for j, (a, b) in enumerate(coef):
+            want = min((int(v) * a + b) % MINHASH_PRIME for v in seg)
+            assert mh[i, j] == want
+    assert not (offs[1:] == offs[:-1]).any()  # every doc yields >= 1 shingle
+
+
+@pytest.fixture(scope="module")
+def tricky_df(spark):
+    rows = [(i, t) for i, t in enumerate(TRICKY * 5)]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_fused_kernel_matches_expression_path(spark, tricky_df):
+    """Kernel vs interpreted-expression twins: hs arrays (incl. order) and
+    all minhash columns identical; fused single-pass == composed paths."""
+    from dask_lightgbm_spark.functions.hashing import minhash_value
+    from dask_lightgbm_spark.queries import _ship_package
+
+    _ship_package(spark)
+    num_perm = 8
+    fused = (
+        dedup._shingle_signatures(tricky_df, "doc_id", "text", 5, num_perm, keep_hs=True)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    arr_e = dedup._shingle_expr_path(tricky_df, "doc_id", "text", 5)
+    cols = [
+        F.array_min(
+            F.transform(F.col("hs"), (lambda i: (lambda h: minhash_value(h, i)))(i))
+        ).alias(f"mh{i}")
+        for i in range(num_perm)
+    ]
+    expr = (
+        arr_e.select("doc_id", "hs", *cols)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(fused.columns) == list(expr.columns)
+    for c in fused.columns:
+        if c == "hs":
+            assert all(list(x) == list(y) for x, y in zip(fused[c], expr[c]))
+        else:
+            assert (fused[c] == expr[c]).all(), c
+
+
+def test_sig_match_count_matches_hof_fold(spark):
+    """Unrolled estimate filter == aggregate(zip_with(...)) fold, including
+    null propagation (a null element nulls the whole count)."""
+    pdf = pd.DataFrame(
+        {
+            "a": [[1, 2, 3, 4], [1, 0, 3, 0], [None, 2, 3, 4], [5, 6, 7, 8]],
+            "b": [[1, 2, 3, 4], [1, 9, 3, 9], [1, 2, 3, 4], [1, 2, 3, 4]],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    fold = F.aggregate(
+        F.zip_with(F.col("a"), F.col("b"), lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    out = df.select(
+        fold.alias("fold"),
+        dedup.sig_match_count("a", "b", 4).alias("unrolled"),
+    ).collect()
+    for r in out:
+        assert r.fold == r.unrolled, (r.fold, r.unrolled)
