@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from dask_lightgbm_spark.functions.hashing import (
     MINHASH_COEF,
@@ -20,7 +21,7 @@ from dask_lightgbm_spark.functions.hashing import (
     sql_hash60,
     sql_poly_shingle_hash,
 )
-from dask_lightgbm_spark.functions.partitioning import key_skew_stats
+from dask_lightgbm_spark.functions.partitioning import ensure_parallelism, key_skew_stats
 from dask_lightgbm_spark.operators import dedup, text_ops
 from dask_lightgbm_spark.operators.dedup import SIMHASH_BITS
 from dask_lightgbm_spark.operators.text_ops import LANG_MARKERS
@@ -773,45 +774,112 @@ def t19_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination: per train doc, the count of its distinct
     char 5-gram shingles that also appear anywhere in the eval split
     (doc_id % 20 == 0), plus a >=20% overlap flag (integer-exact compare).
-    Eval shingle set is broadcast; train side never self-joins.
 
-    Single shingle pass over train (r15): size + overlap both come from ONE
-    exploded projection — carrying n_shingles through the explode and
-    LEFT-joining the broadcast eval set lets one groupBy produce both
-    aggregates. The previous two-branch plan (inner join for overlap, a
-    separate size projection) re-ran the rolling-hash shingling over every
-    train doc a second time; shuffle volume is unchanged (map-side partial
-    agg collapses to one row per doc either way)."""
+    Topology (r15, guide §1.2 / §4.2): the eval split's distinct shingle
+    set — small by nature, and ALREADY collected driver-side by the
+    previous plan's BroadcastExchange — is gathered once (per-partition
+    uniques union'd by np.unique) and rebroadcast as a sorted int64 array;
+    the train side then answers size AND overlap from ONE fused mapInArrow
+    pass (shingle kernel + searchsorted membership + segmented count).
+    This removes the eval-side distinct exchange, the train-side explode
+    (|text| rows per doc), the broadcast hash join, and the per-doc groupBy
+    exchange — output is one row per train doc straight from the kernel.
+    Overlap counts distinct train shingles found in the eval set, exactly
+    the exploded-join COUNT(*) the oracle computes (hs is distinct per
+    doc; membership is binary). The driver holds the eval set either way
+    (broadcast relations are driver-built), so the scale bound is
+    unchanged: eval corpus << train corpus."""
     d = load_table(spark, sf_dir, "documents")
     tr = d.filter(F.col("doc_id") % 20 != 0)
     ev = d.filter(F.col("doc_id") % 20 == 0)
-    tr_arr = dedup.shingle_hash_array(tr, "doc_id", "text", K_SHINGLE)
-    ev_sh = (
-        dedup.shingle_hash_array(ev, "doc_id", "text", K_SHINGLE)
-        .select(F.explode("hs").alias("h"))
-        .distinct()
-    )
-    tr_sh = tr_arr.select(
-        "doc_id",
-        F.size("hs").cast("long").alias("n_shingles"),
-        F.explode("hs").alias("h"),
-    )
-    stats = (
-        tr_sh.join(F.broadcast(ev_sh.withColumn("__m", F.lit(1))), "h", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.max("n_shingles").alias("n_shingles"),
-            F.sum("__m").alias("__ov"),
+
+    # --- phase 1: eval shingle set, per-partition uniques -> driver union
+    def ev_kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from dask_lightgbm_spark.functions.shingle_kernel import (
+            shingle_hashes_flat,
         )
+
+        for batch in batches:
+            values, _ = shingle_hashes_flat(batch.column(0).to_pylist(), K_SHINGLE)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.unique(values), type=pa.int64())], ["h"]
+            )
+
+    import numpy as np
+
+    ev_parts = (
+        ensure_parallelism(ev.select("text"))
+        .mapInArrow(ev_kernel, T.StructType([T.StructField("h", T.LongType())]))
+        .toArrow()
     )
-    return stats.select(
-        "doc_id",
-        "n_shingles",
-        F.coalesce(F.col("__ov"), F.lit(0)).cast("long").alias("n_overlap"),
-        (
-            F.coalesce(F.col("__ov"), F.lit(0)) * F.lit(5) >= F.col("n_shingles")
-        ).alias("contaminated"),
-    ).orderBy("doc_id")
+    ev_set = np.unique(np.asarray(ev_parts.column("h"), dtype=np.int64))
+    b_ev = spark.sparkContext.broadcast(ev_set)
+
+    # --- phase 2: fused shingle + membership count over the train split
+    def tr_kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from dask_lightgbm_spark.functions.shingle_kernel import (
+            shingle_hashes_flat,
+        )
+
+        ev_sorted = b_ev.value
+        for batch in batches:
+            ids = batch.column(0)
+            values, offsets = shingle_hashes_flat(batch.column(1).to_pylist(), K_SHINGLE)
+            n_sh = offsets[1:] - offsets[:-1]
+            if len(values) and len(ev_sorted):
+                idx = np.searchsorted(ev_sorted, values)
+                idx[idx == len(ev_sorted)] = 0
+                hit = ev_sorted[idx] == values
+                doc_of = np.repeat(np.arange(len(n_sh), dtype=np.int64), n_sh)
+                n_ov = np.bincount(doc_of[hit], minlength=len(n_sh)).astype(np.int64)
+            else:
+                n_ov = np.zeros(len(n_sh), dtype=np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(n_sh, type=pa.int64()),
+                    pa.array(n_ov, type=pa.int64()),
+                    pa.array(n_ov * 5 >= n_sh),
+                ],
+                ["doc_id", "n_shingles", "n_overlap", "contaminated"],
+            )
+
+    out_schema = T.StructType(
+        [
+            tr.schema["doc_id"],
+            T.StructField("n_shingles", T.LongType()),
+            T.StructField("n_overlap", T.LongType()),
+            T.StructField("contaminated", T.BooleanType()),
+        ]
+    )
+    src = tr.select("doc_id", "text")
+    target = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        # narrow input needs a parallelism spread anyway — make the spread
+        # exchange RANGE-partitioned on the output sort key so the final
+        # ORDER BY is satisfied by construction (ranged partitions + local
+        # sort; the kernel is row-order-preserving). A sort AFTER the
+        # kernel costs a second kernel execution: the range partitioner's
+        # sampling job re-runs the sort's child, which includes the
+        # MapInArrow (measured 1.82 s -> 1.05 s at sf0.1). The trailing
+        # sortWithinPartitions is a no-op-cost local sort that puts the
+        # ordering in the plan explicitly.
+        return (
+            src.repartitionByRange(target, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .mapInArrow(tr_kernel, out_schema)
+            .sortWithinPartitions("doc_id")
+        )
+    # wide (at-scale) input: leave the scan partitioning alone — an extra
+    # full-corpus range shuffle of (doc_id, text) would dwarf the narrow
+    # 4-column output sort the classic plan pays.
+    return src.mapInArrow(tr_kernel, out_schema).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1066,9 +1134,22 @@ def t24_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_lightgbm_spark.operators import multimodal as mm
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    p = mm.attach_binary_payload(d, "text")
+    target = spark.sparkContext.defaultParallelism
+    spread = d.rdd.getNumPartitions() < target
+    if spread:
+        # narrow input needs a parallelism spread anyway (single-row-group
+        # scan = single-task kernel): make it a RANGE spread on the output
+        # sort key so the final ORDER BY is free — a sort AFTER the kernel
+        # re-executes the kernel inside the range partitioner's sampling
+        # job (same reasoning as t19; guide §2.4). At scale the scan is
+        # wide and the classic sort-after plan stands.
+        d = d.repartitionByRange(target, "doc_id").sortWithinPartitions("doc_id")
+    # only (doc_id, payload) cross the Python boundary — mapInPandas ships
+    # every input column it sees, and `text` duplicates the payload bytes
+    # (guide §4.1: select the needed columns before an opaque kernel).
+    p = mm.attach_binary_payload(d, "text").select("doc_id", "payload")
     f = mm.extract_features(p, dim=8)
-    return (
+    out = (
         f.select(
             "doc_id",
             "n_bytes",
@@ -1082,8 +1163,12 @@ def t24_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cnt"),
             F.col("n_bytes"),
         )
-        .orderBy("doc_id", "bucket")
     )
+    if spread:
+        # posexplode preserves row order: ranged-by-doc_id partitions each
+        # locally (doc_id, bucket)-sorted == the global ORDER BY
+        return out.sortWithinPartitions("doc_id", "bucket")
+    return out.orderBy("doc_id", "bucket")
 
 
 # ---------------------------------------------------------------------------
