@@ -319,7 +319,19 @@ def sig_match_count(a: Column | str, b: Column | str, num_perm: int) -> Column:
     HOF lambdas interpreted (no codegen, one array allocation per row per
     HOF): the fold cost ~0.7 s over 22k candidate pairs at sf0.1 where the
     unrolled comparisons codegen to straight-line compares (r15). Works on
-    streaming plans too — it is a plain projection."""
+    streaming plans too — it is a plain projection.
+
+    String inputs build the whole sum as ONE parsed SQL expression: the
+    Column-object form is 3 py4j round trips per permutation (~1.5 ms each
+    on this host), ~70 ms of driver chatter per plan build at num_perm=16
+    — same analyzed expression either way."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            " + ".join(
+                f"cast(element_at({a}, {i + 1}) = element_at({b}, {i + 1}) as int)"
+                for i in range(num_perm)
+            )
+        )
     a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
     out = None
     for i in range(num_perm):
@@ -341,36 +353,39 @@ def _band_views(
             f"num_perm ({num_perm}) must be a positive multiple of band_size "
             f"({band_size}); trailing permutations would be silently dropped"
         )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                *[
-                    F.col(f"mh{b * band_size + j}").alias(f"bv{j}")
-                    for j in range(band_size)
-                ],
+    # single parsed expression instead of ~5 py4j round trips per band
+    # (same analyzed plan; ~1.5 ms/trip of driver chatter on this host)
+    band_structs = F.expr(
+        "array(%s)"
+        % ", ".join(
+            "named_struct('band', %d, %s)"
+            % (
+                b,
+                ", ".join(
+                    f"'bv{j}', mh{b * band_size + j}" for j in range(band_size)
+                ),
             )
             for b in range(num_perm // band_size)
-        ]
+        )
     )
     exploded = sig.select(
         F.col(id_col), F.explode(band_structs).alias("__b"), *extra_cols
     )
-    return exploded.select(
-        F.col(id_col),
-        F.col("__b.band").alias("band"),
-        *[F.col(f"__b.bv{j}").alias(f"bv{j}") for j in range(band_size)],
-        *[F.col(c) for c in exploded.columns if c not in (id_col, "__b")],
+    return exploded.selectExpr(
+        f"`{id_col}`",
+        "__b.band as band",
+        *[f"__b.bv{j} as bv{j}" for j in range(band_size)],
+        *[f"`{c}`" for c in exploded.columns if c not in (id_col, "__b")],
     )
 
 
 def _band_join_cond(id_col: str, band_size: int):
-    cond = (F.col("a.band") == F.col("b.band")) & (
-        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    return F.expr(
+        " AND ".join(
+            ["a.band = b.band", f"a.`{id_col}` < b.`{id_col}`"]
+            + [f"a.bv{j} = b.bv{j}" for j in range(band_size)]
+        )
     )
-    for j in range(band_size):
-        cond = cond & (F.col(f"a.bv{j}") == F.col(f"b.bv{j}"))
-    return cond
 
 
 def lsh_candidate_pairs(
@@ -501,7 +516,7 @@ def minhash_lsh_neardup(
     sig = base
     # band views carry the FULL signature as an array so the estimate filter
     # evaluates inline on the band join output — no extra signature joins
-    sig_arr = F.array(*[F.col(f"mh{i}") for i in range(num_perm)])
+    sig_arr = F.expr("array(%s)" % ", ".join(f"mh{i}" for i in range(num_perm)))
     bands = _band_views(
         sig, id_col, num_perm, band_size, extra_cols=[sig_arr.alias("sigarr")]
     )
@@ -643,7 +658,11 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # ONE fold over the token hashes with a 60-slot array accumulator —
     # the hash array is consumed exactly once (60 separate per-bit folds
     # would make Catalyst recompute the md5 transform per fold).
-    powers = F.array(*[F.lit(1 << j).cast("long") for j in range(SIMHASH_BITS)])
+    # one parsed literal array: the Column form is 2 py4j round trips per
+    # bit (~1.5 ms each on this host) = ~0.18 s of plan-build chatter
+    powers = F.expr(
+        "array(%s)" % ", ".join(f"{1 << j}L" for j in range(SIMHASH_BITS))
+    )
     sums = F.aggregate(
         hs,
         F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
@@ -743,7 +762,7 @@ def build_minhash_band_index(
     either these live DataFrames or their parquet round-trip; the match
     set is identical by construction (same layout, same join)."""
     arr_cor = shingle_hash_array(corpus_df, id_col, text_col, k_shingle)
-    sig_arr = F.array(*[F.col(f"mh{i}") for i in range(num_perm)])
+    sig_arr = F.expr("array(%s)" % ", ".join(f"mh{i}" for i in range(num_perm)))
     bands_cor = _band_views(
         _shingle_signatures(corpus_df, id_col, text_col, k_shingle, num_perm),
         id_col, num_perm, band_size, extra_cols=[sig_arr.alias("sigarr")],
@@ -1214,7 +1233,7 @@ def minhash_lsh_match_against_index(
         est_min_matches = num_perm // 2
     arr_new = shingle_hash_array(new_df, id_col, text_col, k_shingle)
     arr_cor = corpus_verify
-    sig_arr = F.array(*[F.col(f"mh{i}") for i in range(num_perm)])
+    sig_arr = F.expr("array(%s)" % ", ".join(f"mh{i}" for i in range(num_perm)))
     bands_new = _band_views(
         _shingle_signatures(new_df, id_col, text_col, k_shingle, num_perm),
         id_col, num_perm, band_size, extra_cols=[sig_arr.alias("sigarr")],

@@ -79,7 +79,7 @@ def stream_match_against_index(
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         src = reader.parquet(new_dir)
         arr_new = shingle_hash_array(src, id_col, text_col, k_shingle)
-        sig_arr = F.array(*[F.col(f"mh{i}") for i in range(num_perm)])
+        sig_arr = F.expr("array(%s)" % ", ".join(f"mh{i}" for i in range(num_perm)))
         bands_new = _band_views(
             signatures_from_array(arr_new, id_col, num_perm, keep_cols=("hs",)),
             id_col,
