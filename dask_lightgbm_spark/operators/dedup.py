@@ -396,7 +396,10 @@ def lsh_candidate_pairs(
     shuffle-friendly, no cross-product. (minhash_lsh_neardup uses the same
     band layout fused with its estimate filter via _band_views.)"""
     bands = _band_views(sig, id_col, num_perm, band_size)
-    a, b = bands.alias("a"), bands.alias("b")
+    # corpus⋈corpus: pin a shuffle join — the band table grows with the
+    # corpus, and an estimate-driven broadcast of it is a driver-serial
+    # hash build of SF-growing data (see minhash_lsh_neardup)
+    a, b = bands.hint("shuffle_hash").alias("a"), bands.alias("b")
     return (
         a.join(b, _band_join_cond(id_col, band_size))
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
@@ -535,7 +538,9 @@ def minhash_lsh_neardup(
             .withColumn("__g", F.pmod(F.hash(F.col(id_col)), F.col("__ng")))
             .withColumn("__gmax", F.col("__ng") - F.lit(1))
         )
-        a = grouped.withColumn("__ga", F.col("__g")).withColumn(
+        # pin the salted self-join to a shuffle join for the same reason as
+        # the plain branch below: both sides are the SF-growing band table
+        a = grouped.hint("shuffle_hash").withColumn("__ga", F.col("__g")).withColumn(
             "__gb", F.explode(F.sequence(F.col("__g"), F.col("__gmax")))
         ).alias("a")
         b = grouped.withColumn("__gb", F.col("__g")).withColumn(
@@ -564,7 +569,15 @@ def minhash_lsh_neardup(
             F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
         )
     else:
-        a, b = bands.alias("a"), bands.alias("b")
+        # corpus⋈corpus band self-join: pin a shuffle join. Both sides grow
+        # with the corpus, and when the pruned estimate (band cols + sigarr)
+        # dips under the broadcast threshold the planner builds a
+        # corpus-sized hash relation ON THE DRIVER (measured 0.65 s
+        # single-threaded at sf1 against ~0.1 s of sharded shuffle) — and
+        # at real scale that plan is an OOM, not a slowdown. The verify
+        # joins below keep threshold behavior: `cand` is the output-bounded
+        # side and genuinely broadcastable.
+        a, b = bands.hint("shuffle_hash").alias("a"), bands.alias("b")
         cond = _band_join_cond(id_col, band_size)
         ids = (
             F.col(f"a.{id_col}").alias("id_a"),

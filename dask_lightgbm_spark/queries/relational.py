@@ -552,8 +552,14 @@ def q18_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ep_c = _cents(F.col("l_extendedprice"))
     disc_c = _pct(F.col("l_discount"))
+    # lineitem⋈orders is fact⋈fact (both grow with SF): pin a shuffle join.
+    # Unpinned, the planner broadcasts the filtered lineitem side whenever
+    # its pruned-column estimate dips under the threshold — a driver-serial
+    # hash build of an SF-growing relation (measured 0.85 s of the 3.0 s
+    # sf1 wall). The customer join below stays unhinted: a real dim,
+    # broadcast by the threshold policy (r9s4).
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
+        l.hint("merge").join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg((F.sum(ep_c * (F.lit(100) - disc_c)).cast("double") / F.lit(10000.0)).alias("revenue"))
@@ -1926,9 +1932,14 @@ def q58_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _cents(F.col("l_extendedprice")) * (
         F.lit(100) - _pct(F.col("l_discount"))
     )
+    # (customer⋈orders)⋈lineitem is fact⋈fact: pin a shuffle join (the
+    # planner otherwise broadcasts ALL of lineitem from its pruned-column
+    # estimate — a 6M-row driver-serial hash build, 2.6 s of the 3.7 s sf1
+    # wall; measured 3.0 → 1.2 s with the pin). supplier/nation/region
+    # joins below keep the threshold/hint broadcast policy.
     return (
         c.join(o, F.col("c_custkey") == F.col("o_custkey"))
-        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(l.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
             s,
             (F.col("l_suppkey") == F.col("s_suppkey"))
@@ -2230,11 +2241,16 @@ def q64_tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) - F.round(F.col("l_quantity")).cast("long") * _cents(
         F.col("p_retailprice")
     ) * F.lit(10)
+    # the orders join is fact⋈fact (both sides grow with SF): pin a shuffle
+    # join so the planner cannot broadcast the 1.5M-row orders side from its
+    # two-column estimate (a driver-serial build, ~0.9 s at sf1). part/
+    # supplier stay unhinted per the threshold policy; nation is a hinted
+    # constant dim.
     return (
         l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(o.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
             "n_name", F.year("o_orderdate").cast("int").alias("o_year")
         )
