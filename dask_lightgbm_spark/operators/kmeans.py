@@ -153,7 +153,7 @@ def kmeans_centroids(
     update stage has not run when this returns)."""
     if n_iters < 1:
         raise ValueError(f"n_iters must be >= 1, got {n_iters}")
-    e = df.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
+    e = df.select(F.col(id_col), to_double_array(vec_col).alias("v"))
     init = e.filter(init_filter)
     # the init set is k rows — a global window over it is k rows, not corpus
     init_df = init.select(

@@ -62,7 +62,7 @@ def train_codebooks(
     if dim % n_subspaces != 0:
         raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
     sub = dim // n_subspaces
-    e = df.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
+    e = df.select(F.col(id_col), to_double_array(vec_col).alias("v"))
     books: list[list[tuple[int, list[float]]]] = []
     for m in range(n_subspaces):
         sliced = e.select(id_col, F.slice("v", 1 + m * sub, sub).alias("sv"))
@@ -83,7 +83,7 @@ def encode_pq_interpreted(
     the vectorized kernel is pytest-proven bit-identical to; kept for the
     parity test and for readers tracing the oracle SQL."""
     sub = len(codebooks[0][0][1])
-    out = df.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
+    out = df.select(F.col(id_col), to_double_array(vec_col).alias("v"))
     for m, book in enumerate(codebooks):
         sv = F.slice("v", 1 + m * sub, sub)
         structs = F.array(
@@ -141,7 +141,7 @@ def encode_pq(
 
     src = df.select(
         F.col(id_col).cast("long").alias(id_col),
-        to_double_array(F.col(vec_col)).alias(vec_col),
+        to_double_array(vec_col).alias(vec_col),
     )
     schema = f"{id_col} long, v array<double>, " + ", ".join(
         f"code_{m} int" for m in range(len(books))
@@ -258,7 +258,7 @@ def pq_knn(
     else:
         queries = df.filter(queries_filter).select(
             F.col(id_col).alias("qid"),
-            to_double_array(F.col(vec_col)).alias("qv"),
+            to_double_array(vec_col).alias("qv"),
         )
         pairs = enc.select(
             F.col(id_col).alias("nid"), *[F.col(f"code_{m}") for m in range(n_sub)]

@@ -23,16 +23,40 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
-def to_double_array(c: Column) -> Column:
+# The Column overloads below build their higher-order folds through the
+# Python lambda API — ~12 py4j round trips per call (~25 ms of driver
+# chatter each on this host). When the argument is a plain SQL fragment
+# (a column name), the SAME expression parses from one string in ~0.7 ms;
+# the analyzed plan is identical modulo lambda-variable ids and the fold
+# order — hence every produced double — is unchanged (pinned by
+# tests/test_similarity.py::test_expr_builders_match_lambda_builders).
+# `0.0D` is the SQL double literal (bare 0.0 parses as DECIMAL).
+
+
+def to_double_array(c: Column | str) -> Column:
+    if isinstance(c, str):
+        return F.expr(f"transform(`{c}`, x -> cast(x as double))")
     return F.transform(c, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Sequential left-fold dot product: ((0+x1)+x2)+... in double."""
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Sequential left-fold dot product: ((0+x1)+x2)+... in double.
+    String args are trusted SQL fragments (internal call sites pass bare
+    column names)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+            "(acc, x) -> acc + x)"
+        )
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(
+            f"sqrt(aggregate(transform({a}, x -> x * x), 0.0D, "
+            "(acc, x) -> acc + x))"
+        )
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
 
 
@@ -172,23 +196,23 @@ def brute_force_knn(
         scored = ensure_parallelism(
             corpus.select(
                 F.col(id_col).cast("long").alias(id_col),
-                to_double_array(F.col(vec_col)).alias(vec_col),
+                to_double_array(vec_col).alias(vec_col),
             )
         ).mapInPandas(kernel, "qid long, nid long, cos double")
     else:
         c = corpus.select(
-            F.col(id_col).alias("nid"), to_double_array(F.col(vec_col)).alias("nv")
-        ).withColumn("nn", norm(F.col("nv")))
+            F.col(id_col).alias("nid"), to_double_array(vec_col).alias("nv")
+        ).withColumn("nn", norm("nv"))
         q = queries.select(
-            F.col(id_col).alias("qid"), to_double_array(F.col(vec_col)).alias("qv")
-        ).withColumn("qn", norm(F.col("qv")))
+            F.col(id_col).alias("qid"), to_double_array(vec_col).alias("qv")
+        ).withColumn("qn", norm("qv"))
         scored = (
             c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
             .select(
                 "qid",
                 "nid",
                 F.try_divide(
-                    dot(F.col("qv"), F.col("nv")), F.col("qn") * F.col("nn")
+                    dot("qv", "nv"), F.col("qn") * F.col("nn")
                 ).alias("cos"),
             )
         )
@@ -212,16 +236,16 @@ def assign_cells(
     for the query side of multi-probe search — nprobe rows per vector.
     Output: (id, v, cell)."""
     c = corpus.select(
-        F.col(id_col), to_double_array(F.col(vec_col)).alias("__v")
-    ).withColumn("__vn", norm(F.col("__v")))
+        F.col(id_col), to_double_array(vec_col).alias("__v")
+    ).withColumn("__vn", norm("__v"))
     cent = centroids.select(
-        F.col(id_col).alias("__cid"), to_double_array(F.col(vec_col)).alias("__cv")
-    ).withColumn("__cn", norm(F.col("__cv")))
+        F.col(id_col).alias("__cid"), to_double_array(vec_col).alias("__cv")
+    ).withColumn("__cn", norm("__cv"))
     scored = c.join(F.broadcast(cent)).select(
         id_col,
         "__v",
         "__cid",
-        F.try_divide(dot(F.col("__v"), F.col("__cv")), F.col("__vn") * F.col("__cn")).alias("__cs"),
+        F.try_divide(dot("__v", "__cv"), F.col("__vn") * F.col("__cn")).alias("__cs"),
     )
     if nprobe == 1:
         # argmax via struct-max aggregation instead of a row_number window:
@@ -355,15 +379,15 @@ def ivf_range_search(
     if "nn" in assigned.columns:
         n = assigned.select(*n_cols, F.col("nn"))
     else:
-        n = assigned.select(*n_cols).withColumn("nn", norm(F.col("nv")))
+        n = assigned.select(*n_cols).withColumn("nn", norm("nv"))
     return (
-        n.join(F.broadcast(q.withColumn("qn", norm(F.col("qv")))), "cell")
+        n.join(F.broadcast(q.withColumn("qn", norm("qv"))), "cell")
         .filter(F.col("qid") != F.col("nid"))
         .select(
             "qid",
             "nid",
             F.try_divide(
-                dot(F.col("qv"), F.col("nv")), F.col("qn") * F.col("nn")
+                dot("qv", "nv"), F.col("qn") * F.col("nn")
             ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
@@ -470,16 +494,16 @@ def ivf_knn(
     if "nn" in assigned.columns:
         n = assigned.select(*n_cols, F.col("nn"))
     else:
-        n = assigned.select(*n_cols).withColumn("nn", norm(F.col("nv")))
+        n = assigned.select(*n_cols).withColumn("nn", norm("nv"))
     if "qn" not in q.columns:
-        q = q.withColumn("qn", norm(F.col("qv")))
+        q = q.withColumn("qn", norm("qv"))
     scored = (
         n.join(F.broadcast(q), "cell")
         .filter(F.col("qid") != F.col("nid"))
         .select(
             "qid",
             "nid",
-            F.try_divide(dot(F.col("qv"), F.col("nv")), F.col("qn") * F.col("nn")).alias("cos"),
+            F.try_divide(dot("qv", "nv"), F.col("qn") * F.col("nn")).alias("cos"),
         )
     )
     w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
@@ -618,17 +642,17 @@ def cosine_neardup_pairs(
                 "at corpus scale, or pass max_rows=None to run it anyway."
             )
     a = df.select(
-        F.col(id_col).alias("id_a"), to_double_array(F.col(vec_col)).alias("va")
-    ).withColumn("na", norm(F.col("va")))
+        F.col(id_col).alias("id_a"), to_double_array(vec_col).alias("va")
+    ).withColumn("na", norm("va"))
     b = df.select(
-        F.col(id_col).alias("id_b"), to_double_array(F.col(vec_col)).alias("vb")
-    ).withColumn("nb", norm(F.col("vb")))
+        F.col(id_col).alias("id_b"), to_double_array(vec_col).alias("vb")
+    ).withColumn("nb", norm("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.try_divide(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")).alias("cos"),
+            F.try_divide(dot("va", "vb"), F.col("na") * F.col("nb")).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -682,7 +706,7 @@ def lsh_knn(
     if hamming_probe not in (0, 1):
         raise ValueError(f"hamming_probe must be 0 or 1, got {hamming_probe}")
     base = corpus.select(
-        F.col(id_col), to_double_array(F.col(vec_col)).alias("__v")
+        F.col(id_col), to_double_array(vec_col).alias("__v")
     ).withColumn("__bkt", lsh_bucket(F.col("__v")))
     q = base.filter(queries_filter).select(
         F.col(id_col).alias("qid"), F.col("__v").alias("qv"), F.col("__bkt").alias("bkt")
@@ -697,13 +721,13 @@ def lsh_knn(
         F.col(id_col).alias("nid"), F.col("__v").alias("nv"), F.col("__bkt").alias("bkt")
     )
     scored = (
-        n.withColumn("nn", norm(F.col("nv")))
-        .join(F.broadcast(q.withColumn("qn", norm(F.col("qv")))), "bkt")
+        n.withColumn("nn", norm("nv"))
+        .join(F.broadcast(q.withColumn("qn", norm("qv"))), "bkt")
         .filter(F.col("qid") != F.col("nid"))
         .select(
             "qid",
             "nid",
-            F.try_divide(dot(F.col("qv"), F.col("nv")), F.col("qn") * F.col("nn")).alias("cos"),
+            F.try_divide(dot("qv", "nv"), F.col("qn") * F.col("nn")).alias("cos"),
         )
     )
     w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
@@ -753,11 +777,11 @@ def quantized_knn(
     dot product."""
     c = corpus.select(
         F.col(id_col).alias("nid"),
-        quantize_int8(to_double_array(F.col(vec_col))).alias("nq"),
+        quantize_int8(to_double_array(vec_col)).alias("nq"),
     )
     q = queries.select(
         F.col(id_col).alias("qid"),
-        quantize_int8(to_double_array(F.col(vec_col))).alias("qq"),
+        quantize_int8(to_double_array(vec_col)).alias("qq"),
     )
     scored = c.join(F.broadcast(q), F.col("qid") != F.col("nid")).select(
         "qid", "nid", int_dot(F.col("qq"), F.col("nq")).alias("qscore")

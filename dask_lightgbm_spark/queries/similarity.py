@@ -218,7 +218,7 @@ FROM e GROUP BY label
 @query("s04_vector_stats", _S04_SQL)
 def s04_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    nrm = sim.norm(sim.to_double_array(F.col("embedding")))
+    nrm = sim.norm("transform(`embedding`, x -> cast(x as double))")
     cnt = F.count(F.lit(1))
     return (
         e.select("label", nrm.alias("nrm"))
@@ -320,7 +320,7 @@ def s06_neardup_in_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id_a",
             "id_b",
-            F.try_divide(sim.dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")).alias("cos"),
+            F.try_divide(sim.dot("va", "vb"), F.col("na") * F.col("nb")).alias("cos"),
         )
         .filter(F.col("cos") >= 0.42)
     )
@@ -534,7 +534,7 @@ def s10_ivf_learned_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, init_filter=F.col("vec_id") < _KM_K, n_iters=_KM_ITERS
     )
     cents = [(r.cid, list(r.cv)) for r in cents_df.collect()]
-    corpus = e.select("vec_id", sim.to_double_array(F.col("embedding")).alias("v"))
+    corpus = e.select("vec_id", sim.to_double_array("embedding").alias("v"))
     assigned = assign_to_literal_centroids(corpus, cents)
     q = assigned.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("cid")
@@ -543,14 +543,14 @@ def s10_ivf_learned_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("nid"), F.col("v").alias("nv"), F.col("cid")
     )
     scored = (
-        n.withColumn("nn", sim.norm(F.col("nv")))
-        .join(F.broadcast(q.withColumn("qn", sim.norm(F.col("qv")))), "cid")
+        n.withColumn("nn", sim.norm("nv"))
+        .join(F.broadcast(q.withColumn("qn", sim.norm("qv"))), "cid")
         .filter(F.col("qid") != F.col("nid"))
         .select(
             "qid",
             "nid",
             F.try_divide(
-                sim.dot(F.col("qv"), F.col("nv")), F.col("qn") * F.col("nn")
+                sim.dot("qv", "nv"), F.col("qn") * F.col("nn")
             ).alias("cos"),
         )
     )
@@ -712,7 +712,7 @@ def s13_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     x = e.select(
         "label",
-        F.posexplode(sim.to_double_array(F.col("embedding"))).alias("pos0", "val"),
+        F.posexplode(sim.to_double_array("embedding")).alias("pos0", "val"),
     )
     cnt = F.count(F.lit(1))
     return (
@@ -801,7 +801,7 @@ def s15_ivf_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     loaded = (
         spark.read.parquet(idx_dir)
         .join(e.select("vec_id", "embedding"), "vec_id")
-        .select("vec_id", sim.to_double_array(F.col("embedding")).alias("v"), "cell")
+        .select("vec_id", sim.to_double_array("embedding").alias("v"), "cell")
     )
     return sim.ivf_knn(
         e,
@@ -887,7 +887,7 @@ def s16_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid", "nid", F.col("cos").alias("rel")
     )
     ev = e.select(
-        "vec_id", sim.to_double_array(F.col("embedding")).alias("v")
+        "vec_id", sim.to_double_array("embedding").alias("v")
     )
     ca, cb = cands.alias("ca"), cands.alias("cb")
     pair_sims = (
@@ -903,7 +903,7 @@ def s16_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(ev.select(F.col("vec_id").alias("a"), F.col("v").alias("va")), "a")
         .join(ev.select(F.col("vec_id").alias("b"), F.col("v").alias("vb")), "b")
-        .select("qid", "a", "b", sim.cosine(F.col("va"), F.col("vb")).alias("sim"))
+        .select("qid", "a", "b", sim.cosine("va", "vb").alias("sim"))
     )
     return sim.mmr_rerank(cands, pair_sims, k=3, lam=0.7)
 
@@ -1591,7 +1591,7 @@ def s21_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("qid"),
             F.col("v").alias("qv"),
-            sim.norm(F.col("v")).alias("qn"),
+            sim.norm("v").alias("qn"),
             "cell",
             F.col("label").alias("qlab"),
         )
@@ -1610,7 +1610,7 @@ def s21_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid",
             "nid",
             F.try_divide(
-                sim.dot(F.col("qv"), F.col("nv")), F.col("qn") * F.col("nn")
+                sim.dot("qv", "nv"), F.col("qn") * F.col("nn")
             ).alias("cos"),
         )
     )
@@ -1725,7 +1725,7 @@ def s22_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             "src",
             "dst",
             F.try_divide(
-                sim.dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")
+                sim.dot("va", "vb"), F.col("na") * F.col("nb")
             ).alias("cos"),
         )
     )
@@ -1849,8 +1849,8 @@ def s24_knn_truncated_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid",
             F.col("vec_id").alias("nid"),
             F.try_divide(
-                sim.dot(F.col("qvt"), F.col("vt")),
-                sim.norm(F.col("qvt")) * sim.norm(F.col("vt")),
+                sim.dot("qvt", "vt"),
+                sim.norm("qvt") * sim.norm("vt"),
             ).alias("cos_trunc"),
             "qv",
         )
@@ -1867,8 +1867,8 @@ def s24_knn_truncated_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nid",
         "cos_trunc",
         F.try_divide(
-            sim.dot(F.col("qv"), F.col("nv")),
-            sim.norm(F.col("qv")) * sim.norm(F.col("nv")),
+            sim.dot("qv", "nv"),
+            sim.norm("qv") * sim.norm("nv"),
         ).alias("cos"),
     )
     w2 = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
@@ -2160,7 +2160,7 @@ def s27_ivf_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid",
             "nid",
             F.try_divide(
-                sim.dot(F.col("qv"), F.col("nv")), F.col("qn") * F.col("nn")
+                sim.dot("qv", "nv"), F.col("qn") * F.col("nn")
             ).alias("cos"),
         )
     )
@@ -2226,7 +2226,7 @@ def s28_ivf_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid",
             "nid",
             F.try_divide(
-                sim.dot(F.col("qv"), F.col("nv")), F.col("qn") * F.col("nn")
+                sim.dot("qv", "nv"), F.col("qn") * F.col("nn")
             ).alias("cos"),
         )
     )
@@ -2306,7 +2306,7 @@ def s29_knn_thresholded(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid",
             "nid",
             F.try_divide(
-                sim.dot(F.col("qv"), F.col("nv")), F.col("qn") * F.col("nn")
+                sim.dot("qv", "nv"), F.col("qn") * F.col("nn")
             ).alias("cos"),
         )
         # threshold BEFORE the window: the rank input shrinks to

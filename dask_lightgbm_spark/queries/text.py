@@ -1783,7 +1783,7 @@ def t34_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_lightgbm_spark.functions.partitioning import ensure_parallelism
 
     corpus = ensure_parallelism(e.select("vec_id", "embedding")).select(
-        "vec_id", sim.to_double_array(F.col("embedding")).alias("v")
+        "vec_id", sim.to_double_array("embedding").alias("v")
     )
     assigned = assign_vectorized(corpus, cents)
     cent_rows = spark.createDataFrame(
@@ -1796,10 +1796,10 @@ def t34_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v",
             "cid",
             F.try_divide(
-                sim.dot(F.col("v"), F.col("cv")),
-                sim.norm(F.col("v")) * sim.norm(F.col("cv")),
+                sim.dot("v", "cv"),
+                sim.norm("v") * sim.norm("cv"),
             ).alias("cs_cent"),
-            sim.norm(F.col("v")).alias("nn"),
+            sim.norm("v").alias("nn"),
         )
     )
     a = sc.select(
@@ -1830,7 +1830,7 @@ def t34_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nn").alias("nb"),
     )
     pair_cos = F.try_divide(
-        sim.dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")
+        sim.dot("va", "vb"), F.col("na") * F.col("nb")
     )
     # capped candidate side is <= K x CAP rows — broadcast it, so the
     # dominance check is a broadcast hash join over the corpus (no corpus

@@ -469,3 +469,34 @@ def test_scale_ivf_matches_mod_parameterized_oracle(spark, sf_dir):
     con.close()
     assert not compare("sf10_ann_scale_ivf", spark_pdf, duck_pdf)
     assert spark_pdf["qid"].nunique() == n_q
+
+
+def test_expr_builders_match_lambda_builders(spark):
+    """The string fast path of dot/norm/to_double_array builds the SAME
+    analyzed expression as the Column lambda path (modulo lambda-variable
+    ids): identical optimized plans -> identical sequential folds ->
+    bit-identical doubles. Pins the r15 plan-build chatter fix."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from dask_lightgbm_spark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        [(1, [1.5, -2.25, 3.0], [0.5, 0.25, -2.0]), (2, [0.0, 0.0, 0.0], [1.0, 1.0, 1.0])],
+        "id int, a array<double>, b array<double>",
+    )
+    canon = lambda s: re.sub(r"#\d+|lambda '?\w+", "", s)  # noqa: E731
+    pairs = [
+        (sim.dot("a", "b"), sim.dot(F.col("a"), F.col("b"))),
+        (sim.norm("a"), sim.norm(F.col("a"))),
+        (sim.cosine("a", "b"), sim.cosine(F.col("a"), F.col("b"))),
+        (sim.to_double_array("a"), sim.to_double_array(F.col("a"))),
+    ]
+    for expr_col, lam_col in pairs:
+        d1 = df.select(expr_col.alias("v"))
+        d2 = df.select(lam_col.alias("v"))
+        p1 = d1._jdf.queryExecution().optimizedPlan().toString()
+        p2 = d2._jdf.queryExecution().optimizedPlan().toString()
+        assert canon(p1) == canon(p2), (p1, p2)
+        assert d1.collect() == d2.collect()
