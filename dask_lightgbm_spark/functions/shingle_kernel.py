@@ -36,7 +36,7 @@ _MASK32 = 0xFFFFFFFF
 
 
 def shingle_hashes_flat(texts, k: int):
-    """Rolling-hash shingles for a batch of texts.
+    """Rolling-hash shingles for a batch of texts (list of str).
 
     Returns ``(values, offsets)``: int64 hash values of the distinct
     shingles of every text, concatenated in first-occurrence order, with
@@ -53,21 +53,83 @@ def shingle_hashes_flat(texts, k: int):
     bufs = [t.encode("utf-32-le") for t in texts]
     lens = np.fromiter((len(b) >> 2 for b in bufs), dtype=np.int64, count=n)
     codes = np.frombuffer(b"".join(bufs), dtype=np.uint32).astype(np.uint64)
+    return _shingles_from_codes(codes, lens, k)
+
+
+def shingle_hashes_flat_arrow(arr, k: int):
+    """:func:`shingle_hashes_flat` taking the Arrow string array itself.
+
+    Fast path: when the column is a plain ``string`` array with no nulls
+    and no byte >= 0x80, the UTF-8 data buffer IS the codepoint sequence —
+    the codes come straight from the Arrow buffers (one vectorized check +
+    one uint8->uint64 widen; no per-row Python string, no re-encode).
+    Anything else (non-ASCII, nulls, large_string) falls back to the
+    ``to_pylist`` route, whose UTF-32 decode is exact on any input. Both
+    routes produce identical values/offsets (same downstream kernel;
+    pinned by the fuzz tests)."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.zeros(1, dtype=np.int64),
+        )
+    if arr.null_count == 0 and pa.types.is_string(arr.type):
+        bufs = arr.buffers()
+        offs = np.frombuffer(bufs[1], dtype=np.int32)[
+            arr.offset : arr.offset + n + 1
+        ].astype(np.int64)
+        if bufs[2] is None:
+            seg = np.empty(0, dtype=np.uint8)
+        else:
+            seg = np.frombuffer(bufs[2], dtype=np.uint8)[offs[0] : offs[-1]]
+        if not (seg & 0x80).any():
+            lens = np.diff(offs)
+            return _shingles_from_codes(seg.astype(np.uint64), lens, k)
+    return shingle_hashes_flat(arr.to_pylist(), k)
+
+
+def _shingles_from_codes(codes, lens, k: int):
+    """Shared kernel body over flat per-char codepoints + per-doc lengths."""
+    import numpy as np
+
+    n = len(lens)
     n_pos = np.maximum(lens - (k - 1), 1)
+    char_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
 
     # zero-padded flat code array so windows of short docs read 0 past the
     # end (the try_element_at->0 semantics). A doc's windows span
-    # n_pos + k - 1 = max(len, k) slots: docs >= k need no padding at all,
-    # shorter ones need zeros out to k.
-    padlens = np.maximum(lens, k)
-    pad = np.zeros(int(padlens.sum()), dtype=np.uint64)
-    doc_of_char = np.repeat(np.arange(n, dtype=np.int64), lens)
-    pad_starts = np.concatenate(([0], np.cumsum(padlens)[:-1]))
-    char_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-    pad[
-        pad_starts[doc_of_char]
-        + (np.arange(len(codes), dtype=np.int64) - char_starts[doc_of_char])
-    ] = codes
+    # n_pos + k - 1 = max(len, k) slots: docs >= k need no padding at all —
+    # and that is the common case, where the "padded" array is exactly the
+    # code array (skip the 35 MB/batch scatter entirely); only a batch
+    # containing a doc shorter than k builds the padded copy.
+    if bool((lens >= k).all()):
+        pad = codes
+        pad_starts = char_starts
+    else:
+        padlens = np.maximum(lens, k)
+        pad = np.zeros(int(padlens.sum()), dtype=np.uint64)
+        doc_of_char = np.repeat(np.arange(n, dtype=np.int64), lens)
+        pad_starts = np.concatenate(([0], np.cumsum(padlens)[:-1]))
+        pad[
+            pad_starts[doc_of_char]
+            + (np.arange(len(codes), dtype=np.int64) - char_starts[doc_of_char])
+        ] = codes
+
+    # rolling hash of EVERY flat window start via contiguous slices (5
+    # sequential passes, no gather), then ONE gather at the valid per-doc
+    # window starts. Windows crossing doc boundaries are computed and
+    # discarded — they are never gathered, so they cannot leak into
+    # results; the fold itself is the identical uint64 mask-as-mod
+    # sequence per window.
+    m = len(pad) - (k - 1)
+    h = np.zeros(m, dtype=np.uint64)
+    for i in range(k):
+        h = (h * POLY_MULT + pad[i : i + m]) & _MASK32
 
     # window start index (into pad) for every shingle position of every doc
     total_pos = int(n_pos.sum())
@@ -76,10 +138,7 @@ def shingle_hashes_flat(texts, k: int):
     base = pad_starts[pos_doc] + (
         np.arange(total_pos, dtype=np.int64) - pos_starts[pos_doc]
     )
-    h = np.zeros(total_pos, dtype=np.uint64)
-    for i in range(k):
-        h = (h * POLY_MULT + pad[base + i]) & _MASK32
-    hs = h.astype(np.int64)
+    hs = h[base].astype(np.int64)
 
     # first-occurrence distinct per doc: one stable argsort on the combined
     # key (doc << 32 | hash) — both fit, so the key is collision-free

@@ -124,13 +124,12 @@ def shingle_hash_array(
         import pyarrow as pa
 
         from dask_lightgbm_spark.functions.shingle_kernel import (
-            shingle_hashes_flat,
+            shingle_hashes_flat_arrow,
         )
 
         for batch in batches:
             ids = batch.column(0)
-            texts = batch.column(1).to_pylist()
-            values, offsets = shingle_hashes_flat(texts, k)
+            values, offsets = shingle_hashes_flat_arrow(batch.column(1), k)
             hs = pa.ListArray.from_arrays(
                 pa.array(offsets, type=pa.int32()),
                 pa.array(values, type=pa.int64()),
@@ -265,13 +264,12 @@ def _shingle_signatures(
         from dask_lightgbm_spark.functions.hashing import MINHASH_PRIME
         from dask_lightgbm_spark.functions.shingle_kernel import (
             minhash_from_flat,
-            shingle_hashes_flat,
+            shingle_hashes_flat_arrow,
         )
 
         for batch in batches:
             ids = batch.column(0)
-            texts = batch.column(1).to_pylist()
-            values, offsets = shingle_hashes_flat(texts, k)
+            values, offsets = shingle_hashes_flat_arrow(batch.column(1), k)
             mh = minhash_from_flat(values, offsets, coef, MINHASH_PRIME)
             empty = offsets[1:] == offsets[:-1]
             out, names = [ids], [id_field.name]
@@ -1264,9 +1262,17 @@ def minhash_lsh_match_against_index(
                 f"(count(*) + {bucket_cap - 1}) div {bucket_cap}"
             ).alias("__ng")
         )
+        # corpus side of the band join: pin a shuffle join (hint sits ABOVE
+        # the bands_cor⋈ng join, so tiny ng still broadcasts into it). The
+        # corpus band table is corpus-sized; its size estimate is garbage
+        # whenever it was produced by a MapInArrow kernel (Python map nodes
+        # carry default stats), which let the planner broadcast a ~360 MB
+        # relation at the sf10 ladder — a driver-serial build that took the
+        # decade ratio from 4x to 9x (r15 breach, adjudicated by plan).
         b = (
             bands_cor.join(ng, bvs)
             .withColumn("__g", F.pmod(F.hash(F.col(id_col)), F.col("__ng")))
+            .hint("shuffle_hash")
             .alias("b")
         )
         # the new side must reach every corpus group of its bucket — it
@@ -1280,7 +1286,8 @@ def minhash_lsh_match_against_index(
         )
         cond = cond & (F.col("a.__g") == F.col("b.__g"))
     else:
-        a, b = bands_new.alias("a"), bands_cor.alias("b")
+        # same corpus-side pin as the capped branch above
+        a, b = bands_new.alias("a"), bands_cor.hint("shuffle_hash").alias("b")
     matches = sig_match_count("a.sigarr", "b.sigarr", num_perm)
     cand = (
         a.join(b, cond)
@@ -1292,7 +1299,13 @@ def minhash_lsh_match_against_index(
         .distinct()
     )
     an = arr_new.select(F.col(id_col).alias("new_id"), F.col("hs").alias("ha"))
-    bc = arr_cor.select(F.col(id_col).alias("corpus_id"), F.col("hs").alias("hb"))
+    # corpus verify side: corpus-sized rows each carrying an hs array —
+    # never broadcastable at scale, and its kernel-produced estimate is
+    # unreliable (see band-join comment); pin the shuffle join. The new
+    # side `an` keeps threshold behavior (small by the ingest contract).
+    bc = arr_cor.select(
+        F.col(id_col).alias("corpus_id"), F.col("hs").alias("hb")
+    ).hint("shuffle_hash")
     inter = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
     jac = (
         cand.join(an, "new_id")

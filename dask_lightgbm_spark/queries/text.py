@@ -799,11 +799,11 @@ def t19_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pyarrow as pa
 
         from dask_lightgbm_spark.functions.shingle_kernel import (
-            shingle_hashes_flat,
+            shingle_hashes_flat_arrow,
         )
 
         for batch in batches:
-            values, _ = shingle_hashes_flat(batch.column(0).to_pylist(), K_SHINGLE)
+            values, _ = shingle_hashes_flat_arrow(batch.column(0), K_SHINGLE)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(np.unique(values), type=pa.int64())], ["h"]
             )
@@ -824,13 +824,13 @@ def t19_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pyarrow as pa
 
         from dask_lightgbm_spark.functions.shingle_kernel import (
-            shingle_hashes_flat,
+            shingle_hashes_flat_arrow,
         )
 
         ev_sorted = b_ev.value
         for batch in batches:
             ids = batch.column(0)
-            values, offsets = shingle_hashes_flat(batch.column(1).to_pylist(), K_SHINGLE)
+            values, offsets = shingle_hashes_flat_arrow(batch.column(1), K_SHINGLE)
             n_sh = offsets[1:] - offsets[:-1]
             if len(values) and len(ev_sorted):
                 idx = np.searchsorted(ev_sorted, values)

@@ -142,3 +142,49 @@ def test_sig_match_count_matches_hof_fold(spark):
     ).collect()
     for r in out:
         assert r.fold == r.unrolled, (r.fold, r.unrolled)
+
+
+def test_arrow_kernel_matches_list_kernel_all_routes():
+    """shingle_hashes_flat_arrow == shingle_hashes_flat on: pure-ASCII
+    batches (the zero-copy buffer route), non-ASCII batches (the
+    to_pylist fallback), mixed batches, short docs (len < k), empty
+    strings, empty batches, and SLICED arrays (nonzero arr.offset — the
+    buffer window must respect it)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from dask_lightgbm_spark.functions.shingle_kernel import (
+        shingle_hashes_flat_arrow,
+    )
+
+    rng = random.Random(11)
+    ascii_alpha = "abcdefgh 0123"
+    uni_alpha = "abcé中↑ x"
+    batches = [
+        [],
+        [""],
+        ["", "", ""],
+        ["a", "ab", "abcd", "abcde", "hello world"],
+        ["".join(rng.choice(ascii_alpha) for _ in range(rng.randint(0, 30)))
+         for _ in range(100)],
+        ["".join(rng.choice(uni_alpha) for _ in range(rng.randint(0, 30)))
+         for _ in range(100)],
+        TRICKY,
+    ]
+    for texts in batches:
+        for k in (2, 5):
+            ref_v, ref_o = shingle_hashes_flat(texts, k)
+            arr = pa.array(texts, type=pa.string())
+            got_v, got_o = shingle_hashes_flat_arrow(arr, k)
+            assert np.array_equal(ref_v, got_v), (texts[:3], k)
+            assert np.array_equal(ref_o, got_o), (texts[:3], k)
+            if len(texts) >= 4:
+                lo, hi = 1, len(texts) - 1
+                sv, so = shingle_hashes_flat_arrow(arr.slice(lo, hi - lo), k)
+                rv, ro = shingle_hashes_flat(texts[lo:hi], k)
+                assert np.array_equal(sv, rv) and np.array_equal(so, ro)
+    # chunked input (combine_chunks route)
+    ch = pa.chunked_array([pa.array(["abcdef", "xy"]), pa.array(["hello"])])
+    cv, co = shingle_hashes_flat_arrow(ch, 3)
+    rv, ro = shingle_hashes_flat(["abcdef", "xy", "hello"], 3)
+    assert np.array_equal(cv, rv) and np.array_equal(co, ro)
