@@ -9,6 +9,8 @@ partials per key — a second, tiny shuffle. Only algebraic aggregates
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -39,18 +41,70 @@ def salted_sum_count(
     )
 
 
-def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+#: bytes of (compressed, columnar) input one spread task should own. 1 MiB
+#: of parquet text is ~0.3-1 s of shingle/score kernel work — coarse enough
+#: that task launch doesn't dominate, fine enough to load-balance. Cluster
+#: deployments tune via env; the cap is always defaultParallelism, so a
+#: wide cluster never over-splits a small input and a big input still
+#: reaches every core.
+_SPREAD_TASK_BYTES_ENV = "SPARK_GRAFT_SPREAD_TASK_BYTES"
+_SPREAD_TASK_BYTES_DEFAULT = 1 << 20
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's logical size estimate for the frame (file bytes for
+    scans, width-scaled for projections; conservatively huge for nodes
+    with no stats, e.g. Python maps)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
+def ensure_parallelism(
+    df: DataFrame,
+    min_parts: int | None = None,
+    bytes_per_task: int | None = None,
+) -> DataFrame:
     """Spread a narrow input across the cluster before a CPU-heavy
     projection. Single-file/single-row-group parquet scans arrive as ONE
-    partition — any expensive per-row work would run on one core. The
-    round-robin shuffle is tiny relative to the compute it parallelizes;
-    inputs that are already wide pass through untouched (at 100 TB the scan
-    is thousands of partitions and this is a no-op)."""
+    partition — any expensive per-row work would run on one core. Inputs
+    that are already wide pass through untouched (at 100 TB the scan is
+    thousands of partitions and this is a no-op).
+
+    The spread width is SIZE-adaptive, not a core-count constant: target =
+    clamp(ceil(plan-size / SPARK_GRAFT_SPREAD_TASK_BYTES), 1,
+    defaultParallelism). A tiny input (one ~0.5 MB row group) stays in one
+    task — round-robin-exchanging 5k rows to 32 partitions cost more wall
+    in task launches than the kernel it fed (measured: t05 sf0.1 1.30 s at
+    spread=32 vs 0.64 s unspread) — while anything ≥ cap×bytes-per-task
+    still reaches every core. Row ORDER downstream of the spread depends
+    on the width; no declared query's results do (the driver hash is
+    order-insensitive, ORDER BY queries sort last).
+
+    ``bytes_per_task`` is the caller's COST hint — bytes of input that
+    amount to roughly 0.3–1 s of its per-row work. The 1 MiB default fits
+    the vectorized NumPy kernels (~0.2–0.5 core-s/MB); callers running
+    heavier per-byte work (interpreted Catalyst HOF folds ~1 core-s/MB,
+    matmul scoring) pass a smaller budget so the same byte count spreads
+    wider. The env knob scales the DEFAULT only (cluster-level tuning);
+    explicit hints are relative measurements, not deploy-tunables."""
     if df.isStreaming:
         # micro-batch partitioning is the source's business; also .rdd is
         # illegal on a streaming frame
         return df
-    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    cap = df.sparkSession.sparkContext.defaultParallelism
+    if min_parts is not None:
+        target = min_parts
+    else:
+        est = _plan_size_bytes(df)
+        if est is None or est < 0:
+            target = cap
+        else:
+            bpt = bytes_per_task or int(
+                os.environ.get(_SPREAD_TASK_BYTES_ENV, _SPREAD_TASK_BYTES_DEFAULT)
+            )
+            target = max(1, min(cap, -(-est // max(bpt, 1))))
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

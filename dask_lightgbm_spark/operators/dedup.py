@@ -660,7 +660,11 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     (60 array folds), and the final bit-pack all happen inside one
     projection — NO explode, NO shuffle. Integer addition is associative,
     so the oracle's list_sum reproduces the folds exactly."""
-    df = ensure_parallelism(df)
+    # cost hint: the 60-slot fold is an interpreted Catalyst HOF — measured
+    # ~20x heavier per estimate-byte than the NumPy kernels (sf0.1 curve:
+    # 0.78 s at 1 task, 0.33 s at 16; sf1: 1.44 s at the 1 MiB default's
+    # 3 tasks vs 0.77 s wide), so 16 KiB of input is one ~0.3 s task
+    df = ensure_parallelism(df, bytes_per_task=16 << 10)
     toks = F.array_distinct(
         F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")
     )

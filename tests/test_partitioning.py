@@ -15,16 +15,41 @@ from dask_lightgbm_spark.functions.partitioning import (
 
 
 def test_ensure_parallelism_spreads_narrow_input(spark):
-    one = spark.range(1000).coalesce(1)
+    # big plan stats (range = 8 bytes/row -> ~800 MB) + one partition ->
+    # spread to every core
+    one = spark.range(100_000_000).coalesce(1)
     assert one.rdd.getNumPartitions() == 1
     spread = ensure_parallelism(one)
     assert (
         spread.rdd.getNumPartitions()
         == spark.sparkContext.defaultParallelism
     )
-    # values survive the round-robin spread
-    assert spread.count() == 1000
-    assert spread.agg(F.sum("id")).first()[0] == 999 * 1000 // 2
+    # values survive the round-robin spread (small frame for the data check)
+    small = ensure_parallelism(spark.range(1000).coalesce(1), min_parts=4)
+    assert small.count() == 1000
+    assert small.agg(F.sum("id")).first()[0] == 999 * 1000 // 2
+
+
+def test_ensure_parallelism_is_size_adaptive(spark):
+    # a tiny input stays unspread: exchanging 1k rows to 32 partitions
+    # costs more than the work it would parallelize
+    tiny = spark.range(1000).coalesce(1)
+    assert ensure_parallelism(tiny) is tiny
+    # mid-size input gets ceil(bytes / bytes_per_task) partitions:
+    # range stats are 8 bytes/row -> 1M rows = 8 MB -> 8 tasks at the
+    # 1 MiB default (deterministic: Range reports exact size)
+    cap = spark.sparkContext.defaultParallelism
+    mid = spark.range(1_000_000).coalesce(1)
+    expect = min(cap, 8)
+    assert ensure_parallelism(mid).rdd.getNumPartitions() == expect
+
+
+def test_ensure_parallelism_bytes_per_task_env(spark, monkeypatch):
+    # cluster knob: shrinking the per-task byte budget widens the spread
+    monkeypatch.setenv("SPARK_GRAFT_SPREAD_TASK_BYTES", "1000")
+    cap = spark.sparkContext.defaultParallelism
+    out = ensure_parallelism(spark.range(1_000_000).coalesce(1))
+    assert out.rdd.getNumPartitions() == cap
 
 
 def test_ensure_parallelism_noop_on_wide_input(spark):
