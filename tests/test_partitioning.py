@@ -52,6 +52,45 @@ def test_ensure_parallelism_bytes_per_task_env(spark, monkeypatch):
     assert out.rdd.getNumPartitions() == cap
 
 
+def test_ensure_parallelism_bytes_per_task_hint(spark):
+    # caller cost hint: a smaller per-task byte budget widens the spread
+    # for the same input (simhash's interpreted fold passes 16 KiB; pin
+    # the mechanism at the same scale: 8 MB est / 1 MiB -> 8, / 256 KiB
+    # -> 32-capped)
+    cap = spark.sparkContext.defaultParallelism
+    mid = spark.range(1_000_000).coalesce(1)
+    dflt = ensure_parallelism(mid).rdd.getNumPartitions()
+    hinted = ensure_parallelism(
+        mid, bytes_per_task=256 << 10
+    ).rdd.getNumPartitions()
+    assert dflt == min(cap, 8)
+    assert hinted == min(cap, 32)
+    assert hinted >= dflt
+
+
+def test_simhash_spread_uses_cost_hint(spark):
+    # the simhash operator spreads ~20x wider than the default policy for
+    # the same bytes: a one-partition ~1.6 MB text frame would get 2 tasks
+    # at the 1 MiB default but simhash's 16 KiB hint asks for ~100 (capped
+    # at defaultParallelism). Regression guard for the t06 sf1 serialization
+    # (1.44 s at 3 tasks vs 0.77 s wide).
+    from dask_lightgbm_spark.functions.partitioning import _plan_size_bytes
+    from dask_lightgbm_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame(
+        [(i, "tok%d alpha beta gamma delta" % i) for i in range(20_000)],
+        "doc_id long, text string",
+    ).coalesce(1)
+    est = _plan_size_bytes(df)
+    assert est is not None and est > (1 << 20)  # premise: > 1 default task
+    cap = spark.sparkContext.defaultParallelism
+    out = simhash(df, "doc_id", "text")
+    expect = min(cap, -(-est // (16 << 10)))
+    assert out.rdd.getNumPartitions() == expect
+    # and wider than the un-hinted policy would give
+    assert expect > -(-est // (1 << 20)) or expect == cap
+
+
 def test_ensure_parallelism_noop_on_wide_input(spark):
     target = spark.sparkContext.defaultParallelism
     wide = spark.range(1000).repartition(target + 2)
