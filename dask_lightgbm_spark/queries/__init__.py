@@ -142,58 +142,7 @@ def query(name: str, oracle: str | None = None):
 # regenerates the block below mechanically (`--check` reports staleness).
 _GATE_FIRST: list[str] = [
     # --- never driver-verified (prepend new queries here) ---
-    # --- last verified r11 ---
-    "t43_dataset_card",
-    "q81_k_anonymity_audit",
-    "s26_nprobe_recall_curve",
-    "t44_boilerplate_chunk_removal",
-    "q82_exact_bivariate_stats",
-    "s27_ivf_tombstone_delete",
-    "q83_table_diff",
-    "t45_filter_drift_report",
-    "q84_twap_irregular_events",
-    "t46_curriculum_stages",
-    "s28_ivf_compaction",
-    "t47_tokenizer_fertility",
-    "q85_join_key_skew_report",
-    "q86_moving_bands_exact",
-    "t48_duplication_profile",
-    "t49_stopword_induction",
-    "t50_langid_confusion",
-    "s29_knn_thresholded",
-    "q87_period_over_period",
-    "ml06_hash_collision_audit",
-    "t37_ngram_lm_counts",
-    "t38_inverted_index",
-    "t39_chunk_dedup",
-    "t34_semantic_dedup",
-    "t35_quality_classifier",
-    "q69_global_sorted_sink",
-    "s21_knn_filtered",
-    "t36_contamination_attribution",
-    "x12_stream_quality_scoring",
-    "t19_decontamination",
-    "t20_cleaning_pipeline",
-    "t21_boilerplate_ngrams",
-    "t22_mixture_allocation",
-    "t23_hash_sample_per_source",
-    "t24_multimodal_features",
-    "t25_frame_sampling",
-    "ml03_pipeline_api",
-    "s13_label_centroids",
     # --- last verified r12 ---
-    "q53_salted_skew_agg",
-    "q54_recursive_date_spine",
-    "q55_join_strategy_hints",
-    "t26_resize_payloads",
-    "s11_knn_ivf_learned_nprobe",
-    "s12_range_search_ivf",
-    "q49_conditional_agg",
-    "q50_distribution_windows",
-    "q51_unpivot_measures",
-    "q52_python_udtf_lateral",
-    "ml01_classifier_embeddings",
-    "ml02_regressor_lineitem",
     "q20_cube",
     "q11_distinct_counts",
     "q12_string_funcs",
@@ -283,6 +232,57 @@ _GATE_FIRST: list[str] = [
     "t04_minhash_signatures",
     "t05_minhash_lsh_neardup",
     "t06_simhash",
+    # --- last verified r14 ---
+    "t07_simhash_neardup",
+    "t08_lang_id",
+    "t09_text_quality",
+    "t10_token_stats",
+    "t11_fingerprint",
+    "t12_multimodal_meta",
+    "t13_tfidf_topterms",
+    "t14_dedup_components",
+    "t15_repetition_ratio",
+    "t16_token_zipf",
+    "t17_deterministic_split",
+    "t18_pii_scan",
+    "s01_knn_bruteforce",
+    "s02_knn_ivf",
+    "s03_embedding_neardup",
+    "s04_vector_stats",
+    "s05_knn_lsh",
+    "s06_neardup_in_cells",
+    "s07_knn_ivf_multiprobe",
+    "s08_knn_lsh_multiprobe",
+    "s09_kmeans_train",
+    "s10_ivf_learned_cells",
+    "x01_stream_events_hourly",
+    "x02_stream_stateful_user_totals",
+    "x03_stream_dedup_counts",
+    "x04_stream_static_join",
+    "q70_tpch_q7_volume_shipping",
+    "q71_tpch_q10_returned_items",
+    "q72_tpch_q8_market_share",
+    "s22_knn_graph",
+    "x13_stream_decontamination",
+    "q73_bucketed_join",
+    "q74_incremental_agg_merge",
+    "q75_constraint_audit",
+    "t40_incremental_ingest_dedup",
+    "s23_ivf_incremental_insert",
+    "ml04_hashed_bow_features",
+    "x14_stream_ingest_dedup",
+    "t41_gopher_quality_rules",
+    "s24_knn_truncated_rerank",
+    "q76_orc_roundtrip",
+    "q77_csv_gzip_roundtrip",
+    "x15_stream_ivf_insert",
+    "x16_stream_upsert_state",
+    "ml05_holdout_eval",
+    "q78_small_files_compaction",
+    "q79_analytic_battery",
+    "t42_editdist_verify",
+    "s25_label_propagation",
+    "q80_gapfill_timeseries",
 ]
 
 # module-name order for everything not in _GATE_FIRST (relational first —
