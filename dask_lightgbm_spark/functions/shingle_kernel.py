@@ -50,7 +50,11 @@ def shingle_hashes_flat(texts, k: int):
             np.empty(0, dtype=np.int64),
             np.zeros(1, dtype=np.int64),
         )
-    bufs = [t.encode("utf-32-le") for t in texts]
+    # NULL text encodes as '' — zero codes pad to k zeros, so hs = [0],
+    # bit-identical to the expression path's NULL output (try_element_at
+    # over a NULL array coalesces to 0 per window slot). Without this the
+    # arrow fallback route (nulls force it) crashed on None.encode.
+    bufs = [(t if t is not None else "").encode("utf-32-le") for t in texts]
     lens = np.fromiter((len(b) >> 2 for b in bufs), dtype=np.int64, count=n)
     codes = np.frombuffer(b"".join(bufs), dtype=np.uint32).astype(np.uint64)
     return _shingles_from_codes(codes, lens, k)

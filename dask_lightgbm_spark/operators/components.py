@@ -26,7 +26,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _truncate_lineage(df: DataFrame, created: list | None = None) -> DataFrame:
+def _truncate_lineage(
+    df: DataFrame, created: list | None = None, lazy_local: bool = False
+) -> DataFrame:
     """Materialize ``df`` and cut its plan back to a leaf. Reliable
     ``checkpoint`` when the session has a checkpoint dir (survives executor
     loss — set one for production-scale runs); ``localCheckpoint``
@@ -39,7 +41,15 @@ def _truncate_lineage(df: DataFrame, created: list | None = None) -> DataFrame:
     delete superseded rounds (Spark does NOT delete reliable checkpoint
     files unless spark.cleaner.referenceTracking.cleanCheckpoints is set,
     and even then only on GC — an iterating service would otherwise
-    accumulate unbounded checkpoint data on disk)."""
+    accumulate unbounded checkpoint data on disk).
+
+    ``lazy_local``: on the localCheckpoint branch only, defer
+    materialization to the caller's next action — a local checkpoint is
+    cache-backed, so the first action computes AND stores it in one job
+    (the caller's convergence count doubles as the materializer, halving
+    the per-round job count). Reliable checkpoints stay eager: a lazy
+    ``checkpoint()`` re-RUNS the whole computation in a second job to
+    write the files, which is strictly worse."""
     sc = df.sparkSession.sparkContext
     try:
         has_dir = sc.getCheckpointDir() is not None
@@ -51,7 +61,7 @@ def _truncate_lineage(df: DataFrame, created: list | None = None) -> DataFrame:
         if created is not None:
             created.append(_list_ckpt_paths(sc) - before)
         return out
-    return df.localCheckpoint(eager=True)
+    return df.localCheckpoint(eager=not lazy_local)
 
 
 def _ckpt_fs_root(sc):
@@ -115,26 +125,27 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("component").alias("n_min"))
         )
-        # eager checkpoint materializes EVERY partition of the new round
-        # before the convergence check, and both sides of that check are
-        # checkpoint leaves — the count's plan (and its listener-event plan
-        # string) stays O(1) regardless of round number
-        new_labels = _truncate_lineage(
+        # the checkpoint truncates the round's lineage so the plan (and its
+        # listener-event plan string) stays O(1) regardless of round
+        # number; the convergence count is the action that materializes
+        # it (lazy_local). The old/new label pair is already side by side
+        # in this join, so the changed flag rides the checkpoint as a
+        # boolean column instead of a second full join of old vs new
+        # labels per round (one shuffle + one job saved per round).
+        new_min = F.least(
+            F.col("component"), F.coalesce(F.col("n_min"), F.col("component"))
+        )
+        stepped = _truncate_lineage(
             labels.join(neigh, "a", "left").select(
                 "a",
-                F.least(F.col("component"), F.coalesce(F.col("n_min"), F.col("component"))).alias(
-                    "component"
-                ),
+                new_min.alias("component"),
+                (new_min < F.col("component")).alias("__changed"),
             ),
             ckpts,
+            lazy_local=True,
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "a")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("__changed")).count()
+        labels = stepped.select("a", "component")
         if changed == 0:
             converged = True
             break

@@ -36,7 +36,20 @@ def pagerank_int(edges: DataFrame, n_iters: int = 3) -> DataFrame:
     start of SCALE per node."""
     if n_iters < 1:
         raise ValueError(f"n_iters must be >= 1, got {n_iters}")
+    from dask_lightgbm_spark.session import track_lazy_persist
+
+    # Materialize the edge list ONCE for the whole loop (guide §5): the
+    # caller's edge lineage (fact⋈fact join + distinct) would otherwise be
+    # re-inlined into every iteration's plan — measured 80 parquet scans in
+    # the 3-iteration q60 plan. Persisting AFTER a hash repartition on src
+    # also lets every per-iteration edges⋈ranks / edges⋈deg join reuse the
+    # cached partitioning instead of re-exchanging the edges each round
+    # (§2.4). The returned ranks still depend on the cache lazily, so it
+    # registers with the session's release registry rather than
+    # unpersisting here (same contract as minhash_lsh_neardup's carrier).
+    edges = track_lazy_persist(edges.repartition(F.col("src")).persist())
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    deg = track_lazy_persist(deg.persist())
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(SCALE).cast("long").alias("rank")
     )

@@ -706,31 +706,35 @@ FROM stats
 
 @query("q24_grouped_zscore_pandas", _Q24_SQL)
 def q24_grouped_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
-
-    import pandas as pd
-
+    # The per-group kernel is just (sum, count, sum-of-squares) + row-local
+    # float math, so it needs no Python boundary at all (guide §4.1): the
+    # exact-int group stats come from a built-in partial aggregation (3
+    # groups -> a few rows) broadcast back onto the fact rows, and the z
+    # expression below is the ORACLE's own float expression verbatim —
+    # (qc - s/n) / sqrt((sq - s*(s/n))/n) — the identical IEEE op sequence
+    # the previous applyInPandas kernel ran (mean = s/n; sd =
+    # sqrt((sq - s*mean)/n); z = (qc - mean)/sd). The old plan shipped
+    # every row JVM->Python->JVM and shuffled the whole table on a 3-value
+    # key (one straggler partition per group); this one shuffles 3 rows.
     l = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_linenumber",
         "l_returnflag",
         F.round(F.col("l_quantity") * 100).cast("long").alias("qc"),
     )
-
-    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
-        # exact-int sums → float ops in the same order as the SQL oracle
-        s = int(pdf["qc"].sum())
-        n = len(pdf)
-        sq = int((pdf["qc"] * pdf["qc"]).sum())
-        mean = s / n
-        sd = math.sqrt((sq - s * mean) / n)
-        out = pdf[["l_orderkey", "l_linenumber", "l_returnflag"]].copy()
-        out["z"] = (pdf["qc"].to_numpy() - mean) / sd
-        return out
-
-    return l.groupBy("l_returnflag").applyInPandas(
-        zscore,
-        schema="l_orderkey long, l_linenumber int, l_returnflag string, z double",
+    stats = l.groupBy("l_returnflag").agg(
+        F.sum("qc").alias("__s"),
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("qc") * F.col("qc")).alias("__sq"),
+    )
+    return (
+        l.join(F.broadcast(stats), "l_returnflag")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.expr("(qc - __s/__n) / sqrt((__sq - __s*(__s/__n))/__n)").alias("z"),
+        )
     )
 
 
@@ -1084,13 +1088,28 @@ FROM lineitem GROUP BY l_returnflag
 @query("q35_approx_stats", _Q35_SQL)
 def q35_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
-    agg = l.groupBy("l_returnflag").agg(
+    # Keep the exact-distinct count OUT of the sketch aggregation: mixing
+    # count_distinct with the object-state aggregates makes Catalyst key
+    # the FIRST aggregation on (l_returnflag, l_partkey), so every one of
+    # the ~200k fine groups carries the full per-group state — 52 HLL
+    # longs + a t-digest + the exact-percentile value map — through two
+    # exchanges, and ObjectHashAggregate falls back to sort-based past 128
+    # groups (measured 6.8 s noop at sf0.1). Split, the sketch pass keeps
+    # heavy state for only the 3 flag groups (codegen'd partial agg) and
+    # the distinct pass is a plain long-only hash aggregate; the two
+    # 3-row results join broadcast. Same scan columns, same aggregate
+    # arithmetic per group, exact columns (n_rows, exact_parts, __em)
+    # unchanged — oracle-verified bit-exact.
+    sketches = l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("__ap"),
         F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("__am"),
-        F.count_distinct(F.col("l_partkey")).alias("exact_parts"),
         F.expr("percentile(l_extendedprice, 0.5)").alias("__em"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+    exact = l.groupBy("l_returnflag").agg(
+        F.count_distinct(F.col("l_partkey")).alias("exact_parts")
+    )
+    agg = sketches.join(F.broadcast(exact), "l_returnflag")
     return agg.select(
         "l_returnflag",
         "n_rows",

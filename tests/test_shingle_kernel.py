@@ -121,6 +121,33 @@ def test_fused_kernel_matches_expression_path(spark, tricky_df):
             assert (fused[c] == expr[c]).all(), c
 
 
+def test_fused_kernel_null_text_matches_expression_path(spark):
+    """NULL text rows must flow through the kernel path (they force the
+    arrow fallback route) and produce hs = [0] — exactly the expression
+    path's output for NULL — instead of crashing (r15 advisor, medium)."""
+    from dask_lightgbm_spark.queries import _ship_package
+
+    _ship_package(spark)
+    pdf = pd.DataFrame(
+        {"doc_id": [0, 1, 2, 3], "text": ["hello world", None, "", None]}
+    )
+    df = spark.createDataFrame(pdf)
+    fused = (
+        dedup._shingle_signatures(df, "doc_id", "text", 5, 4, keep_hs=True)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    expr = (
+        dedup._shingle_expr_path(df, "doc_id", "text", 5)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert all(list(x) == list(y) for x, y in zip(fused["hs"], expr["hs"]))
+    assert list(fused.loc[1, "hs"]) == [0] and list(fused.loc[3, "hs"]) == [0]
+
+
 def test_sig_match_count_matches_hof_fold(spark):
     """Unrolled estimate filter == aggregate(zip_with(...)) fold, including
     null propagation (a null element nulls the whole count)."""
@@ -188,3 +215,17 @@ def test_arrow_kernel_matches_list_kernel_all_routes():
     cv, co = shingle_hashes_flat_arrow(ch, 3)
     rv, ro = shingle_hashes_flat(["abcdef", "xy", "hello"], 3)
     assert np.array_equal(cv, rv) and np.array_equal(co, ro)
+    # NULL text: nulls force the to_pylist fallback; a null doc must yield
+    # hs = [0], identical to '' and to the expression path's NULL output
+    for texts in ([None], ["abc", None, "hello world", None, ""], [None, None]):
+        for k in (2, 5):
+            arr = pa.array(texts, type=pa.string())
+            got_v, got_o = shingle_hashes_flat_arrow(arr, k)
+            ref_v, ref_o = shingle_hashes_flat(
+                ["" if t is None else t for t in texts], k
+            )
+            assert np.array_equal(got_v, ref_v), (texts, k)
+            assert np.array_equal(got_o, ref_o), (texts, k)
+            null_rows = [i for i, t in enumerate(texts) if t is None]
+            for i in null_rows:
+                assert list(got_v[got_o[i] : got_o[i + 1]]) == [0]
