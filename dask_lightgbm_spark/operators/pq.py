@@ -58,18 +58,65 @@ def train_codebooks(
 ) -> list[list[tuple[int, list[float]]]]:
     """One deterministic k-means codebook per contiguous subspace.
     Returns ``[subspace][code] -> centroid`` (driver-side: M×K×(dim/M)
-    doubles, a few KB). K = the number of rows matching ``init_filter``."""
+    doubles, a few KB). K = the number of rows matching ``init_filter``.
+
+    All M subspace trainings are FUSED per Lloyd's iteration (the
+    subspaces are independent k-means over slices of the same vectors, so
+    nothing couples them): one :func:`encode_pq` kernel pass assigns every
+    subspace's codes, and one combined (m, cid, subpos) aggregation —
+    the identical fixed-point mean expression ``kmeans._update_centroids``
+    uses, F.round and all, just keyed by subspace too — updates every
+    codebook. 3 corpus jobs total (init collect + one per iteration)
+    instead of 3 per subspace; bit-identity to the per-subspace route is
+    pinned by tests/test_prefix_pq.py::test_fused_codebooks_match_per_subspace."""
     if dim % n_subspaces != 0:
         raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
     sub = dim // n_subspaces
     e = df.select(F.col(id_col), to_double_array(vec_col).alias("v"))
-    books: list[list[tuple[int, list[float]]]] = []
-    for m in range(n_subspaces):
-        sliced = e.select(id_col, F.slice("v", 1 + m * sub, sub).alias("sv"))
-        cents = kmeans_centroids(
-            sliced, init_filter, id_col=id_col, vec_col="sv", n_iters=n_iters
+    init_rows = sorted(
+        ((r[0], list(r[1])) for r in e.filter(init_filter).collect()),
+        key=lambda r: r[0],
+    )
+    if not init_rows:
+        raise ValueError("init_filter matched no rows — k-means needs k >= 1 seeds")
+    # cid = rank of id within the init set; per-subspace init centroid =
+    # the contiguous slice (same values kmeans_centroids' F.slice produced)
+    books: list[list[tuple[int, list[float]]]] = [
+        [(cid, v[m * sub : (m + 1) * sub]) for cid, (_, v) in enumerate(init_rows)]
+        for m in range(n_subspaces)
+    ]
+    from dask_lightgbm_spark.operators.kmeans import FIXED_POINT
+
+    code_cols = [f"code_{m}" for m in range(n_subspaces)]
+    for _ in range(n_iters):
+        assigned = encode_pq(e, books, id_col, "v")
+        lf = assigned.select(
+            *code_cols, F.posexplode("v").alias("pos", "val")
+        ).select(
+            F.expr(f"pos div {sub}").alias("m"),
+            F.element_at(
+                F.array(*[F.col(c) for c in code_cols]),
+                F.expr(f"pos div {sub}").cast("int") + F.lit(1),
+            ).alias("cid"),
+            F.expr(f"pos % {sub}").alias("subpos"),
+            "val",
         )
-        books.append(sorted((r.cid, list(r.cv)) for r in cents.collect()))
+        per_dim = lf.groupBy("m", "cid", "subpos").agg(
+            (
+                F.sum(F.round(F.col("val") * FIXED_POINT).cast("long")).cast("double")
+                / F.lit(float(FIXED_POINT))
+                / F.count(F.lit(1))
+            ).alias("mv")
+        )
+        upd: dict[tuple[int, int], list[float]] = {}
+        for r in per_dim.collect():
+            upd.setdefault((r["m"], r["cid"]), [0.0] * sub)[r["subpos"]] = r["mv"]
+        books = [
+            sorted(
+                (cid, cv) for (m2, cid), cv in upd.items() if m2 == m
+            )
+            for m in range(n_subspaces)
+        ]
     return books
 
 

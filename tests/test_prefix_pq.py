@@ -363,3 +363,29 @@ def test_pack_sequences_exact_past_double_precision(spark):
     assert out.loc[2, "last_chunk"] == (big + 2) // 2
     assert out.loc[2, "n_chunks"] == (big + 2) // 2 - big // 2 + 1
     assert out.loc[3, "first_chunk"] == (big + 3) // 2
+
+
+def test_fused_codebooks_match_per_subspace(spark):
+    """train_codebooks' fused per-iteration pass (one encode kernel + one
+    combined (m, cid, subpos) fixed-point mean) must be bit-identical to
+    training each subspace independently through kmeans_centroids — the
+    semantic definition it replaced (r16 optimization)."""
+    from dask_lightgbm_spark.operators.kmeans import kmeans_centroids
+    from dask_lightgbm_spark.operators.pq import train_codebooks
+    from dask_lightgbm_spark.operators.similarity import to_double_array
+
+    pdf = _toy_vectors(n=80, dim=8, seed=7)
+    df = spark.createDataFrame(pdf)
+    for n_iters in (1, 2):
+        books = train_codebooks(
+            df, F.col("vec_id") < 5, dim=8, n_subspaces=2, n_iters=n_iters
+        )
+        e = df.select("vec_id", to_double_array("embedding").alias("v"))
+        for m in range(2):
+            sliced = e.select("vec_id", F.slice("v", 1 + m * 4, 4).alias("sv"))
+            cents = kmeans_centroids(
+                sliced, F.col("vec_id") < 5, vec_col="sv", n_iters=n_iters
+            )
+            ref = sorted((r.cid, list(r.cv)) for r in cents.collect())
+            got = [(cid, list(cv)) for cid, cv in books[m]]
+            assert got == ref, (m, n_iters)
