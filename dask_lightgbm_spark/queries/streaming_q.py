@@ -263,7 +263,9 @@ def x12_stream_quality_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dask_lightgbm_spark.queries.text import quality_score_projection
 
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    from dask_lightgbm_spark.sources.readers import raw_parquet_schema
+
+    schema = raw_parquet_schema(spark, sf_dir, "documents.parquet")
     src = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -314,11 +316,11 @@ def x13_stream_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_lightgbm_spark.operators import dedup
     from dask_lightgbm_spark.queries.text import K_SHINGLE
 
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    from dask_lightgbm_spark.sources.readers import load_table, raw_parquet_schema
+
+    schema = raw_parquet_schema(spark, sf_dir, "documents.parquet")
     # static side: the eval split's distinct shingle hashes as one row
-    ev = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
-        F.col("doc_id") % 20 == 0
-    )
+    ev = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
     ev_row = (
         dedup.shingle_hash_array(ev, "doc_id", "text", K_SHINGLE)
         .select(F.explode("hs").alias("h"))

@@ -71,10 +71,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     try:
         st = os.stat(path)
-        key = (path, st.st_mtime_ns, st.st_size)
+        key = None if os.path.isdir(path) else (path, st.st_mtime_ns, st.st_size)
     except OSError:
-        # directory-style parquet or exotic path: stat the dir (mtime
-        # changes on file add/replace) — fall back to uncached on failure
+        # non-local path (object store URI): un-stat-able — uncached
         key = None
     cache = getattr(spark, "_dls_table_cache", None)
     if cache is None:
@@ -90,6 +89,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if key is not None:
         cache[key] = df
     return df
+
+
+def raw_parquet_schema(spark: SparkSession, dir_path: str, glob: str):
+    """Schema of the RAW parquet files matching ``glob`` under ``dir_path``
+    (no event-time normalization — streaming sources must declare the
+    on-disk schema and normalize after). Memoized per (session, matched
+    file set, mtime+size): every ``readStream`` declaration was paying a
+    ~0.15 s batch-reader footer resolution per source per invocation —
+    twice for the stream-stream joins. Resolution only; no data cached.
+    Falls back to an uncached read when the files cannot be stat'ed
+    (object storage) or the glob matches nothing yet."""
+    import glob as globmod
+
+    key = None
+    try:
+        files = sorted(globmod.glob(os.path.join(dir_path, glob)))
+        if files:
+            key = tuple(
+                (p, st.st_mtime_ns, st.st_size)
+                for p, st in ((p, os.stat(p)) for p in files)
+            )
+    except OSError:
+        key = None
+    cache = getattr(spark, "_dls_schema_cache", None)
+    if cache is None:
+        cache = {}
+        spark._dls_schema_cache = cache
+    if key is not None and key in cache:
+        return cache[key]
+    schema = spark.read.option("pathGlobFilter", glob).parquet(dir_path).schema
+    if key is not None:
+        cache[key] = schema
+    return schema
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:

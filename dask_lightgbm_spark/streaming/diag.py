@@ -19,6 +19,42 @@ from contextlib import contextmanager
 
 _LAST = threading.local()
 
+#: bytes of source input one state partition should own. The HDFS state
+#: store commits one delta file (+fsync) per partition per trigger — and a
+#: stream-stream join keeps FOUR stores per partition — so partitions far
+#: in excess of the trigger volume are pure commit overhead. 8 MiB of
+#: parquet input per partition keeps per-partition state in the tens of MB
+#: at production trigger sizes; cluster deployments tune via env. The cap
+#: is always the session's shuffle-partition setting, so a real deployment
+#: sized for its stream volume is never clamped DOWN by this heuristic.
+_STATE_PARTITION_BYTES_ENV = "SPARK_GRAFT_STATE_PARTITION_BYTES"
+_STATE_PARTITION_BYTES_DEFAULT = 8 << 20
+
+
+def adaptive_state_partitions(spark, sf_dir: str, glob: str) -> int | None:
+    """Scale-adaptive state-store sizing: one state partition per
+    ~``SPARK_GRAFT_STATE_PARTITION_BYTES`` of source input, capped at the
+    session's ``spark.sql.shuffle.partitions`` (same shape as the batch
+    ``ensure_parallelism`` policy — derive from input size, never exceed
+    what the deployment configured). Returns ``None`` (leave the session
+    value alone) when the source cannot be stat'ed locally (e.g. object
+    storage), so the heuristic can only ever act on evidence."""
+    import glob as globmod
+    import os
+
+    try:
+        files = globmod.glob(os.path.join(sf_dir, glob))
+        if not files:
+            return None
+        total = sum(os.path.getsize(f) for f in files)
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # noqa: BLE001 — sizing is best-effort, never fail a query
+        return None
+    bpp = int(
+        os.environ.get(_STATE_PARTITION_BYTES_ENV, _STATE_PARTITION_BYTES_DEFAULT)
+    )
+    return max(1, min(cap, -(-total // max(bpp, 1))))
+
 
 @contextmanager
 def state_partitions(spark, n: int | None):

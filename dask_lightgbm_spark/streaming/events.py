@@ -33,10 +33,13 @@ def read_events_stream(
     ``max_files_per_trigger=1``) — how the multi-batch state-fold tests
     drive the stateful operators; the defaults keep the catalog queries'
     single-file single-batch shape."""
-    from dask_lightgbm_spark.sources.readers import normalize_event_time
+    from dask_lightgbm_spark.sources.readers import (
+        normalize_event_time,
+        raw_parquet_schema,
+    )
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
+    schema = raw_parquet_schema(spark, sf_dir, glob)
     reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -278,6 +281,7 @@ def stream_stream_interval_join(
     horizon: str = "1 hour",
     glob: str = "events.parquet",
     max_files_per_trigger: int | None = None,
+    shuffle_partitions: int | str | None = "auto",
 ) -> DataFrame:
     """STREAM-STREAM inner join with an event-time interval condition:
     view events joined to purchase events by the same user within
@@ -291,48 +295,59 @@ def stream_stream_interval_join(
     matching and the emitted pairs equal the batch interval join — which is
     what the oracle computes. ``glob``/``max_files_per_trigger`` pass
     through to both sources so tests can land the two sides of a match in
-    DIFFERENT micro-batches."""
-    views = (
-        read_events_stream(
-            spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+    DIFFERENT micro-batches.
+
+    ``shuffle_partitions`` sizes the join's FOUR state stores per
+    partition to the trigger volume ("auto" = one partition per ~8 MiB of
+    source input, capped at the session setting — see
+    :func:`~dask_lightgbm_spark.streaming.diag.adaptive_state_partitions`);
+    results are partition-count invariant."""
+    from dask_lightgbm_spark.streaming.diag import adaptive_state_partitions
+
+    if shuffle_partitions == "auto":
+        shuffle_partitions = adaptive_state_partitions(spark, sf_dir, glob)
+    with state_partitions(spark, shuffle_partitions):
+        views = (
+            read_events_stream(
+                spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+            )
+            .filter(F.col("event_type") == "view")
+            .select(
+                F.col("user_id"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("view_ts"),
+            )
+            .withWatermark("view_ts", horizon)
         )
-        .filter(F.col("event_type") == "view")
-        .select(
-            F.col("user_id"),
-            F.col("event_id").alias("view_id"),
-            F.col("ts").alias("view_ts"),
+        purchases = (
+            read_events_stream(
+                spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+            )
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user_id"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", horizon)
         )
-        .withWatermark("view_ts", horizon)
-    )
-    purchases = (
-        read_events_stream(
-            spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+        joined = views.join(
+            purchases,
+            F.expr(
+                f"""
+                user_id = p_user_id
+                AND purchase_ts >= view_ts
+                AND purchase_ts <= view_ts + INTERVAL {horizon}
+                """
+            ),
+        ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+        name = f"stream_out_{uuid.uuid4().hex[:8]}"
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
         )
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user_id"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("purchase_ts"),
-        )
-        .withWatermark("purchase_ts", horizon)
-    )
-    joined = views.join(
-        purchases,
-        F.expr(
-            f"""
-            user_id = p_user_id
-            AND purchase_ts >= view_ts
-            AND purchase_ts <= view_ts + INTERVAL {horizon}
-            """
-        ),
-    ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
-    name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
     drain_and_capture(q)
     return spark.table(name)
 
@@ -379,6 +394,7 @@ def stream_stream_left_outer_join(
     horizon: str = "1 hour",
     glob: str = "events.parquet",
     max_files_per_trigger: int | None = None,
+    shuffle_partitions: int | str | None = "auto",
 ) -> DataFrame:
     """LEFT OUTER stream-stream join: every view, with its attributed
     purchases within ``horizon`` — or NULLs if none arrived. The outer
@@ -393,49 +409,57 @@ def stream_stream_left_outer_join(
     Unmatched views younger than that are withheld by design (at scale
     they'd emit as the watermark advances). The oracle reproduces exactly
     this: matched pairs plus unmatched views with
-    view_ts + horizon < min(max view_ts, max purchase_ts) - delay."""
-    views = (
-        read_events_stream(
-            spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+    view_ts + horizon < min(max view_ts, max purchase_ts) - delay.
+
+    ``shuffle_partitions``: trigger-volume state sizing, as
+    :func:`stream_stream_interval_join`."""
+    from dask_lightgbm_spark.streaming.diag import adaptive_state_partitions
+
+    if shuffle_partitions == "auto":
+        shuffle_partitions = adaptive_state_partitions(spark, sf_dir, glob)
+    with state_partitions(spark, shuffle_partitions):
+        views = (
+            read_events_stream(
+                spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+            )
+            .filter(F.col("event_type") == "view")
+            .select(
+                F.col("user_id"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("view_ts"),
+            )
+            .withWatermark("view_ts", horizon)
         )
-        .filter(F.col("event_type") == "view")
-        .select(
-            F.col("user_id"),
-            F.col("event_id").alias("view_id"),
-            F.col("ts").alias("view_ts"),
+        purchases = (
+            read_events_stream(
+                spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+            )
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user_id"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", horizon)
         )
-        .withWatermark("view_ts", horizon)
-    )
-    purchases = (
-        read_events_stream(
-            spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+        joined = views.join(
+            purchases,
+            F.expr(
+                f"""
+                user_id = p_user_id
+                AND purchase_ts >= view_ts
+                AND purchase_ts <= view_ts + INTERVAL {horizon}
+                """
+            ),
+            "left_outer",
+        ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+        name = f"stream_out_{uuid.uuid4().hex[:8]}"
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
         )
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user_id"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("purchase_ts"),
-        )
-        .withWatermark("purchase_ts", horizon)
-    )
-    joined = views.join(
-        purchases,
-        F.expr(
-            f"""
-            user_id = p_user_id
-            AND purchase_ts >= view_ts
-            AND purchase_ts <= view_ts + INTERVAL {horizon}
-            """
-        ),
-        "left_outer",
-    ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
-    name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
     drain_and_capture(q)
     return spark.table(name)
 

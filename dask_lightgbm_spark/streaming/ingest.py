@@ -70,9 +70,9 @@ def stream_match_against_index(
     corpus_verify = spark.read.parquet(f"{index_dir}/verify.parquet").select(
         F.col(id_col).alias("corpus_id"), F.col("hs").alias("hb")
     )
-    schema = (
-        spark.read.option("pathGlobFilter", glob).parquet(new_dir).schema
-    )
+    from dask_lightgbm_spark.sources.readers import raw_parquet_schema
+
+    schema = raw_parquet_schema(spark, new_dir, glob)
     with state_partitions(spark, shuffle_partitions):
         reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
         if max_files_per_trigger is not None:

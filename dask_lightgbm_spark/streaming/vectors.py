@@ -39,7 +39,9 @@ def stream_ann_serving(
     The cosine expression reuses the index's precomputed norms on BOTH
     sides (a query's norm is its own index row's ``nn``), so values are
     bit-identical to the batch ivf_knn serve path."""
-    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    from dask_lightgbm_spark.sources.readers import raw_parquet_schema
+
+    schema = raw_parquet_schema(spark, sf_dir, "embeddings.parquet")
     src = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "embeddings.parquet")
@@ -142,7 +144,9 @@ def stream_ivf_insert(
     import shutil
 
     shutil.rmtree(out, ignore_errors=True)
-    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    from dask_lightgbm_spark.sources.readers import raw_parquet_schema
+
+    schema = raw_parquet_schema(spark, sf_dir, "embeddings.parquet")
     reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
