@@ -140,6 +140,13 @@ class _SparkLGBMBase:
             "minInstancesPerNode": self.min_child_samples,
             "subsamplingRate": self.subsample,
             "seed": self.seed,
+            # perf-only knob (r16): bounds how many tree nodes MLlib
+            # collects split statistics for per pass — at the 256 MB
+            # default a deep forest needs many more passes (jobs) over the
+            # input. Raising it batches more nodes per pass; split
+            # decisions are per-node and unaffected (verified: predictions
+            # bit-identical at 256 vs 1024; RF fit 3.8 s -> 1.9 s).
+            "maxMemoryInMB": 1024,
         }
 
     def fit(

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dask_lightgbm_spark.operators.kmeans import kmeans_centroids, sq_dist
+from dask_lightgbm_spark.operators.kmeans import sq_dist
 from dask_lightgbm_spark.operators.similarity import to_double_array
 
 

@@ -192,7 +192,12 @@ def brute_force_knn(
             ensure_parallelism,
         )
 
-        # spread a single-partition scan so every core scores a block
+        # spread a single-partition scan so every core scores a block. The
+        # kernel is a NumPy block fold (~0.2-0.5 core-s/MiB — the class the
+        # 1 MiB default is calibrated to), and each batch's partial top-k
+        # leaves only |q|·k rows, so wider spreads than the default were
+        # measured SLOWER at small inputs (r15 §16: s01 0.40 s adaptive vs
+        # 0.66 s at 32-wide) — no cost hint on purpose (r15 advisor).
         scored = ensure_parallelism(
             corpus.select(
                 F.col(id_col).cast("long").alias(id_col),

@@ -58,7 +58,21 @@ def _pin_confs(spark: SparkSession) -> None:
     # restore_confs() re-arms it. The bench's 3x17 timed invocations were
     # paying ~8 round trips each for conf values that never change.
     if getattr(spark, "_dls_confs_pinned", False):
-        return
+        # drift sentinels (r15 advisor): two cheap gets instead of ~8
+        # get/sets — if caller/test code mutated a pinned conf mid-session,
+        # fall through and re-pin everything. The two checked are the
+        # correctness-critical one (UTC timezone: oracle bit-parity) and
+        # the perf-critical one (the excluded rule: O(len²) explodes).
+        try:
+            if (
+                spark.conf.get("spark.sql.session.timeZone") == "UTC"
+                and _EXCLUDED_RULE
+                in (spark.conf.get("spark.sql.optimizer.excludedRules") or "")
+            ):
+                return
+        except Exception:
+            return
+        spark._dls_confs_pinned = False
     if not hasattr(spark, "_dls_orig_confs"):
         orig: dict[str, str | None] = {}
         for k in _PINNED_CONFS:

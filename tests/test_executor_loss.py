@@ -841,3 +841,23 @@ def test_histgbm_3node_fit_survives_loss_bit_equal():
         f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-4000:]}"
     )
     assert "HISTGBM_3NODE_LOSS_OK" in proc.stdout
+    # partial survivor coverage (r15 advisor): the in-script survivor
+    # assert was dropped because an upstream Spark race can exit the
+    # SURVIVOR JVMs with code 50 (barrierAndServe takes
+    # TaskKilledException outside a task -> SparkUncaughtExceptionHandler).
+    # When the logs show that race did NOT fire, a recovery path that
+    # restarts every executor should still be caught: require a non-empty
+    # survivors list in the topology line.
+    topo = [
+        ln for ln in proc.stdout.splitlines() if ln.startswith("HISTGBM_3NODE_TOPOLOGY")
+    ]
+    assert topo, proc.stdout
+    race_markers = ("SparkUncaughtExceptionHandler", "exitCode 50", "exit code 50")
+    race_fired = any(m in proc.stderr for m in race_markers)
+    survivors = topo[0].split("] [")[-1].rstrip("]").strip("[ ")
+    if not race_fired:
+        assert survivors, (
+            "no pre-kill executor survived and no uncaught-exception "
+            f"executor exit was observed:\n{topo[0]}\nstderr tail:\n"
+            f"{proc.stderr[-2000:]}"
+        )

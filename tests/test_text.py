@@ -123,3 +123,26 @@ def test_vertical_tab_is_not_a_token_separator(spark):
             '[ \t\n\f\r]+'), x -> x <> ''))"""
     ).fetchone()[0]
     assert n == duck_n == 2
+
+
+def test_t19_distributed_branch_matches_gathered_branch(spark, monkeypatch):
+    """The driver-budget fallback (_t19_distributed, taken when the eval
+    split's size estimate exceeds SPARK_GRAFT_T19_DRIVER_BYTES) must
+    produce exactly the gathered-set branch's rows, and its plan must hold
+    no driver-resident eval set (no broadcast of the eval shingles — the
+    join is pinned shuffle_hash)."""
+    from dask_lightgbm_spark.queries import all_queries
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.001"
+    base = qs["t19_decontamination"](spark, sf).toPandas()
+    monkeypatch.setenv("SPARK_GRAFT_T19_DRIVER_BYTES", "0")
+    wide_df = qs["t19_decontamination"](spark, sf)
+    wide = wide_df.toPandas()
+    pd.testing.assert_frame_equal(
+        base.sort_values("doc_id").reset_index(drop=True),
+        wide.sort_values("doc_id").reset_index(drop=True),
+    )
+    plan = wide_df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert "MapInArrow" in plan
