@@ -52,14 +52,20 @@ def stream_hourly_aggregate(
     sf_dir: str,
     glob: str = "events.parquet",
     max_files_per_trigger: int | None = None,
-    shuffle_partitions: int | None = None,
+    shuffle_partitions: int | str | None = "auto",
 ) -> DataFrame:
     """Run the hourly event aggregation as a real streaming query (complete
     mode → memory sink), drain it, and return the final result table.
     ``glob``/``max_files_per_trigger`` pass through to the source so the
     bench/tests can fold the windowed state across several micro-batches.
     ``shuffle_partitions`` sizes the state store to the trigger volume
-    (see :func:`~dask_lightgbm_spark.streaming.diag.state_partitions`)."""
+    ("auto" = derive from source bytes — see
+    :func:`~dask_lightgbm_spark.streaming.diag.adaptive_state_partitions`;
+    explicit ints, e.g. the bench's protocol value, pass through)."""
+    from dask_lightgbm_spark.streaming.diag import adaptive_state_partitions
+
+    if shuffle_partitions == "auto":
+        shuffle_partitions = adaptive_state_partitions(spark, sf_dir, glob)
     with state_partitions(spark, shuffle_partitions):
         src = read_events_stream(
             spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
@@ -108,7 +114,7 @@ def stream_static_segment_totals(
     sf_dir: str,
     glob: str = "events.parquet",
     max_files_per_trigger: int | None = None,
-    shuffle_partitions: int | None = None,
+    shuffle_partitions: int | str | None = "auto",
 ) -> DataFrame:
     """Stream-static join: enrich the event stream with the static customer
     dimension (user_id = c_custkey), then aggregate per market segment.
@@ -126,7 +132,10 @@ def stream_static_segment_totals(
     — Spark shuffle-joins each micro-batch against the static side — or
     pre-aggregate the dim to the segment columns actually joined."""
     from dask_lightgbm_spark.sources.readers import load_table
+    from dask_lightgbm_spark.streaming.diag import adaptive_state_partitions
 
+    if shuffle_partitions == "auto":
+        shuffle_partitions = adaptive_state_partitions(spark, sf_dir, glob)
     with state_partitions(spark, shuffle_partitions):
         src = read_events_stream(
             spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger

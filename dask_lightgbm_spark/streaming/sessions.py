@@ -32,7 +32,7 @@ def stream_user_totals(
     sf_dir: str,
     glob: str = "events.parquet",
     max_files_per_trigger: int | None = None,
-    shuffle_partitions: int | None = None,
+    shuffle_partitions: int | str | None = "auto",
 ) -> DataFrame:
     """Run the stateful per-user totals as a real streaming query and
     return the drained result (update mode: one row per user PER
@@ -66,6 +66,10 @@ def stream_user_totals(
             {"user_id": [key[0]], "n_events": [n], "sum_value": [sum_cents / 100.0]}
         )
 
+    from dask_lightgbm_spark.streaming.diag import adaptive_state_partitions
+
+    if shuffle_partitions == "auto":
+        shuffle_partitions = adaptive_state_partitions(spark, sf_dir, glob)
     with state_partitions(spark, shuffle_partitions):
         src = read_events_stream(
             spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
