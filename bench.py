@@ -1236,7 +1236,13 @@ def _sf100_ladder_child() -> None:
                 file=sys.stderr,
             )
         except Exception as exc:  # noqa: BLE001
-            res["errors"][name] = f"{type(exc).__name__}: {exc}"[:300]
+            # head + tail of the message: a Py4J stack's root cause is the
+            # trailing "Caused by" — a 300-char head alone made the r16
+            # single-window t40 error undiagnosable
+            msg = f"{type(exc).__name__}: {exc}"
+            res["errors"][name] = (
+                msg if len(msg) <= 1200 else msg[:500] + " ... " + msg[-700:]
+            )
     # ANN decade (r12): IVF build + batched serve at sf10 (200k vectors)
     # and sf100 (2M vectors), same fixed-nlist machinery as the parent's
     # sf10_ann stanza so the three decades chain. Adjacent legs in the
