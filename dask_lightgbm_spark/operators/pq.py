@@ -196,6 +196,133 @@ def encode_pq(
     return src.mapInPandas(kernel, schema)
 
 
+def ivf_pq_serve_topk(
+    corpus: DataFrame,
+    queries_assigned: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    k: int = 3,
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Vectorized IVF-PQ serve (the s18 hot path): ADC top-k within each
+    query's cell for a BOUNDED query batch. Same result bit-for-bit as the
+    declarative cell-join + per-candidate ``sq_dist(slice, code_centroid)``
+    expression plan (kept in the caller for the pytest parity proof); the
+    difference is execution — Spark interprets the per-candidate HOF folds
+    and the element_at centroid-map lookups row by row, while this kernel
+    scores each corpus partition's candidates against per-query LUTs (the
+    :func:`pq_knn` vectorized machinery) and emits only its per-partition
+    top-k per query.
+
+    ``corpus`` columns: (nid, cell, code_0..code_{M-1}).
+    ``queries_assigned`` columns: (qid, qv, cell) — ≤ ``max_queries`` rows,
+    shipped in the kernel closure (the ivf_serve_topk boundedness contract).
+
+    Bit-exactness: LUT entry (q, m, code) = fold_sq_dists on the query's
+    m-th sub-vector vs the code's centroid — the identical dim-ordered
+    subtract-multiply-add sequence as the interpreted fold (pytest-proven
+    in pq_knn's parity test) — and the candidate distance is the same
+    fixed-order sum over subspaces. Per-partition top-k under the total
+    order (adc_dist asc, nid asc) distributes over partitions, so the
+    final window over ≤ partitions×k rows per query picks the identical
+    global top-k. Output: (qid, nid, rank, adc_dist)."""
+    from pyspark.sql import Window as W
+
+    sub = len(codebooks[0][0][1])
+    n_sub = len(codebooks)
+    books = [
+        sorted((int(c), [float(x) for x in cv]) for c, cv in book)
+        for book in codebooks
+    ]
+    q_rows = queries_assigned.select("qid", "qv", "cell").collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"ivf_pq_serve_topk ships the query batch in the task closure; "
+            f"{len(q_rows)} queries > max_queries={max_queries}. Chunk the "
+            "batch, or use the declarative cell-join plan for unbounded "
+            "query sides."
+        )
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "qid long, nid long, rank int, adc_dist double"
+        )
+    by_cell: dict[int, list] = {}
+    for r in q_rows:
+        by_cell.setdefault(int(r["cell"]), []).append(
+            (int(r["qid"]), [float(x) for x in r["qv"]])
+        )
+    cells = sorted(by_cell)
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from dask_lightgbm_spark.functions.blockfold import fold_sq_dists
+
+        # per cell: (qids, per-subspace LUT list [Q x K], cid tables)
+        qluts = {}
+        for c, qs in by_cell.items():
+            qids = np.asarray([q for q, _ in qs], dtype=np.int64)
+            Q = np.asarray([qv for _, qv in qs], dtype=np.float64)
+            luts, lut_cids = [], []
+            for m, book in enumerate(books):
+                C = np.asarray([cv for _, cv in book], dtype=np.float64)
+                lut_cids.append(np.asarray([cc for cc, _ in book], dtype=np.int64))
+                luts.append(fold_sq_dists(Q[:, m * sub : (m + 1) * sub], C))
+            qluts[c] = (qids, luts, lut_cids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_q, out_n, out_d = [], [], []
+            for c, grp in pdf.groupby("cell", sort=False):
+                qids, luts, lut_cids = qluts[int(c)]
+                nid = grp["nid"].values.astype(np.int64)
+                dist = None
+                for m in range(n_sub):
+                    codes = grp[f"code_{m}"].values.astype(np.int64)
+                    pos = np.clip(
+                        np.searchsorted(lut_cids[m], codes), 0, len(lut_cids[m]) - 1
+                    )
+                    if not np.array_equal(lut_cids[m][pos], codes):
+                        raise ValueError(
+                            f"ivf_pq_serve_topk: subspace {m} has codes not "
+                            "present in the codebook (codes must be cid "
+                            "values from the same train_codebooks output)"
+                        )
+                    d_m = luts[m][:, pos]  # Q x n
+                    dist = d_m if dist is None else dist + d_m
+                for j, q_id in enumerate(qids):
+                    mask = nid != q_id
+                    cand_n, cand_d = nid[mask], dist[j][mask]
+                    order = np.lexsort((cand_n, cand_d))[:k]
+                    out_q.append(np.full(len(order), q_id, dtype=np.int64))
+                    out_n.append(cand_n[order])
+                    out_d.append(cand_d[order])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "qid": np.concatenate(out_q),
+                        "nid": np.concatenate(out_n),
+                        "adc_dist": np.concatenate(out_d),
+                    }
+                )
+
+    part_topk = (
+        corpus.filter(F.col("cell").isin(cells))
+        .select(
+            F.col("nid").cast("long").alias("nid"),
+            "cell",
+            *[f"code_{m}" for m in range(n_sub)],
+        )
+        .mapInPandas(kernel, "qid long, nid long, adc_dist double")
+    )
+    w = W.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc("nid"))
+    return (
+        part_topk.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "adc_dist")
+    )
+
+
 def pq_knn(
     df: DataFrame,
     queries_filter: Column,

@@ -1102,12 +1102,9 @@ def s18_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _s18_serve(spark, sf_dir, n_queries=10)
 
 
-def _s18_serve(spark: SparkSession, sf_dir: str, n_queries: int) -> DataFrame:
-    from dask_lightgbm_spark.operators.kmeans import sq_dist
-    from dask_lightgbm_spark.operators.pq import code_centroid
-
-    from pyspark.sql import Window as W
-
+def _s18_serve(
+    spark: SparkSession, sf_dir: str, n_queries: int, vectorized: bool = True
+) -> DataFrame:
     idx = _ivf_index(spark, sf_dir)  # (vec_id, v, cell, nn)
     books = _pq_codebooks(spark, sf_dir)
     codes = _pq_codes(spark, sf_dir).select(
@@ -1117,6 +1114,23 @@ def _s18_serve(spark: SparkSession, sf_dir: str, n_queries: int) -> DataFrame:
     q = idx.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "cell"
     )
+    if vectorized:
+        # kernel ADC (r15 verdict #4): per-candidate interpreted
+        # element_at/fold expressions → one mapInPandas scorer over the
+        # cell-restricted codes; bit-parity with the expression path below
+        # is pinned by test_similarity.py::test_s18_serve_kernel_matches_
+        # expression_path, and the serve batch is bounded by contract
+        # (n_queries ≤ SERVE_BATCH_N ≪ the kernel's 10k guard).
+        from dask_lightgbm_spark.operators.pq import ivf_pq_serve_topk
+
+        return ivf_pq_serve_topk(
+            corpus.withColumnRenamed("vec_id", "nid"), q, books, k=3
+        )
+    from dask_lightgbm_spark.operators.kmeans import sq_dist
+    from dask_lightgbm_spark.operators.pq import code_centroid
+
+    from pyspark.sql import Window as W
+
     cand = corpus.withColumnRenamed("vec_id", "nid").join(
         F.broadcast(q), "cell"
     ).filter(F.col("nid") != F.col("qid"))

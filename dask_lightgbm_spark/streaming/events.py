@@ -89,22 +89,39 @@ def stream_hourly_aggregate(
     return spark.table(name)
 
 
-def stream_distinct_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_distinct_user_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    shuffle_partitions: int | str | None = "auto",
+) -> DataFrame:
     """Streaming DEDUPLICATION: dropDuplicates over a stream is Spark's
     stateful distinct (state keyed on the dedup columns; at scale bounded
     with a watermark). Distinct (user, event_type) pairs then count per
     type — exact COUNT(DISTINCT) is not allowed in streaming aggs, and this
-    is the standard rewrite."""
+    is the standard rewrite. ``shuffle_partitions``: trigger-volume state
+    sizing, as :func:`stream_hourly_aggregate`."""
     import uuid as _uuid
 
-    src = read_events_stream(spark, sf_dir).select("user_id", "event_type")
-    counts = (
-        src.dropDuplicates(["user_id", "event_type"])
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n_users"))
-    )
-    name = f"stream_dedup_{_uuid.uuid4().hex[:8]}"
-    q = counts.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    from dask_lightgbm_spark.streaming.diag import adaptive_state_partitions
+
+    if shuffle_partitions == "auto":
+        shuffle_partitions = adaptive_state_partitions(
+            spark, sf_dir, "events.parquet"
+        )
+    with state_partitions(spark, shuffle_partitions):
+        src = read_events_stream(spark, sf_dir).select("user_id", "event_type")
+        counts = (
+            src.dropDuplicates(["user_id", "event_type"])
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_users"))
+        )
+        name = f"stream_dedup_{_uuid.uuid4().hex[:8]}"
+        q = (
+            counts.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
     drain_and_capture(q)
     return spark.table(name)
 
@@ -166,7 +183,10 @@ def stream_static_segment_totals(
 
 
 def stream_windowed_append(
-    spark: SparkSession, sf_dir: str, delay: str = "30 minutes"
+    spark: SparkSession,
+    sf_dir: str,
+    delay: str = "30 minutes",
+    shuffle_partitions: int | str | None = "auto",
 ) -> DataFrame:
     """APPEND-mode hourly windowed aggregation with a watermark — the
     production streaming mode (complete mode can't scale unbounded key
@@ -177,29 +197,38 @@ def stream_windowed_append(
     micro-batches flush every closed window), so the emitted set is exactly
     the windows with end <= max(ts) - delay — which is what the batch
     oracle computes. Windows still open at drain time are withheld by
-    design; at scale they'd emit when later data advances the watermark."""
-    src = read_events_stream(spark, sf_dir)
-    agg = (
-        src.withWatermark("ts", delay)
-        .groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            (
-                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
-                / F.lit(100.0)
-            ).alias("sum_value"),
+    design; at scale they'd emit when later data advances the watermark.
+    ``shuffle_partitions``: trigger-volume state sizing, as
+    :func:`stream_hourly_aggregate`."""
+    from dask_lightgbm_spark.streaming.diag import adaptive_state_partitions
+
+    if shuffle_partitions == "auto":
+        shuffle_partitions = adaptive_state_partitions(
+            spark, sf_dir, "events.parquet"
         )
-        .select(
-            F.col("window.start").alias("hour"), "event_type", "n", "sum_value"
+    with state_partitions(spark, shuffle_partitions):
+        src = read_events_stream(spark, sf_dir)
+        agg = (
+            src.withWatermark("ts", delay)
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                (
+                    F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                    / F.lit(100.0)
+                ).alias("sum_value"),
+            )
+            .select(
+                F.col("window.start").alias("hour"), "event_type", "n", "sum_value"
+            )
         )
-    )
-    name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+        name = f"stream_out_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
     drain_and_capture(q)
     return spark.table(name)
 
@@ -211,6 +240,7 @@ def stream_session_window(
     delay: str = "30 minutes",
     glob: str = "events.parquet",
     max_files_per_trigger: int | None = None,
+    shuffle_partitions: int | str | None = "auto",
 ) -> DataFrame:
     """APPEND-mode per-user SESSION-window aggregation with a watermark —
     dynamic-gap sessionization as a native streaming operator (batch twin:
@@ -220,31 +250,41 @@ def stream_session_window(
     last_ts + gap <= max(ts) - delay — what the batch oracle computes.
     Sessions still open at drain time are withheld by design.
     ``glob``/``max_files_per_trigger`` pass through to the source so tests
-    can extend a session across several real micro-batches."""
-    src = read_events_stream(
-        spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
-    )
-    agg = (
-        src.withWatermark("ts", delay)
-        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            (
-                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
-                / F.lit(100.0)
-            ).alias("sum_value"),
+    can extend a session across several real micro-batches.
+    ``shuffle_partitions``: trigger-volume state sizing, as
+    :func:`stream_hourly_aggregate`."""
+    from dask_lightgbm_spark.streaming.diag import adaptive_state_partitions
+
+    if shuffle_partitions == "auto":
+        shuffle_partitions = adaptive_state_partitions(spark, sf_dir, glob)
+    with state_partitions(spark, shuffle_partitions):
+        src = read_events_stream(
+            spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
         )
-        .select(
-            F.col("w.start").alias("session_start"), "user_id", "n_events", "sum_value"
+        agg = (
+            src.withWatermark("ts", delay)
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                (
+                    F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                    / F.lit(100.0)
+                ).alias("sum_value"),
+            )
+            .select(
+                F.col("w.start").alias("session_start"),
+                "user_id",
+                "n_events",
+                "sum_value",
+            )
         )
-    )
-    name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+        name = f"stream_out_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
     drain_and_capture(q)
     return spark.table(name)
 
@@ -254,6 +294,7 @@ def stream_dedup_within_watermark(
     sf_dir: str,
     glob: str = "events.parquet",
     max_files_per_trigger: int | None = None,
+    shuffle_partitions: int | str | None = "auto",
 ) -> DataFrame:
     """Streaming dedup with BOUNDED state: ``dropDuplicatesWithinWatermark``
     evicts dedup state once the watermark passes an event's time — the
@@ -263,23 +304,30 @@ def stream_dedup_within_watermark(
     every row is inside the window and the result equals exact global
     dedup — which is what the oracle checks. ``glob``/
     ``max_files_per_trigger`` pass through to the source so tests can
-    replay duplicates across several real micro-batches."""
-    src = read_events_stream(
-        spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
-    ).select("ts", "user_id", "event_type")
-    counts = (
-        src.withWatermark("ts", "1 hour")
-        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n_users"))
-    )
-    name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        counts.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    replay duplicates across several real micro-batches.
+    ``shuffle_partitions``: trigger-volume state sizing, as
+    :func:`stream_hourly_aggregate`."""
+    from dask_lightgbm_spark.streaming.diag import adaptive_state_partitions
+
+    if shuffle_partitions == "auto":
+        shuffle_partitions = adaptive_state_partitions(spark, sf_dir, glob)
+    with state_partitions(spark, shuffle_partitions):
+        src = read_events_stream(
+            spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+        ).select("ts", "user_id", "event_type")
+        counts = (
+            src.withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_users"))
+        )
+        name = f"stream_out_{uuid.uuid4().hex[:8]}"
+        q = (
+            counts.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
     drain_and_capture(q)
     return spark.table(name)
 
@@ -361,38 +409,53 @@ def stream_stream_interval_join(
     return spark.table(name)
 
 
-def stream_foreachbatch_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_foreachbatch_parquet_sink(
+    spark: SparkSession,
+    sf_dir: str,
+    shuffle_partitions: int | str | None = "auto",
+) -> DataFrame:
     """``foreachBatch`` parquet sink: the production topology for landing a
     streaming aggregation in a warehouse table without a streaming-native
     sink. Each micro-batch receives the updated complete-mode aggregate and
     idempotently overwrites the target (same batch re-delivered after a
     failure rewrites identical files — exactly-once by idempotence, the
     standard foreachBatch contract). The drained table is read back as a
-    batch DataFrame, so the result equals the batch oracle."""
+    batch DataFrame, so the result equals the batch oracle.
+    ``shuffle_partitions``: trigger-volume state sizing, as
+    :func:`stream_hourly_aggregate` (also keeps the per-batch overwrite
+    from fanning a few output rows across dozens of tiny files)."""
     from dask_lightgbm_spark.session import scratch_dir
+    from dask_lightgbm_spark.streaming.diag import adaptive_state_partitions
 
-    src = read_events_stream(spark, sf_dir)
-    agg = src.groupBy(
-        F.date_trunc("hour", "ts").alias("hour"), "event_type"
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        (
-            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
-            / F.lit(100.0)
-        ).alias("sum_value"),
-    )
-    # process-wide scratch root (cleaned at exit), keyed by sf_dir so a
-    # later run at another sf cannot clobber a still-lazy earlier result
-    out_dir = scratch_dir("stream_sink") + "/" + sf_dir.strip("/").replace("/", "_")
+    if shuffle_partitions == "auto":
+        shuffle_partitions = adaptive_state_partitions(
+            spark, sf_dir, "events.parquet"
+        )
+    with state_partitions(spark, shuffle_partitions):
+        src = read_events_stream(spark, sf_dir)
+        agg = src.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / F.lit(100.0)
+            ).alias("sum_value"),
+        )
+        # process-wide scratch root (cleaned at exit), keyed by sf_dir so a
+        # later run at another sf cannot clobber a still-lazy earlier result
+        out_dir = (
+            scratch_dir("stream_sink") + "/" + sf_dir.strip("/").replace("/", "_")
+        )
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(out_dir + "/agg")
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(out_dir + "/agg")
 
-    q = (
-        agg.writeStream.outputMode("complete")
-        .foreachBatch(write_batch)
-        .start()
-    )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(write_batch)
+            .start()
+        )
     drain_and_capture(q)
     return spark.read.parquet(out_dir + "/agg")
 

@@ -429,6 +429,56 @@ def test_ivf_serve_topk_bit_exact_and_guards(spark, sf_dir):
         )
 
 
+def test_s18_serve_kernel_matches_expression_path(spark, sf_dir):
+    """r16 (r15 verdict #4): the vectorized IVF-PQ serve kernel must return
+    the EXACT rows of the declarative cell-join + per-candidate
+    sq_dist(slice, code_centroid) expression plan — same adc_dist
+    bit-for-bit (per-query LUTs built with the dim-ordered folds), same
+    (adc_dist asc, nid asc) tie ranking — at both the registered (10) and
+    a batched (25) query width. Also pins the closure-size guard and the
+    empty-batch contract."""
+    from dask_lightgbm_spark.operators.pq import ivf_pq_serve_topk
+    from dask_lightgbm_spark.queries import _ship_package
+    from dask_lightgbm_spark.queries.similarity import _s18_serve
+
+    _ship_package(spark)
+    key = ["qid", "rank"]
+    for n_q in (10, 25):
+        kern = (
+            _s18_serve(spark, sf_dir, n_queries=n_q, vectorized=True)
+            .toPandas()
+            .sort_values(key)
+            .reset_index(drop=True)
+        )
+        expr = (
+            _s18_serve(spark, sf_dir, n_queries=n_q, vectorized=False)
+            .toPandas()
+            .sort_values(key)
+            .reset_index(drop=True)
+        )
+        assert kern[["qid", "nid", "rank"]].equals(expr[["qid", "nid", "rank"]])
+        # bit-exact, not approx: the whole oracle-parity argument
+        assert (
+            kern["adc_dist"].values.tobytes() == expr["adc_dist"].values.tobytes()
+        ), f"adc_dist bits differ at n_queries={n_q}"
+        assert kern["qid"].nunique() == n_q
+    # guards: bounded closure, empty batch -> empty typed frame
+    corpus = spark.range(0).selectExpr(
+        "id as nid", "0 as cell", "0 as code_0", "0 as code_1"
+    )
+    q3 = spark.createDataFrame(
+        pd.DataFrame(
+            {"qid": [0, 1, 2], "qv": [[0.0, 0.0]] * 3, "cell": [0, 0, 0]}
+        )
+    )
+    toy_books = [[(0, [0.0])], [(0, [0.0])]]
+    with pytest.raises(ValueError, match="max_queries"):
+        ivf_pq_serve_topk(corpus, q3, toy_books, max_queries=2)
+    empty = ivf_pq_serve_topk(corpus, q3.filter("qid < 0"), toy_books)
+    assert empty.count() == 0
+    assert empty.columns == ["qid", "nid", "rank", "adc_dist"]
+
+
 def test_scale_ivf_matches_mod_parameterized_oracle(spark, sf_dir):
     """bench.py's sf10_ann stanza (r9): the fixed-nlist scale path runs
     the SAME assign/serve kernels as s02 with only the centroid spacing
