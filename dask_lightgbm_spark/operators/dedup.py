@@ -1169,6 +1169,9 @@ def minhash_lsh_match_against(
         # LIMIT-1 job would recompute one partition's signatures per call
         # on the recompute hot path (t05/t40 bench legs)
         _validate_index=False,
+        # recompute path: let the verify-side kernel run over candidate
+        # docs only instead of re-shingling the whole corpus
+        _corpus_text=corpus_df,
     )
 
 
@@ -1185,6 +1188,7 @@ def minhash_lsh_match_against_index(
     est_min_matches: int | None = None,
     bucket_cap: int | None = None,
     _validate_index: bool = True,
+    _corpus_text: DataFrame | None = None,
 ) -> DataFrame:
     """Ingest-match against a PREBUILT corpus index (the two tables from
     ``build_minhash_band_index``, live or read back from parquet). Only
@@ -1303,10 +1307,38 @@ def minhash_lsh_match_against_index(
         .distinct()
     )
     an = arr_new.select(F.col(id_col).alias("new_id"), F.col("hs").alias("ha"))
+    # Verify-side pre-filter (batch only): the inner join below keeps only
+    # corpus ids that appear in `cand`, yet the naive plan shuffles — and
+    # shuffle-hash-BUILDS — every corpus doc's hs array (~14 GiB of array
+    # state at the sf100 ladder, the memory hazard behind a one-off r16
+    # driver-draw failure). Persist the output-bounded candidate set once
+    # (it already feeds the join chain; the extra consumer is the semi
+    # join) and restrict the verify side to candidate ids BEFORE the hs
+    # arrays exist: heavy bytes move once, and only for rows that can
+    # reach the output. With `_corpus_text` the hs arrays are COMPUTED
+    # after the filter too, so the second corpus-wide kernel pass becomes
+    # a candidates-only pass. Match set unchanged — a left-semi on the
+    # inner join's own key set is an identity on the join result.
+    # Streaming callers keep the un-filtered plan (a stream-derived cand
+    # cannot be persisted or re-consumed; x14 has its own topology).
+    if not new_df.isStreaming:
+        from dask_lightgbm_spark.session import track_lazy_persist
+
+        cand = track_lazy_persist(cand.persist())
+        cand_ids = cand.select(F.col("corpus_id").alias(id_col)).distinct()
+        if _corpus_text is not None:
+            arr_cor = shingle_hash_array(
+                _corpus_text.join(cand_ids, id_col, "left_semi"),
+                id_col, text_col, k_shingle,
+            )
+        else:
+            arr_cor = arr_cor.join(cand_ids, id_col, "left_semi")
     # corpus verify side: corpus-sized rows each carrying an hs array —
-    # never broadcastable at scale, and its kernel-produced estimate is
-    # unreliable (see band-join comment); pin the shuffle join. The new
-    # side `an` keeps threshold behavior (small by the ingest contract).
+    # never broadcastable at scale (the candidate filter bounds it by the
+    # OUTPUT, which also grows with the corpus), and its kernel-produced
+    # estimate is unreliable (see band-join comment); pin the shuffle
+    # join. The new side `an` keeps threshold behavior (small by the
+    # ingest contract).
     bc = arr_cor.select(
         F.col(id_col).alias("corpus_id"), F.col("hs").alias("hb")
     ).hint("shuffle_hash")
