@@ -730,6 +730,13 @@ spark = (
     .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     .getOrCreate()
 )
+# INFO, not the default WARN: the partial-coverage assertion in the host
+# test needs the standalone Master's executor-removal REASONS ("Command
+# exited with code 50") on this process's stderr — at WARN the only churn
+# evidence is an unreliable "unknown executor" warning, and the upstream
+# barrier race (see the NOTE below) is indistinguishable from a recovery
+# path that restarts every executor.
+spark.sparkContext.setLogLevel("INFO")
 
 rng = np.random.default_rng(42)
 X = rng.normal(size=(600, 5))
@@ -852,7 +859,21 @@ def test_histgbm_3node_fit_survives_loss_bit_equal():
         ln for ln in proc.stdout.splitlines() if ln.startswith("HISTGBM_3NODE_TOPOLOGY")
     ]
     assert topo, proc.stdout
-    race_markers = ("SparkUncaughtExceptionHandler", "exitCode 50", "exit code 50")
+    # "Command exited with code 50" is the standalone Master/Worker
+    # removal-reason format for an executor killed by
+    # SparkUncaughtExceptionHandler (the barrierAndServe race) — INFO
+    # level in the script makes it observable on proc.stderr; the two
+    # legacy spellings are kept for other log sources. "unknown executor"
+    # status updates are the same churn seen from the Master's side
+    # (a removed-but-still-running executor phoning in — impossible for
+    # the SIGKILLed victim, so it always means a non-victim churned).
+    race_markers = (
+        "SparkUncaughtExceptionHandler",
+        "exitCode 50",
+        "exit code 50",
+        "exited with code 50",
+        "Got status update for unknown executor",
+    )
     race_fired = any(m in proc.stderr for m in race_markers)
     survivors = topo[0].split("] [")[-1].rstrip("]").strip("[ ")
     if not race_fired:
